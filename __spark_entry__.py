@@ -1,38 +1,454 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship one-vs-rest Wilcoxon on sf0.001 lineitem.
+``queries()``: one entry per implemented operator (SURVEY.md section 2).
+``oracle_sql()``: DuckDB ANSI-SQL twins for the hash-match correctness gate.
+
+Numeric-compat notes (why these match DuckDB bit-for-bit or to 6 decimals):
+- ranks are multiples of 0.5 and all rank/tie/U arithmetic stays below 2^53,
+  so those columns are exact in both engines regardless of evaluation order;
+- mean-derived columns (mu, lfc) depend on floating sum order, which differs
+  between engines, so BOTH sides round them to 6 decimals;
+- the normal-approximation p-value needs erfc, which DuckDB lacks -> the
+  full-pipeline query is registered without an oracle (rows-only check), as
+  SURVEY.md section 2.2 prescribes; BH is oracle-checked on an exact
+  SQL-expressible pseudo p-value instead, and the real p/p_adj are covered by
+  the pytest differential suite against a C-erfc numpy oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.operators.groups import distinct_groups, group_sizes
+from dask_mwu_spark.operators.logfoldchange import compute_logfoldchange
+from dask_mwu_spark.operators.mwu import bh_adjust
+from dask_mwu_spark.operators.ranking import rank_values
+from dask_mwu_spark.plans.pipeline import (
+    feature_group_stats,
+    rank_features_by_group,
+)
+from dask_mwu_spark.sources.loaders import (
+    obs_measure_from_events,
+    obs_measure_from_lineitem,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+# raw melt: ranks/ties/U are invariant under monotonic transforms, so the
+# rank-statistic oracles use raw values (simplest possible SQL)
+_MELT_RAW = "\n  UNION ALL ".join(
+    f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS value, l_returnflag AS grp FROM lineitem"
+    for f in _FEATURES
+)
+# log1p melt: the reference's data model assumes log1p-normalized inputs
+# (LFC de-logs with expm1); ln(1+x) == log1p(x) for our data (value gaps are
+# orders of magnitude above double rounding at these magnitudes)
+_MELT_LOG = "\n  UNION ALL ".join(
+    f"SELECT '{f}' AS feature, LN(1.0 + CAST({f} AS DOUBLE)) AS value, l_returnflag AS grp FROM lineitem"
+    for f in _FEATURES
+)
+
+# value-level rank table: c per (feature,value,grp), t per (feature,value),
+# inclusive running count -> scipy 'average' rank (engine: rank_values)
+def _rank_cte(melt: str) -> str:
+    return f"""
+m AS (
+  {melt}
+),
+vc AS (
+  SELECT feature, value, grp, CAST(COUNT(*) AS BIGINT) AS c
+  FROM m GROUP BY feature, value, grp
+),
+rv AS (
+  SELECT feature, value, grp, c,
+         CAST(SUM(c) OVER (PARTITION BY feature, value) AS BIGINT) AS t,
+         CAST(SUM(c) OVER (PARTITION BY feature ORDER BY value) AS BIGINT) AS cum
+  FROM vc
+),
+fg AS (
+  SELECT feature, grp,
+         CAST(SUM(c) AS BIGINT) AS n1,
+         CAST(SUM(c * (cum - (t - 1) / 2.0)) AS DOUBLE) AS rank_sum,
+         CAST(SUM(c * value) AS DOUBLE) AS val_sum,
+         CAST(SUM(c * (CAST(t AS DOUBLE) * t - 1.0)) AS DOUBLE) AS tie_part
+  FROM rv GROUP BY feature, grp
+),
+feat AS (
+  SELECT feature,
+         CAST(SUM(n1) AS BIGINT) AS n_obs,
+         CAST(SUM(val_sum) AS DOUBLE) AS total_sum,
+         CAST(SUM(tie_part) AS DOUBLE) AS tie_term
+  FROM fg GROUP BY feature
+),
+stats AS (
+  SELECT fg.feature, fg.grp, fg.n1,
+         feat.n_obs - fg.n1 AS n2,
+         fg.rank_sum, fg.val_sum, feat.total_sum, feat.tie_term,
+         CAST(fg.n1 AS DOUBLE) AS n1d,
+         CAST(feat.n_obs - fg.n1 AS DOUBLE) AS n2d
+  FROM fg JOIN feat USING (feature)
+),
+ustat AS (
+  SELECT *,
+         rank_sum - (n1d * (n1d + 1.0)) / 2.0 AS u_stat,
+         GREATEST(rank_sum - (n1d * (n1d + 1.0)) / 2.0,
+                  n1d * n2d - (rank_sum - (n1d * (n1d + 1.0)) / 2.0)) AS u_for_z
+  FROM stats
+),
+zstat AS (
+  SELECT *,
+         CASE
+           WHEN n1d + n2d <= 1.0 THEN NULL
+           WHEN n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))) = 0.0 THEN NULL
+           ELSE (u_for_z - n1d * n2d / 2.0 - 0.5)
+                / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
+         END AS z
+  FROM ustat
+)
+"""
+
+
+# Spark side: same pipeline, with sigma=0 -> NULL to mirror the oracle's CASE
+# (the library itself emits +/-inf for reference parity; the *query* masks it
+# because DuckDB cannot express erfc-of-inf p-values anyway)
+def _stats_sql_side(spark: SparkSession, sf_dir: str, *, log1p: bool) -> DataFrame:
+    m = obs_measure_from_lineitem(spark, sf_dir, log1p=log1p)
+    st = feature_group_stats(m)
+    return st.withColumn(
+        "z",
+        F.when(F.isnan("z") | F.col("z").isin(float("inf"), float("-inf")), None).otherwise(
+            F.col("z")
+        ),
+    ).withColumnRenamed("group", "grp")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("group")
+    )
+    return distinct_groups(li).withColumnRenamed("group", "grp")
+
+
+def _q_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("group")
+    )
+    return group_sizes(li).withColumnRenamed("group", "grp")
+
+
+def _q_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = obs_measure_from_lineitem(
+        spark, sf_dir, features=("l_quantity", "l_discount", "l_tax")
+    )
+    rv = rank_values(m)
+    return rv.select("feature", "value", "t", "avg_rank").distinct()
+
+
+def _q_tie_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stats_sql_side(spark, sf_dir, log1p=False)
+    return st.select("feature", "tie_term").distinct()
+
+
+def _q_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stats_sql_side(spark, sf_dir, log1p=False)
+    return st.select("feature", "grp", "rank_sum")
+
+
+def _q_u_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stats_sql_side(spark, sf_dir, log1p=False)
+    return st.select("feature", "grp", "n1", "n2", "u_stat")
+
+
+def _q_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stats_sql_side(spark, sf_dir, log1p=False)
+    return st.select("feature", "grp", "u_stat", "z")
+
+
+def _q_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = compute_logfoldchange(
+        feature_group_stats(obs_measure_from_lineitem(spark, sf_dir, log1p=True))
+    ).withColumnRenamed("group", "grp")
+    return st.select(
+        "feature",
+        "grp",
+        F.round("mu1", 6).alias("mu1"),
+        F.round("mu2", 6).alias("mu2"),
+    )
+
+
+def _q_logfoldchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = compute_logfoldchange(
+        feature_group_stats(obs_measure_from_lineitem(spark, sf_dir, log1p=True))
+    ).withColumnRenamed("group", "grp")
+    return st.select("feature", "grp", F.round("logfoldchange", 6).alias("lfc"))
+
+
+def _q_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up on an exactly-SQL-expressible pseudo p-value
+    (u_for_z / (n1*n2) in [0.5, 1]): validates the window formulation against
+    DuckDB; the real erfc p-values are covered rows-only + pytest."""
+    st = _stats_sql_side(spark, sf_dir, log1p=False)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r1 = F.col("u_stat")
+    u_for_z = F.greatest(r1, n1d * n2d - r1)
+    st = st.select(
+        "feature", "grp", (u_for_z / (n1d * n2d)).alias("p_pseudo")
+    )
+    out = bh_adjust(
+        st,
+        p_col="p_pseudo",
+        partition_cols=("grp",),
+        tiebreak_cols=("feature",),
+        out_col="p_adjusted",
+    )
+    return out.select("feature", "grp", "p_pseudo", "p_adjusted")
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = obs_measure_from_lineitem(spark, sf_dir, log1p=True)
+    res = rank_features_by_group(m, top_n=2, sort_by="desc")
+    return res.select(
+        F.col("group").alias("grp"),
+        "gene",
+        F.col("U").alias("u_stat"),
+        F.round("logfoldchange", 6).alias("lfc"),
+    )
+
+
+def _q_wilcoxon_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full SQL-expressible slice of the pipeline in one query."""
+    st = compute_logfoldchange(
+        feature_group_stats(obs_measure_from_lineitem(spark, sf_dir, log1p=True))
+    ).withColumnRenamed("group", "grp")
+    st = st.withColumn(
+        "z",
+        F.when(F.isnan("z") | F.col("z").isin(float("inf"), float("-inf")), None).otherwise(
+            F.col("z")
+        ),
+    )
+    return st.select(
+        "feature",
+        "grp",
+        "n1",
+        "n2",
+        "rank_sum",
+        "tie_term",
+        "u_stat",
+        "z",
+        F.round("logfoldchange", 6).alias("lfc"),
+    )
+
+
+def _q_mwu_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline incl. erfc p-values + BH (rows-only: no SQL erfc)."""
+    m = obs_measure_from_lineitem(spark, sf_dir, log1p=True)
+    res = rank_features_by_group(m, top_n=None, sort_by="desc")
+    return res.withColumnRenamed("group", "grp")
+
+
+def _q_events_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = feature_group_stats(obs_measure_from_events(spark, sf_dir))
+    st = st.withColumn(
+        "z",
+        F.when(F.isnan("z") | F.col("z").isin(float("inf"), float("-inf")), None).otherwise(
+            F.col("z")
+        ),
+    ).withColumnRenamed("group", "grp")
+    return st.select("feature", "grp", "n1", "n2", "rank_sum", "u_stat", "z")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_mwu_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "mwu_distinct_groups": _q_distinct_groups,
+        "mwu_group_sizes": _q_group_sizes,
+        "mwu_rank_ties": _q_rank_ties,
+        "mwu_tie_term": _q_tie_term,
+        "mwu_rank_sum": _q_rank_sum,
+        "mwu_u_stat": _q_u_stat,
+        "mwu_z_score": _q_z_score,
+        "mwu_group_means": _q_group_means,
+        "mwu_logfoldchange": _q_logfoldchange,
+        "mwu_bh_adjust": _q_bh,
+        "mwu_topk": _q_topk,
+        "wilcoxon_core": _q_wilcoxon_core,
+        "mwu_full_pipeline": _q_mwu_full,
+        "mwu_events_core": _q_events_core,
+    }
+    try:
+        from extensions_entry import extension_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(extension_queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "mwu_distinct_groups": "SELECT DISTINCT l_returnflag AS grp FROM lineitem",
+        "mwu_group_sizes": """
+WITH g AS (
+  SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n1 FROM lineitem GROUP BY 1
+)
+SELECT grp, n1, CAST((SELECT COUNT(*) FROM lineitem) - n1 AS BIGINT) AS n2 FROM g
+""",
+        "mwu_rank_ties": """
+WITH m AS (
+  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+),
+vc AS (
+  SELECT feature, value, CAST(COUNT(*) AS BIGINT) AS t
+  FROM m GROUP BY feature, value
+)
+SELECT feature, value, t,
+       CAST(SUM(t) OVER (PARTITION BY feature ORDER BY value) - (t - 1) / 2.0 AS DOUBLE) AS avg_rank
+FROM vc
+""",
+        "mwu_tie_term": f"""
+WITH {_rank_cte(_MELT_RAW)}
+SELECT feature, tie_term FROM feat
+""",
+        "mwu_rank_sum": f"""
+WITH {_rank_cte(_MELT_RAW)}
+SELECT feature, grp, rank_sum FROM fg
+""",
+        "mwu_u_stat": f"""
+WITH {_rank_cte(_MELT_RAW)}
+SELECT feature, grp, n1, n2, u_stat FROM ustat
+""",
+        "mwu_z_score": f"""
+WITH {_rank_cte(_MELT_RAW)}
+SELECT feature, grp, u_stat, z FROM zstat
+""",
+        "mwu_group_means": f"""
+WITH {_rank_cte(_MELT_LOG)}
+SELECT feature, grp,
+       ROUND(val_sum / n1d, 6) AS mu1,
+       ROUND((total_sum - val_sum) / n2d, 6) AS mu2
+FROM stats
+""",
+        "mwu_logfoldchange": f"""
+WITH {_rank_cte(_MELT_LOG)}
+SELECT feature, grp,
+       ROUND(LOG2(EXP(val_sum / n1d) - 1.0 + 1e-9)
+             - LOG2(EXP((total_sum - val_sum) / n2d) - 1.0 + 1e-9), 6) AS lfc
+FROM stats
+""",
+        "mwu_bh_adjust": f"""
+WITH {_rank_cte(_MELT_RAW)},
+pp AS (
+  SELECT feature, grp, u_for_z / (n1d * n2d) AS p_pseudo,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS DOUBLE) AS m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u_for_z / (n1d * n2d) ASC, feature ASC) AS DOUBLE) AS i
+  FROM ustat
+),
+raw AS (
+  SELECT feature, grp, p_pseudo, p_pseudo * m / i AS r,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY p_pseudo ASC, feature ASC) AS rn
+  FROM pp
+)
+SELECT feature, grp, p_pseudo,
+       LEAST(1.0, MIN(r) OVER (PARTITION BY grp ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adjusted
+FROM raw
+""",
+        "mwu_topk": f"""
+WITH {_rank_cte(_MELT_LOG)},
+lfc AS (
+  SELECT feature AS gene, grp, u_stat,
+         LOG2(EXP(val_sum / n1d) - 1.0 + 1e-9)
+           - LOG2(EXP((total_sum - val_sum) / n2d) - 1.0 + 1e-9) AS lfc_raw
+  FROM ustat
+),
+rn AS (
+  SELECT gene, grp, u_stat, lfc_raw,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ABS(lfc_raw) DESC, gene ASC) AS rn
+  FROM lfc
+)
+SELECT grp, gene, u_stat, ROUND(lfc_raw, 6) AS lfc FROM rn WHERE rn <= 2
+""",
+        "wilcoxon_core": f"""
+WITH {_rank_cte(_MELT_LOG)}
+SELECT feature, grp, n1, n2, rank_sum, tie_term, u_stat, z,
+       ROUND(LOG2(EXP(val_sum / n1d) - 1.0 + 1e-9)
+             - LOG2(EXP((total_sum - val_sum) / n2d) - 1.0 + 1e-9), 6) AS lfc
+FROM zstat
+""",
+        "mwu_events_core": """
+WITH vc AS (
+  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS value, event_type AS grp,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+rv AS (
+  SELECT feature, value, grp, c,
+         CAST(SUM(c) OVER (PARTITION BY feature, value) AS BIGINT) AS t,
+         CAST(SUM(c) OVER (PARTITION BY feature ORDER BY value) AS BIGINT) AS cum
+  FROM vc
+),
+fg AS (
+  SELECT feature, grp,
+         CAST(SUM(c) AS BIGINT) AS n1,
+         CAST(SUM(c * (cum - (t - 1) / 2.0)) AS DOUBLE) AS rank_sum,
+         CAST(SUM(c * (CAST(t AS DOUBLE) * t - 1.0)) AS DOUBLE) AS tie_part
+  FROM rv GROUP BY feature, grp
+),
+feat AS (
+  SELECT feature, CAST(SUM(n1) AS BIGINT) AS n_obs,
+         CAST(SUM(tie_part) AS DOUBLE) AS tie_term
+  FROM fg GROUP BY feature
+),
+stats AS (
+  SELECT fg.feature, fg.grp, fg.n1, feat.n_obs - fg.n1 AS n2,
+         fg.rank_sum, feat.tie_term,
+         CAST(fg.n1 AS DOUBLE) AS n1d, CAST(feat.n_obs - fg.n1 AS DOUBLE) AS n2d
+  FROM fg JOIN feat USING (feature)
+),
+ustat AS (
+  SELECT *,
+         rank_sum - (n1d * (n1d + 1.0)) / 2.0 AS u_stat,
+         GREATEST(rank_sum - (n1d * (n1d + 1.0)) / 2.0,
+                  n1d * n2d - (rank_sum - (n1d * (n1d + 1.0)) / 2.0)) AS u_for_z
+  FROM stats
+)
+SELECT feature, grp, n1, n2, rank_sum, u_stat,
+       CASE
+         WHEN n1d + n2d <= 1.0 THEN NULL
+         WHEN n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))) = 0.0 THEN NULL
+         ELSE (u_for_z - n1d * n2d / 2.0 - 0.5)
+              / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
+       END AS z
+FROM ustat
+""",
+    }
+    try:
+        from extensions_entry import extension_oracles
+
+        o.update(extension_oracles())
+    except ImportError:
+        pass
+    return o

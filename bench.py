@@ -1,0 +1,70 @@
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Each query is timed end-to-end (plan + execute + collect to driver), after a
+one-time warmup query that pays JVM/codegen spin-up so per-query numbers
+reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from dask_mwu_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "wilcoxon_core",
+    "mwu_full_pipeline",
+    "mwu_rank_ties",
+    "mwu_topk",
+    "mwu_events_core",
+    # extension headliners (present from the extensions_entry module)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "text_lang_id",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dask-mwu-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup: small full-pipeline run pays one-time JVM + Arrow + codegen cost
+    qs["wilcoxon_core"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

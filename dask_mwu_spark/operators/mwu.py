@@ -1,0 +1,166 @@
+"""Mann-Whitney U operators (reference M4/M5/A1-A6:
+dask_mwu/rank_data.py:262-315, dask_mwu/pvals.py:21-176).
+
+Everything here is expression-level DataFrame algebra over the value-level
+rank table from ``rank_values`` — the masked tensordot of the reference
+(rank_data.py:292-296) *is* a grouped sum, and the complement identities
+(r2 = n1*n2 - r1, pvals.py:114-116) keep one-vs-rest a single pass over the
+data no matter how many groups exist.
+
+All count arithmetic is cast to DOUBLE before multiplication: at the 100 TB
+design point n1*n2 overflows BIGINT (1e12 observations squared), while the
+double formulas stay exact until ~2^53 and match the reference's float64
+math bit-for-bit below that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.functions.stats import two_sided_p_from_z
+
+
+def compute_in_group_ranksum(ranked_values: DataFrame) -> DataFrame:
+    """Per (feature, group) sums from the value-level rank table (M4 + A2 + L1
+    partials in one aggregation — single pass, reference needed three:
+    rank_data.py:296, pvals.py:111, logfoldchange.py:12-18).
+
+    Columns:
+      n1        rows in the group (= group size; every obs has one row per
+                feature)
+      rank_sum  sum of in-group average ranks (NULL when the feature is
+                NaN-poisoned: scipy propagate semantics)
+      val_sum   sum of in-group raw values (NaN propagates arithmetically)
+      tie_part  group's share of sum(t^3 - t): sum over rows of c*(t^2-1);
+                summed over groups this telescopes to the per-feature tie
+                term, letting the feature level aggregate from this table
+                instead of rescanning value-level data
+      has_nan   feature-level NaN flag (constant within feature)
+    """
+    c = F.col("c").cast("double")
+    t = F.col("t").cast("double")
+    return ranked_values.groupBy("feature", "group").agg(
+        F.sum("c").alias("n1"),
+        F.sum(c * F.col("avg_rank")).alias("rank_sum"),
+        F.sum(c * F.col("value")).alias("val_sum"),
+        F.sum(c * (t * t - F.lit(1.0))).alias("tie_part"),
+        F.max("has_nan").alias("has_nan"),
+    )
+
+
+def compute_tie_term(group_stats: DataFrame) -> DataFrame:
+    """Per-feature totals (M5: sum(t^3 - t), rank_data.py:301-315) aggregated
+    from the (feature, group) table — tiny input, no second data pass."""
+    return group_stats.groupBy("feature").agg(
+        F.sum("n1").alias("n_obs"),
+        F.sum("val_sum").alias("total_sum"),
+        F.sum("tie_part").alias("tie_term"),
+        F.max("has_nan").alias("feat_has_nan"),
+    )
+
+
+def u_statistic(n1: Column, n2: Column, rank_sum: Column) -> tuple[Column, Column]:
+    """(U reported, U for the z-score).
+
+    r1 = rank_sum - n1(n1+1)/2 is the in-group U; the out-group U is the
+    complement n1*n2 - r1 (pvals.py:114-115).  The z-score uses max(r1, r2)
+    (two-sided) but the *reported* U is r1, matching the reference's return
+    of r1 (pvals.py:125) and scipy's U1.
+    """
+    r1 = rank_sum - (n1 * (n1 + F.lit(1.0))) / F.lit(2.0)
+    u_for_z = F.greatest(r1, n1 * n2 - r1)
+    return r1, u_for_z
+
+
+def mwu_z(u_for_z: Column, n1: Column, n2: Column, tie_term: Column) -> Column:
+    """Tie- and continuity-corrected z (A1, pvals.py:21-59).
+
+    z = (U - n1*n2/2 - 0.5) / sigma
+    sigma = sqrt(n1*n2/12 * ((n+1) - tie_term / (n*(n-1))))
+
+    Degenerate cases mirror numpy-under-errstate-ignore (pvals.py:57):
+    n <= 1 -> NULL (0/0); sigma == 0 (fully tied feature) -> +/-Infinity by
+    the sign of the numerator, so the downstream sf gives p=1 for the
+    all-tied column exactly as the reference's tests require
+    (tests/test_p_vals.py:36-46).
+    """
+    n = n1 + n2
+    mu = n1 * n2 / F.lit(2.0)
+    sigma_sq = (
+        n1
+        * n2
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - tie_term / (n * (n - F.lit(1.0))))
+    )
+    sigma = F.sqrt(sigma_sq)
+    num = u_for_z - mu - F.lit(0.5)
+    return (
+        F.when(n <= F.lit(1.0), F.lit(None).cast("double"))
+        .when(
+            sigma == F.lit(0.0),
+            F.when(num > F.lit(0.0), F.lit(float("inf"))).otherwise(
+                F.lit(float("-inf"))
+            ),
+        )
+        .otherwise(num / sigma)
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    *,
+    p_col: str = "p_value",
+    partition_cols: tuple[str, ...] = ("group",),
+    tiebreak_cols: tuple[str, ...] = ("feature",),
+    out_col: str = "p_adjusted",
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR within each partition (A5,
+    pvals.py:128-141; reference delegates to statsmodels fdr_bh).
+
+    adj_i = min(1, min_{j >= i} p_(j) * m / j) over p ascending.  The suffix
+    cumulative min makes the result invariant to which index tied p-values
+    receive (SURVEY.md A5), but row_number still gets a deterministic
+    tiebreak for reproducible plans.  Pure window functions — per-partition
+    parallelism matches the reference's per-column map_blocks chunks.
+    """
+    parts = [F.col(c) for c in partition_cols]
+    order = [F.col(p_col).asc_nulls_last()] + [F.col(c) for c in tiebreak_cols]
+    w_rank = Window.partitionBy(*parts).orderBy(*order)
+    w_suffix = w_rank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_all = Window.partitionBy(*parts)
+    m = F.count(F.lit(1)).over(w_all)
+    i = F.row_number().over(w_rank)
+    raw = F.col(p_col) * m.cast("double") / i.cast("double")
+    return df.withColumn(
+        out_col, F.least(F.lit(1.0), F.min(raw).over(w_suffix))
+    )
+
+
+def mann_whitney_u(group_stats: DataFrame, feature_stats: DataFrame) -> DataFrame:
+    """Compose A1-A5 into the (feature, group) statistics table (A6,
+    pvals.py:144-176).  ``feature_stats`` is (n_features) rows — always
+    broadcast; the join never shuffles the group-level table.
+
+    Output: feature, group, n1, n2, rank_sum, tie_term, u_stat, z, p_value,
+    p_adjusted.  NaN-poisoned features keep NULL rank-derived stats.
+    """
+    joined = group_stats.join(F.broadcast(feature_stats), "feature")
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n_obs") - F.col("n1")).cast("double")
+    r1, u_for_z = u_statistic(n1, n2, F.col("rank_sum"))
+    z = mwu_z(u_for_z, n1, n2, F.col("tie_term"))
+    stats = joined.select(
+        "feature",
+        "group",
+        "n1",
+        (F.col("n_obs") - F.col("n1")).alias("n2"),
+        "rank_sum",
+        "val_sum",
+        "total_sum",
+        "tie_term",
+        "has_nan",
+        r1.alias("u_stat"),
+        z.alias("z"),
+    ).withColumn("p_value", two_sided_p_from_z(F.col("z")))
+    return bh_adjust(stats)

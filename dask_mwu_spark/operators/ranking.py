@@ -1,0 +1,142 @@
+"""Ranking operators (reference R1/R2: dask_mwu/rank_data.py:90-259).
+
+The reference ranks every feature column with scipy's
+``_rankdata(method='average', return_ties=True)`` inside ``map_blocks``,
+holding an entire feature column per chunk (rank_data.py:208-210 "rows cannot
+be chunked").  A naive Spark port would be
+``Window.partitionBy("feature").orderBy("value")`` over the *raw* rows —
+correct, but at 100 TB one task must sort one feature's whole column.
+
+Instead we rank at the **value level**:
+
+    avg_rank(feature, v) = (# rows with value < v) + (t_v + 1) / 2
+
+where ``t_v`` is the multiplicity of ``v``.  One map-side-combinable
+``groupBy(feature, value, group).count()`` compresses the data to its
+distinct (feature, value, group) triples; ranks, tie terms, rank sums, group
+sizes and group means are all derived from that compressed table.  The only
+per-feature sort runs over distinct values, not raw rows — for low-cardinality
+features this is orders of magnitude smaller, and for continuous features it
+degrades gracefully to the same work the raw window would do.
+
+Both window frames (peer count and inclusive running count) share one
+partition/order spec, so Catalyst plans a single Exchange + Sort + Window —
+verified via ``explain`` in tests.
+
+NaN semantics follow scipy ``nan_policy='propagate'`` (rank_data.py:182-196):
+any NaN (or NULL, which we canonicalize to NaN) in a feature makes every rank
+of that feature NULL; rank-derived statistics go NULL with it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.errors import InvalidDimensionError
+
+_REQUIRED = {"feature", "value", "group"}
+
+
+def _check_measure(measure: DataFrame) -> None:
+    missing = _REQUIRED - set(measure.columns)
+    if missing:
+        raise InvalidDimensionError(
+            f"measure table missing columns {sorted(missing)}; has {measure.columns}"
+        )
+
+
+def value_counts(measure: DataFrame) -> DataFrame:
+    """Compress raw observations to distinct (feature, value, group) counts.
+
+    The single big shuffle of the whole MWU pipeline; partial (map-side)
+    aggregation means shuffle volume is bounded by the number of distinct
+    triples per input partition, not the row count.  NULL values are
+    canonicalized to NaN so scipy's propagate semantics apply uniformly
+    (Spark groups NaNs together in aggregation keys, like np.unique would
+    not — but we never rank NaNs individually, see ``rank_values``).
+    """
+    _check_measure(measure)
+    return (
+        measure.withColumn(
+            "value",
+            F.when(F.col("value").isNull(), F.lit(float("nan"))).otherwise(
+                F.col("value").cast("double")
+            ),
+        )
+        .groupBy("feature", "value", "group")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def rank_values(measure: DataFrame) -> DataFrame:
+    """Value-level average ranks + tie counts.
+
+    Returns one row per distinct (feature, value, group):
+      c        BIGINT  rows with this (feature, value, group)
+      t        BIGINT  rows with this (feature, value) across groups
+      avg_rank DOUBLE  scipy 'average' rank shared by all those rows
+                       (NULL if the feature contains any NaN)
+      has_nan  BOOLEAN feature-level NaN poison flag
+
+    avg_rank = cum_incl - (t - 1)/2 where cum_incl is the inclusive running
+    row count in value order: a tied run occupying ranks (cum_prev+1 ..
+    cum_prev+t) has average cum_prev + (t+1)/2 = cum_incl - (t-1)/2.
+    Matches scipy._rankdata(method='average') exactly; ranks are multiples of
+    0.5 and therefore exact in binary floating point at any realistic scale.
+    """
+    vc = value_counts(measure)
+    w = Window.partitionBy("feature").orderBy("value")
+    # RANGE CURRENT ROW..CURRENT ROW = all value-peers; RANGE UNBOUNDED
+    # PRECEDING..CURRENT ROW = inclusive running count.  Same partition+order
+    # spec -> one Exchange+Sort, one Window node.
+    t = F.sum("c").over(w.rangeBetween(Window.currentRow, Window.currentRow))
+    cum = F.sum("c").over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    has_nan = F.max(F.isnan("value")).over(Window.partitionBy("feature"))
+    ranked = (
+        vc.withColumn("t", t)
+        .withColumn("cum", cum)
+        .withColumn("has_nan", has_nan)
+        .withColumn(
+            "avg_rank",
+            F.when(
+                F.col("has_nan"), F.lit(None).cast("double")
+            ).otherwise(F.col("cum") - (F.col("t") - F.lit(1)) / F.lit(2.0)),
+        )
+    )
+    return ranked.select(
+        "feature", "value", "group", "c", "t", "avg_rank", "has_nan"
+    )
+
+
+def rank_data(measure: DataFrame, *, id_cols: tuple[str, ...] = ("obs_id",)) -> DataFrame:
+    """Per-row ranks — API parity with reference ``rank_data`` (R2).
+
+    The pipeline itself never needs per-row ranks (rank *sums* suffice), but
+    the reference exposes them, so we do too: join raw rows back to the
+    value-level rank table.  The rank table is tiny relative to the data
+    whenever there are ties, so Spark/AQE will usually broadcast it; the
+    worst case is a sort-merge join on (feature, value), still fully
+    distributed (no single-feature sort hotspot).
+
+    Output adds ``rank`` (scipy average rank, NULL on NaN-poisoned features)
+    and ``tie_count`` (multiplicity t of this row's value; the reference
+    stores t only at the first member of a run — rank_data.py:191 — but every
+    consumer only uses sum(t^3 - t), which is invariant to that encoding).
+    """
+    _check_measure(measure)
+    rv = rank_values(measure).select("feature", "value", "group", "t", "avg_rank")
+    src = measure.withColumn(
+        "value",
+        F.when(F.col("value").isNull(), F.lit(float("nan"))).otherwise(
+            F.col("value").cast("double")
+        ),
+    )
+    return src.join(rv, on=["feature", "value", "group"], how="left").select(
+        *id_cols,
+        "group",
+        "feature",
+        "value",
+        F.col("avg_rank").alias("rank"),
+        F.col("t").alias("tie_count"),
+    )

@@ -1,0 +1,67 @@
+"""The flagship pipeline: one-vs-rest Wilcoxon rank-sum over a long table.
+
+Reference equivalent: scratch/rank_gene_groups.py:261-309
+(``rank_gene_groups_vec``), which needs nine materialization barriers and two
+zarr round-trips (SURVEY.md section 3.1).  Here the whole computation is ONE
+lazy Catalyst plan with a strictly linear dataflow:
+
+    scan (parquet, column-pruned)
+      -> groupBy(feature, value, group).count()       [shuffle 1, map-side combine]
+      -> Window partitionBy(feature) orderBy(value)   [shuffle 2, value-level rows]
+      -> groupBy(feature, group) sums                 [shuffle 3, value-level -> tiny]
+      -> groupBy(feature) totals                      [tiny]
+      -> broadcast join + scalar math (z, U, LFC)     [no shuffle]
+      -> pandas_udf p-value                           [tiny, Arrow]
+      -> BH window per group / top-k window per group [tiny]
+
+Because group sizes, rank sums, tie terms AND group means all derive from the
+single value-level aggregate, the raw data is scanned exactly once — the
+reference scans it twice (LFC re-read, SURVEY.md barriers 7-9) and the ranked
+tensor twice more (zarr rechunk round-trip).
+
+Scale notes (100 TB, 1000 executors): shuffles 1-3 carry value-level rows
+(distinct (feature, value[, group]) triples), so heavy-tie features compress
+by orders of magnitude; the worst case (all-distinct values) equals what any
+exact rank must move.  Nothing driver-side ever holds more than the
+(n_features x n_groups) result — and even that stays a DataFrame until the
+caller sinks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dask_mwu_spark.operators.logfoldchange import compute_logfoldchange
+from dask_mwu_spark.operators.mwu import (
+    compute_in_group_ranksum,
+    compute_tie_term,
+    mann_whitney_u,
+)
+from dask_mwu_spark.operators.ranking import rank_values
+from dask_mwu_spark.operators.topk import create_df
+
+
+def feature_group_stats(measure: DataFrame) -> DataFrame:
+    """(feature, group) statistics table: n1, n2, rank_sum, tie_term, u_stat,
+    z, p_value, p_adjusted — everything except LFC."""
+    rv = rank_values(measure)
+    fg = compute_in_group_ranksum(rv)
+    feat = compute_tie_term(fg)
+    return mann_whitney_u(fg, feat)
+
+
+def rank_features_by_group(
+    measure: DataFrame,
+    *,
+    top_n: int | None = None,
+    sort_by: str = "desc",
+    base: float | None = None,
+) -> DataFrame:
+    """Full reference pipeline: MWU + BH + LFC + per-group top-k.
+
+    ``measure`` is the long table (obs_id?, group, feature, value); returns
+    the per-group result table of create_df.py:117-134.
+    """
+    stats = feature_group_stats(measure)
+    stats = compute_logfoldchange(stats, base=base)
+    return create_df(stats, top_n=top_n, sort_by=sort_by)

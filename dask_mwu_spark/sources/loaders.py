@@ -1,0 +1,121 @@
+"""Sources: parquet loaders and wide-to-long melters.
+
+The reference loads a chunked dense zarr matrix (reference:
+scratch/rank_gene_groups.py:112) plus parquet obs/vars metadata (:116,:127).
+Parquet *is* our chunked columnar store — ``spark.read.parquet`` gives lazy,
+column-pruned, predicate-pushed scans, so sources S1-S3 of SURVEY.md section 2
+collapse into these helpers.
+
+``melt`` turns k wide numeric columns into the long ``(feature, value)``
+encoding with a single narrow projection + ``explode`` of a k-element struct
+array: no shuffle, no UDF, survives any scale (it is a flatMap in the scan
+stage and whole-stage-codegen'd).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark rejects unless
+    the nanosAsLong legacy conf is on — set it here (runtime-settable) so the
+    loaders work under any caller-provided SparkSession, not just ours.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str | Column],
+    value_cols: Sequence[str],
+    *,
+    feature_col: str = "feature",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide → long: one output row per (input row, value column).
+
+    Shuffle-free: `inline(array(struct...))` expands rows inside the scan
+    stage, so Catalyst still pushes filters on id columns down to parquet.
+    """
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias(feature_col),
+                F.col(c).cast("double").alias(value_col),
+            )
+            for c in value_cols
+        ]
+    )
+    ids = [F.col(c) if isinstance(c, str) else c for c in id_cols]
+    return df.select(*ids, F.inline(structs))
+
+
+LINEITEM_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def obs_measure_from_lineitem(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    group_col: str = "l_returnflag",
+    features: Sequence[str] = LINEITEM_FEATURES,
+    log1p: bool = False,
+) -> DataFrame:
+    """lineitem → long obs/measure table ``(obs_id, group, feature, value)``.
+
+    obs_id is (l_orderkey, l_linenumber) packed into one BIGINT — unique per
+    line item, computed without any shuffle (vs. a window-based dense rank,
+    which would need a global sort).  FIXTURES.md F5 mapping.
+
+    ``log1p=True`` applies the log1p normalization the reference's data model
+    assumes (its LFC de-logs means with expm1, logfoldchange.py:48): rank
+    statistics are invariant under the monotonic transform, and LFC becomes
+    finite for large-magnitude measures like l_extendedprice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    obs_id = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("obs_id")
+    out = melt(
+        li,
+        [obs_id, F.col(group_col).alias("group")],
+        list(features),
+    )
+    if log1p:
+        out = out.withColumn("value", F.log1p("value"))
+    return out
+
+
+def obs_measure_from_events(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """events → long obs/measure table with the single feature ``value``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("obs_id"),
+        F.col(group_col).alias("group"),
+        F.lit("value").alias("feature"),
+        F.col("value").cast("double").alias("value"),
+    )

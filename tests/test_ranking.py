@@ -1,0 +1,102 @@
+"""R1/R2 differential tests vs the numpy oracle, including the reference's
+chunk-invariance sweep re-expressed as a shuffle-partition sweep
+(reference tests/test_ranking.py)."""
+
+import numpy as np
+import pytest
+
+from dask_mwu_spark.operators.ranking import rank_data, rank_values
+
+from tests import fixtures as fx
+from tests.oracle import rankdata_avg, tie_term
+
+
+def _spark_ranks(spark, data, labels):
+    pdf = fx.to_long(data, labels)
+    df = spark.createDataFrame(pdf)
+    out = rank_data(df).toPandas()
+    return out.sort_values(["feature", "obs_id"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name,data,labels",
+    [
+        ("positive", fx.POSITIVE, fx.LABELS_5),
+        ("negative", fx.NEGATIVE, fx.LABELS_5),
+        ("mixed", fx.MIXED, fx.LABELS_5),
+        ("ties_dense", fx.TIES_DENSE, fx.LABELS_6_SMALL),
+        ("all_zero", fx.ALL_ZERO, fx.LABELS_5),
+        ("minimal", fx.MINIMAL, np.array([0])),
+        ("string_labels", fx.MIXED, fx.LABELS_STR),
+    ],
+)
+def test_per_row_ranks_match_scipy_average(spark, name, data, labels):
+    out = _spark_ranks(spark, data, labels)
+    for f in range(data.shape[1]):
+        expected = rankdata_avg(data[:, f])
+        got = (
+            out[out.feature == f"gene_{f}"]
+            .sort_values("obs_id")["rank"]
+            .to_numpy(dtype=float)
+        )
+        np.testing.assert_array_equal(got, expected, err_msg=f"{name} gene_{f}")
+
+
+def test_nan_poisons_whole_feature_only(spark):
+    out = _spark_ranks(spark, fx.WITH_NANS, fx.LABELS_5)
+    for f in range(fx.WITH_NANS.shape[1]):
+        col = out[out.feature == f"gene_{f}"]["rank"]
+        if np.isnan(fx.WITH_NANS[:, f]).any():
+            assert col.isna().all(), f"gene_{f} should be all-NULL"
+        else:
+            np.testing.assert_array_equal(
+                col.to_numpy(dtype=float), rankdata_avg(fx.WITH_NANS[:, f])
+            )
+
+
+def test_tie_counts_sum_to_tie_term(spark):
+    df = spark.createDataFrame(fx.to_long(fx.TIES_DENSE, fx.LABELS_6_SMALL))
+    rv = rank_values(df).toPandas()
+    for f in range(fx.TIES_DENSE.shape[1]):
+        sub = rv[rv.feature == f"gene_{f}"]
+        tt = float((sub.c * (sub.t.astype(float) ** 2 - 1)).sum())
+        assert tt == tie_term(fx.TIES_DENSE[:, f])
+
+
+@pytest.mark.parametrize("partitions", [1, 2, 8])
+def test_partition_invariance(spark, partitions):
+    """Reference chunk sweep (tests/test_ranking.py:21-22): results must not
+    depend on physical partitioning."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        out = _spark_ranks(spark, fx.MIXED, fx.LABELS_5)
+        for f in range(fx.MIXED.shape[1]):
+            expected = rankdata_avg(fx.MIXED[:, f])
+            got = (
+                out[out.feature == f"gene_{f}"]
+                .sort_values("obs_id")["rank"]
+                .to_numpy(dtype=float)
+            )
+            np.testing.assert_array_equal(got, expected)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_missing_columns_raise(spark):
+    from dask_mwu_spark.errors import InvalidDimensionError
+
+    df = spark.range(3).withColumnRenamed("id", "obs_id")
+    with pytest.raises(InvalidDimensionError):
+        rank_values(df)
+
+
+def test_single_exchange_window_plan(spark):
+    """The two window frames (peer count + running count) must share one
+    Exchange+Sort (SURVEY.md section 4 'verify with explain')."""
+    df = spark.createDataFrame(fx.to_long(fx.MIXED, fx.LABELS_5))
+    plan = rank_values(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2 or plan.count("Window") == 1
+    # one exchange for the groupBy, one for the window partitioning — the two
+    # window frames must NOT add a third
+    assert plan.count("Exchange") <= 2, plan

@@ -1,0 +1,130 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare row count,
+schema, and order-insensitive values.
+
+Stricter than the driver: exact equality for non-rounded columns (if we pass
+here bit-for-bit, any value-hash scheme matches).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dask_mwu_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype(float)
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int", "UInt")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count {len(spark_df)} vs {len(duck_df)}")
+        return problems
+    a, b = normalize(spark_df), normalize(duck_df)
+    if list(a.columns) != list(b.columns):
+        problems.append(f"columns {list(a.columns)} vs {list(b.columns)}")
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype != bv.dtype:
+            problems.append(f"dtype[{c}] {av.dtype} vs {bv.dtype}")
+        if av.dtype.kind == "f":
+            an, bn = av.to_numpy(), bv.to_numpy()
+            both_nan = np.isnan(an) & np.isnan(bn)
+            eq = (an == bn) | both_nan
+            if not eq.all():
+                bad = (~eq).sum()
+                idx = int(np.argmax(~eq))
+                problems.append(
+                    f"value[{c}]: {bad} mismatches, first at row {idx}: "
+                    f"{an[idx]!r} vs {bn[idx]!r} (diff {abs(an[idx]-bn[idx]):.3e})"
+                )
+        else:
+            if not (av == bv).all():
+                bad = (av != bv).sum()
+                idx = int(np.argmax((av != bv).to_numpy()))
+                problems.append(
+                    f"value[{c}]: {bad} mismatches, first at row {idx}: "
+                    f"{av[idx]!r} vs {bv[idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            if len(sdf) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"ok   {name}: exact match ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
