@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+All hashing is the cross-engine md5-based family (functions/hashing.py), so
+every operator here has an exact DuckDB oracle twin — no engine-specific
+hash functions anywhere.
+
+Scale design notes (the whole point of these algorithms):
+- exact: one groupBy on a 60-bit digest — map-side combinable, no skew
+  (digests are uniform).
+- n-gram Jaccard is quadratic in the worst case; the doc-frequency cap on
+  shingles (``max_df``) is the standard stop-shingle guard that bounds the
+  self-join blow-up (a shingle shared by d docs contributes d^2 pairs).
+- MinHash+LSH replaces the all-pairs comparison with b band-bucket joins:
+  only documents agreeing on one full band collide — the classic
+  sub-quadratic near-dup path, and the one to use at 100 TB.
+- SimHash pairs join on any-of-4 bytes of the 32-bit signature (pigeonhole:
+  hamming <= 3 implies at least one equal byte under a 4-way split... for
+  distance <= 3 at least one byte is untouched), again avoiding all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_COEFFS,
+    md5_long,
+    universal_hash,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(c: F.Column) -> F.Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse runs of
+    whitespace."""
+    return F.regexp_replace(F.trim(F.lower(c)), " +", " ")
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, keep_doc_id): one row per distinct normalized
+    text; ``keep_doc_id`` is the smallest doc_id (the survivor under
+    keep-first policy).  Single map-side-combinable aggregation."""
+    return (
+        docs.select(
+            F.col("doc_id"), md5_long(normalize_text(F.col("text"))).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Documents surviving exact dedup (keep smallest doc_id per text)."""
+    w = Window.partitionBy(md5_long(normalize_text(F.col("text")))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, *, n: int = 3, max_df: int | None = None) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built with lead() windows over the exploded token table — no arrays held
+    per row, so a pathological 10 MB document costs its token count, not its
+    token count squared.  ``max_df`` drops shingles appearing in more than
+    that many documents (stop-shingle guard for the downstream self-join).
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    sh = (
+        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+                    F.lead("word", n - 1).over(w).alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        sh = (
+            sh.join(df_counts, "shingle")
+            .where(F.col("_df") <= max_df)
+            .select("doc_id", "shingle")
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold:
+    (doc_a, doc_b, jaccard).
+
+    |A ∩ B| from the shingle self-join, |A ∪ B| = |A| + |B| − |A ∩ B| —
+    the union is never materialized.  Jaccard rounded to 6 decimals
+    (integer-ratio division; rounding only guards engine division quirks).
+    """
+    sh = shingles(docs, n=n, max_df=max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = len(MINHASH_COEFFS)  # 16
+BAND_SIZE = 4
+N_BANDS = N_HASHES // BAND_SIZE  # 4
+
+
+def minhash_signatures(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, i, minh): 16-permutation MinHash signature over word
+    3-gram shingles.  The coefficient table is a 16-row broadcast cross
+    join — each shingle row expands to 16 hash rows, then min-aggregates
+    by (doc, i): one uniform shuffle."""
+    sh = shingles(docs, n=n)
+    spark = docs.sparkSession
+    coeffs = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_COEFFS)], "i INT, a LONG, b LONG"
+    )
+    hashed = (
+        sh.withColumn("sh_h", md5_long(F.col("shingle")))
+        .crossJoin(F.broadcast(coeffs))
+        .select(
+            "doc_id",
+            "i",
+            (((F.col("sh_h") % MERSENNE_P) * F.col("a") + F.col("b")) % MERSENNE_P).alias(
+                "h"
+            ),
+        )
+    )
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minh"))
+
+
+def minhash_band_keys(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, band, band_key): LSH banding of the signature — band_key is
+    an order-independent integer combine of the band's 4 minhash values
+    (sum of minh * 31^(i mod 4), exact in BIGINT), so the aggregation needs
+    no ordered collect."""
+    sig = minhash_signatures(docs, n=n)
+    return (
+        sig.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.sum(
+                F.col("minh") * F.pow(F.lit(31.0), (F.col("i") % BAND_SIZE)).cast("long")
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, *, n: int = 3, est_threshold: float = 0.25
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH band collisions, scored by
+    estimated Jaccard = fraction of agreeing minhash positions:
+    (doc_a, doc_b, est_jaccard).
+
+    Only documents sharing a full band ever meet — the join is on
+    (band, band_key), sub-quadratic at scale, and AQE's skew handling splits
+    any hot bucket."""
+    bands = minhash_band_keys(docs, n=n)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig = minhash_signatures(docs, n=n)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("minh").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("minh").alias("hb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum((F.col("ha") == F.col("hb")).cast("int")).cast("double")
+                / N_HASHES,
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    return est.where(F.col("est_jaccard") >= est_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over word unigrams with counts.
+
+    bit_b = [ sum over words of count * (+1 if bit b of word_hash else -1) > 0 ].
+    The bit explode multiplies rows by 32 — acceptable because the input here
+    is the (doc, word, count) aggregate, already far smaller than raw text.
+    """
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("wh", md5_long(F.col("word")))
+    )
+    bits = words.select(
+        "doc_id",
+        "cnt",
+        "wh",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    )
+    # shiftleft/shiftright builtins take a literal bit count, so the
+    # column-valued shifts go through expr()
+    contrib = bits.select(
+        "doc_id",
+        "b",
+        (
+            F.col("cnt")
+            * F.when(F.expr("shiftright(wh, b)").bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias("v"),
+    )
+    return (
+        contrib.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded by byte:
+    pairs must share at least one of the 4 signature bytes (at hamming <= 3
+    this is exact by pigeonhole; beyond that it is the standard recall
+    trade-off), so the join is on (byte_index, byte_value) — never all-pairs.
+    Output (doc_a, doc_b, hamming)."""
+    sh = simhash(docs)
+    bytes_df = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn("byte", F.expr("shiftright(simhash, k * 8)").bitwiseAND(255))
+    cand = (
+        bytes_df.alias("x")
+        .join(bytes_df.alias("y"), on=["k", "byte"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

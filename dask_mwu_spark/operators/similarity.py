@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus the two scale
+paths: hyperplane-LSH bucketing (sub-linear candidate generation) and
+embedding near-dup pairs.  All dot products are builtin higher-order
+functions (``zip_with`` + ``aggregate``) — JVM-side, no Python boundary;
+a Pandas-UDF variant would only win if the vectors were much wider.
+
+Scale design: the query set is broadcast (it is small by definition);
+candidates stream through the scan with per-row expression work, and the
+top-k is a per-query window over (n_queries x k) pre-filtered rows — never a
+global sort of all scores.  For the LSH variant the join is on the bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+EMB_DIM = 64
+# deterministic pseudo-random hyperplane weights r(p, d) in [-0.5, 0.5) from
+# a fixed LCG — materialized as Python float literals so the Spark plan and
+# the DuckDB oracle embed the exact same doubles
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_147_483_648  # 2^31
+
+
+def plane_weight(p: int, d: int) -> float:
+    return ((_LCG_A * (p * EMB_DIM + d + 1) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
+
+
+PLANES: list[list[float]] = [
+    [plane_weight(p, d) for d in range(EMB_DIM)] for p in range(N_PLANES)
+]
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential in-order fold — deterministic within the engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def _with_vec(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+
+
+def cosine_topk(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact brute-force cosine top-k: queries = the ``n_queries`` smallest
+    vec_ids, candidates = every other vector.  Output
+    (q_id, vec_id, cosine) with cosine rounded to 6 (cross-engine float-sum
+    tolerance); ranking uses the rounded value + vec_id tiebreak so the
+    selected set is deterministic."""
+    vecs = _with_vec(emb)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+def lsh_buckets(emb: DataFrame, *, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign-of-projection bucket over ``n_planes``
+    deterministic hyperplanes — the sub-linear ANN candidate generator.
+    Projection = sum_d r(p,d) * x_d via zip-with-index transform."""
+    vecs = _with_vec(emb)
+    projections = [
+        dot(F.col("vec"), F.array(*[F.lit(w) for w in PLANES[p]]))
+        for p in range(n_planes)
+    ]
+    bucket = None
+    for p, proj in enumerate(projections):
+        bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return vecs.select("vec_id", "vec", "nrm", bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+) -> DataFrame:
+    """ANN top-k: exact cosine, but only within the query's LSH bucket.
+    Approximate recall vs ``cosine_topk`` — the scale path when candidates
+    no longer fit a cross join.  Output (q_id, vec_id, cosine, bucket)."""
+    b = lsh_buckets(emb, n_planes=n_planes)
+    queries = b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket"),
+    )
+    scored = (
+        b.join(queries, on="bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "bucket",
+            F.round(
+                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "cosine", "bucket")
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, *, tau: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc-level semantic dedup):
+    exact within LSH buckets (vectors this similar collide in every bucket
+    with overwhelming probability).  Output (vec_a, vec_b, cosine >= tau)."""
+    b = lsh_buckets(emb)
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), on="bucket")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("x.vec"), F.col("y.vec"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("cosine") >= tau)

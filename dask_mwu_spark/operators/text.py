@@ -1,0 +1,153 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No counterpart in the reference (SURVEY.md section 2.1) — these are the
+Stage-4 extensions (SURVEY.md section 7): token statistics, quality signals,
+n-gram language ID, BPE-ish token counting, and winnowing document
+fingerprints, all as pure JVM column expressions (builtin
+``pyspark.sql.functions`` only — no Python UDFs anywhere, so every operator
+stays inside whole-stage codegen and scales linearly with executors).
+
+Scale design: everything is either per-row expression work (stats, lang-id,
+token count — embarrassingly parallel, zero shuffle) or explode +
+re-aggregate by doc_id (fingerprints), where the shuffle key is the doc id —
+uniform by construction, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.functions.hashing import MERSENNE_P, md5_long
+
+# Deterministic per-language marker words for the n-gram/stopword heuristic.
+# (The synthetic corpus shares one vocabulary across langs, so like any
+# real-world heuristic this is best-effort — the operator contract is a
+# deterministic score, validated exactly against the SQL oracle.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "row"),
+    "fr": ("le", "la", "et", "vite"),
+    "es": ("el", "los", "y", "datos"),
+    "de": ("der", "die", "und", "schnell"),
+}
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, word) — long token table via a single generator explode.
+
+    posexplode is a flatMap in the scan stage: no shuffle, and Catalyst still
+    prunes/pushes filters on doc columns.
+    """
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc quality/statistics signals, pure expression work (no shuffle):
+    char count, token count, distinct tokens, mean token length,
+    type-token ratio.  Ratios rounded to 6 (float-division only)."""
+    toks = F.split("text", " ")
+    tok_lens = F.transform(toks, lambda x: F.length(x))
+    sum_len = F.aggregate(tok_lens, F.lit(0), lambda acc, x: acc + x)
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round(sum_len.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n, 6
+        ).alias("type_token_ratio"),
+    )
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, and isolated symbols —
+    the pre-tokenization split GPT-style BPE applies before merges.  Counting
+    only (no vocab), as a pipeline cost estimator."""
+    matches = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(matches).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(matches)).cast("long").alias("n_uniq_bpe_tokens"),
+    )
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc marker-stopword counts per language + argmax prediction.
+
+    Marker counting via size(filter(tokens)) — single pass over the token
+    array per language, all codegen.  Deterministic argmax tiebreak:
+    en > fr > es > de > unknown order of the CASE chain.
+    """
+    toks = F.split("text", " ")
+
+    def _marker_filter(markers: tuple[str, ...]):
+        # single-arg lambda: a (w, ms=...) default would make F.filter treat
+        # it as an (element, index) lambda
+        return lambda w: w.isin(*markers)
+
+    out = docs.select("doc_id", "lang", *[
+        F.size(F.filter(toks, _marker_filter(markers)))
+        .cast("long")
+        .alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, pred_lang, n_docs) confusion matrix of the heuristic vs the
+    ground-truth lang column — tiny aggregate."""
+    return (
+        lang_scores(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, *, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-gram, keep the minimum in each sliding window of ``window``
+    consecutive k-grams, dedupe — the classic local fingerprinting scheme
+    whose guarantee is that any shared substring of length k+window-1 yields
+    a shared fingerprint.
+
+    Returns per-doc aggregates (n_fingerprints, min_fp, fp_checksum) so the
+    output stays one row per document at any scale.  The explode is k-gram
+    positions (~n_chars rows), re-aggregated by doc_id — uniform shuffle key.
+    """
+    pos = F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("pos")
+    grams = docs.where(F.length("text") >= k).select(
+        "doc_id", pos, F.col("text")
+    )
+    grams = grams.select(
+        "doc_id",
+        "pos",
+        (md5_long(F.expr(f"substring(text, pos, {k})")) % F.lit(MERSENNE_P)).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    fps = grams.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        (F.sum("fp") % F.lit(MERSENNE_P)).alias("fp_checksum"),
+    )

@@ -1,0 +1,363 @@
+"""LLM-data-pipeline extension queries + DuckDB oracle twins.
+
+Imported by __spark_entry__ (queries merge into the driver contract).
+Every oracle re-implements the exact same algorithm in DuckDB SQL using the
+same md5-based hashing and the same literal constants, so results match
+bit-for-bit (integers/hashes) or to 6 rounded decimals (float ratios).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+from dask_mwu_spark.operators import dedup as dd
+from dask_mwu_spark.operators import similarity as sim
+from dask_mwu_spark.operators import text as tx
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+_MD5H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+"""
+
+_SHINGLE_CTE = (
+    _TOK_CTE
+    + """,
+sh_raw AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS shingle,
+         lead(word, 2) OVER w AS _last
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _last IS NOT NULL
+)
+"""
+)
+
+_COEFF_VALUES = ",".join(f"({i},{a},{b})" for i, (a, b) in enumerate(MINHASH_COEFFS))
+
+_SIG_CTE = (
+    _SHINGLE_CTE
+    + f""",
+coeff(i, a, b) AS (VALUES {_COEFF_VALUES}),
+sig AS (
+  SELECT doc_id, i,
+         MIN(({_MD5H.format(x='shingle')} % {MERSENNE_P} * a + b) % {MERSENNE_P}) AS minh
+  FROM sh, coeff
+  GROUP BY doc_id, i
+)
+"""
+)
+
+_BANDS_CTE = (
+    _SIG_CTE
+    + """,
+bands AS (
+  SELECT doc_id, CAST(i / 4 AS INT) AS band,
+         CAST(SUM(minh * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS BIGINT) AS band_key
+  FROM sig GROUP BY doc_id, CAST(i / 4 AS INT)
+)
+"""
+)
+
+
+def _planes_sql() -> str:
+    """Hyperplane weights as string-cast double literals (correctly-rounded
+    parse -> bit-identical to the Spark plan's float literals)."""
+    rows = []
+    for p, plane in enumerate(sim.PLANES):
+        vec = ", ".join(f"'{w!r}'::DOUBLE" for w in plane)
+        rows.append(f"({p}, [{vec}])")
+    return f"planes(p, w) AS (VALUES {','.join(rows)})"
+
+
+_VEC_CTE = """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id, vec,
+         sqrt(list_aggregate(list_transform(vec, x -> x * x), 'sum')) AS nrm
+  FROM v
+)
+"""
+
+_BUCKET_CTE = (
+    _VEC_CTE
+    + f""",
+{_planes_sql()},
+proj AS (
+  SELECT vec_id, vec, nrm, p, list_dot_product(vec, w) AS pr
+  FROM nv, planes
+),
+buckets AS (
+  SELECT vec_id, any_value(vec) AS vec, any_value(nrm) AS nrm,
+         CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+)
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
+        "text_token_count": lambda s, d: tx.token_count_bpe(_docs(s, d)),
+        "text_lang_id": lambda s, d: tx.lang_confusion(_docs(s, d)),
+        "text_fingerprints": lambda s, d: tx.winnow_fingerprints(_docs(s, d)),
+        "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
+            _docs(s, d), threshold=0.5, max_df=100
+        ),
+        "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(
+            _docs(s, d), est_threshold=0.25
+        ),
+        "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(
+            _docs(s, d), max_hamming=4
+        ),
+        "sim_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d)),
+        "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
+        "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
+            _emb(s, d), tau=0.4
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def extension_oracles() -> dict[str, str]:
+    langs_scores = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text,' '), w -> w IN "
+        f"({', '.join(repr(m) for m in markers)}))) AS BIGINT) AS score_{lang}"
+        for lang, markers in tx.LANG_MARKERS.items()
+    )
+    pred_chain = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in tx.LANG_MARKERS
+    )
+    return {
+        "text_stats": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+       ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_token_len,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS type_token_ratio
+FROM documents
+""",
+        "text_token_count": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS BIGINT) AS n_uniq_bpe_tokens
+FROM documents
+""",
+        "text_lang_id": f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {langs_scores}
+  FROM documents
+),
+best AS (
+  SELECT *, GREATEST(score_en, score_fr, score_es, score_de) AS best FROM scores
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN best = 0 THEN 'unknown' {pred_chain} ELSE 'unknown' END AS pred_lang
+  FROM best
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+""",
+        "text_fingerprints": f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS pos
+  FROM documents WHERE length(text) >= 8
+),
+grams AS (
+  SELECT doc_id, pos, {_MD5H.format(x="substr(text, CAST(pos AS INT), 8)")} % {MERSENNE_P} AS h
+  FROM pos
+),
+winnow AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM winnow)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(MIN(fp) AS BIGINT) AS min_fp,
+       CAST(SUM(fp) % {MERSENNE_P} AS BIGINT) AS fp_checksum
+FROM fps GROUP BY doc_id
+""",
+        "dedup_exact": f"""
+SELECT {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents
+GROUP BY 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df <= 100),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes x ON inter.doc_a = x.doc_id
+JOIN sizes y ON inter.doc_b = y.doc_id
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.5
+""",
+        "dedup_minhash_signatures": f"""
+WITH {_SIG_CTE}
+SELECT doc_id, i, CAST(minh AS BIGINT) AS minh FROM sig
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+)
+SELECT * FROM est WHERE est_jaccard >= 0.25
+""",
+        "dedup_simhash": f"""
+WITH {_TOK_CTE},
+words AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         {_MD5H.format(x='word')} AS wh
+  FROM tok GROUP BY doc_id, word
+),
+bits AS (
+  SELECT doc_id, cnt, wh, unnest(range(0, 32)) AS b FROM words
+),
+contrib AS (
+  SELECT doc_id, b,
+         SUM(cnt * (CASE WHEN (wh >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+""",
+        "dedup_simhash_pairs": f"""
+WITH {_TOK_CTE},
+words AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         {_MD5H.format(x='word')} AS wh
+  FROM tok GROUP BY doc_id, word
+),
+bits AS (
+  SELECT doc_id, cnt, wh, unnest(range(0, 32)) AS b FROM words
+),
+contrib AS (
+  SELECT doc_id, b,
+         SUM(cnt * (CASE WHEN (wh >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+  FROM bits GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM contrib GROUP BY doc_id
+),
+by_byte AS (
+  SELECT doc_id, simhash, k, (simhash >> CAST(k * 8 AS INT)) & 255 AS byte
+  FROM sh, (SELECT unnest(range(0, 4)) AS k)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM by_byte x JOIN by_byte y ON x.k = y.k AND x.byte = y.byte
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 4
+""",
+        "sim_cosine_topk": f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id < 10),
+s AS (
+  SELECT q_id, vec_id,
+         ROUND(list_dot_product(vec, q_vec) / (nrm * q_nrm), 6) AS cosine
+  FROM nv, q WHERE vec_id != q_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
+""",
+        "sim_lsh_topk": f"""
+WITH {_BUCKET_CTE},
+q AS (
+  SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm, bucket
+  FROM buckets WHERE vec_id < 10
+),
+s AS (
+  SELECT q_id, b.vec_id, b.bucket,
+         ROUND(list_dot_product(b.vec, q_vec) / (b.nrm * q_nrm), 6) AS cosine
+  FROM buckets b JOIN q USING (bucket) WHERE b.vec_id != q_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, cosine, bucket FROM r WHERE rn <= 5
+""",
+        "sim_embedding_dup_pairs": f"""
+WITH {_BUCKET_CTE},
+pairs AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         ROUND(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS cosine
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+)
+SELECT * FROM pairs WHERE cosine >= 0.4
+""",
+    }

@@ -1,0 +1,66 @@
+"""Dedup operator semantics on hand-built corpora."""
+
+import pandas as pd
+
+from dask_mwu_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup
+    (2, "The  Quick brown fox jumps over the lazy dog", "en", "s", 44),  # norm dup
+    (3, "the quick brown fox jumps over the sleepy dog", "en", "s", 45),  # near dup
+    (4, "completely different words about spark engines here", "en", "s", 51),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+def test_exact_dedup_normalization(spark):
+    groups = exact_dup_groups(_docs(spark)).toPandas()
+    # docs 0,1,2 normalize to the same text -> one group of 3
+    assert sorted(groups.n_docs) == [1, 1, 3]
+    big = groups[groups.n_docs == 3].iloc[0]
+    assert big.keep_doc_id == 0
+    survivors = exact_dedup(_docs(spark)).toPandas()
+    assert sorted(survivors.doc_id) == [0, 3, 4]
+
+
+def test_ngram_jaccard_identifies_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=None).toPandas()
+    idx = pairs.set_index(["doc_a", "doc_b"]).jaccard
+    assert idx.loc[(0, 1)] == 1.0  # identical docs
+    assert 0.3 <= idx.loc[(0, 3)] < 1.0  # near dup
+    assert (4 not in pairs.doc_a.values) and (4 not in pairs.doc_b.values)
+
+
+def test_minhash_signature_identical_docs_equal(spark):
+    sig = minhash_signatures(_docs(spark)).toPandas()
+    s0 = sig[sig.doc_id == 0].sort_values("i").minh.tolist()
+    s1 = sig[sig.doc_id == 1].sort_values("i").minh.tolist()
+    assert len(s0) == 16 and s0 == s1
+
+
+def test_minhash_lsh_finds_exact_dup_pair(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), est_threshold=0.99).toPandas()
+    assert {(0, 1)} <= set(zip(pairs.doc_a, pairs.doc_b))
+    assert (pairs.set_index(["doc_a", "doc_b"]).est_jaccard.loc[(0, 1)]) == 1.0
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    sh = simhash(_docs(spark)).toPandas().set_index("doc_id").simhash
+    assert sh.loc[0] == sh.loc[1]
+    assert 0 <= sh.loc[0] < 2**32
+    pairs = simhash_pairs(_docs(spark), max_hamming=0).toPandas()
+    assert (0, 1) in set(zip(pairs.doc_a, pairs.doc_b))

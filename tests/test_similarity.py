@@ -1,0 +1,66 @@
+"""Similarity-search operator semantics."""
+
+import numpy as np
+import pandas as pd
+
+from dask_mwu_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_buckets,
+    lsh_cosine_topk,
+)
+
+rng = np.random.default_rng(7)
+
+
+def _emb(spark, vecs):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_finds_identical_vector(spark):
+    base = rng.normal(size=(20, 64))
+    base[7] = base[0]  # vec 7 is identical to query 0
+    out = cosine_topk(_emb(spark, base), n_queries=1, k=3).toPandas()
+    assert out.iloc[0].vec_id == 7
+    assert out.iloc[0].cosine == 1.0
+
+
+def test_cosine_topk_scores_match_numpy(spark):
+    base = rng.normal(size=(15, 64))
+    out = cosine_topk(_emb(spark, base), n_queries=2, k=5).toPandas()
+    f32 = base.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(f32, axis=1)
+    for row in out.itertuples():
+        expected = f32[row.q_id] @ f32[row.vec_id] / (norms[row.q_id] * norms[row.vec_id])
+        assert abs(row.cosine - expected) < 2e-6
+
+
+def test_lsh_bucket_identical_vectors_collide(spark):
+    base = rng.normal(size=(10, 64))
+    base[3] = base[1]
+    b = lsh_buckets(_emb(spark, base)).toPandas().set_index("vec_id").bucket
+    assert b.loc[1] == b.loc[3]
+    assert (0 <= b).all() and (b < 256).all()
+
+
+def test_lsh_topk_is_subset_of_bucket(spark):
+    base = rng.normal(size=(30, 64))
+    out = lsh_cosine_topk(_emb(spark, base), n_queries=3, k=5).toPandas()
+    b = lsh_buckets(_emb(spark, base)).toPandas().set_index("vec_id").bucket
+    for row in out.itertuples():
+        assert b.loc[row.vec_id] == row.bucket == b.loc[row.q_id]
+
+
+def test_embedding_dup_pairs_finds_duplicate(spark):
+    base = rng.normal(size=(12, 64))
+    base[9] = base[2] * 1.5  # same direction, cosine 1.0
+    pairs = embedding_dup_pairs(_emb(spark, base), tau=0.95).toPandas()
+    got = set(zip(pairs.vec_a, pairs.vec_b))
+    assert (2, 9) in got

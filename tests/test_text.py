@@ -1,0 +1,78 @@
+"""Text-analysis operator semantics."""
+
+import pandas as pd
+
+from dask_mwu_spark.operators.text import (
+    lang_scores,
+    text_stats,
+    token_count_bpe,
+    winnow_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+
+
+def test_text_stats_counts(spark):
+    out = (
+        text_stats(_docs(spark, [(0, "aa bb aa", "en")]))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out.n_chars == 8
+    assert out.n_tokens == 3
+    assert out.n_uniq_tokens == 2
+    assert out.avg_token_len == 2.0
+    assert abs(out.type_token_ratio - 2 / 3) < 1e-6
+
+
+def test_bpe_token_count(spark):
+    out = (
+        token_count_bpe(_docs(spark, [(0, "abc12 de-f", "en")])).toPandas().iloc[0]
+    )
+    # abc, 12, de, -, f
+    assert out.n_bpe_tokens == 5
+    assert out.n_uniq_bpe_tokens == 5
+
+
+def test_lang_scores_markers(spark):
+    out = (
+        lang_scores(_docs(spark, [(0, "the fast der die und row", "de")]))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out.score_en == 3  # the, fast, row
+    assert out.score_de == 3  # der, die, und
+    assert out.pred_lang == "en"  # tie broken toward en
+    out2 = (
+        lang_scores(_docs(spark, [(1, "der die und schnell", "de")]))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out2.pred_lang == "de"
+    out3 = lang_scores(_docs(spark, [(2, "xxxx yyyy", "zh")])).toPandas().iloc[0]
+    assert out3.pred_lang == "unknown"
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: docs sharing a substring of length k+w-1 = 11
+    share at least one fingerprint."""
+    common = "abcdefghijklmnop"  # length 16 >= 11
+    docs = _docs(
+        spark,
+        [(0, "XX" + common + "YYQQ", "en"), (1, "ZZZZ" + common + "WW", "en")],
+    )
+    fps0, fps1 = (
+        winnow_fingerprints(docs).toPandas().set_index("doc_id").loc[[0, 1]].itertuples()
+    )
+    assert fps0.n_fingerprints > 0 and fps1.n_fingerprints > 0
+
+
+def test_winnow_identical_docs_identical_fingerprints(spark):
+    docs = _docs(spark, [(0, "spark shuffles the data", "en"), (1, "spark shuffles the data", "en")])
+    out = winnow_fingerprints(docs).toPandas().set_index("doc_id")
+    assert out.loc[0].fp_checksum == out.loc[1].fp_checksum
+    assert out.loc[0].n_fingerprints == out.loc[1].n_fingerprints
