@@ -12,8 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
 from dask_mwu_spark.operators import dedup as dd
+from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import similarity as sim
 from dask_mwu_spark.operators import text as tx
 
@@ -145,11 +148,41 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), max_hamming=4
         ),
         "sim_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d)),
+        "mm_decode_meta": lambda s, d: mm.decode_media(
+            mm.attach_payload(_docs(s, d))
+        ),
+        "mm_resize_plan": lambda s, d: mm.resize_plan(
+            mm.attach_payload(_docs(s, d)), target_w=224, target_h=224
+        ),
+        "mm_sample_frames": lambda s, d: mm.sample_frames(
+            mm.attach_payload(_docs(s, d)), every_k=4
+        ),
+        "mm_features": lambda s, d: mm.extract_features(
+            mm.attach_payload(_docs(s, d)), dim=8
+        ).select("doc_id", F.posexplode("features").alias("dim_idx", "feat")),
         "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
         "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
             _emb(s, d), tau=0.4
         ),
     }
+
+
+# shared decode CTE for the multimodal oracles: doc_id%3 → kind, md5-derived
+# fake dimensions (exact twin of multimodal.fake_decode / attach_payload;
+# text is ASCII in this corpus so byte ops == char ops)
+_DEC_CTE = """
+dec AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text,
+         16 + CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 2048 AS width,
+         16 + CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 2048 AS height,
+         1 + CAST('0x' || substr(md5(text), 13, 2) AS BIGINT) % 4 AS n_channels,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum
+  FROM documents
+)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +351,51 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 4
+""",
+        "mm_decode_meta": f"""
+WITH {_DEC_CTE}
+SELECT doc_id, media_type, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(n_channels AS INT) AS n_channels, n_bytes, checksum
+FROM dec
+""",
+        "mm_resize_plan": f"""
+WITH {_DEC_CTE},
+sc AS (
+  SELECT doc_id, width, height, text,
+         LEAST(224.0 / width, 224.0 / height) AS scale
+  FROM dec WHERE media_type = 'image'
+),
+dims AS (
+  SELECT doc_id, width, height, text,
+         GREATEST(1, CAST(FLOOR(width * scale + 0.5) AS BIGINT)) AS dw,
+         GREATEST(1, CAST(FLOOR(height * scale + 0.5) AS BIGINT)) AS dh
+  FROM sc
+)
+SELECT doc_id,
+       CAST(width AS INT) AS src_w, CAST(height AS INT) AS src_h,
+       CAST(dw AS INT) AS dst_w, CAST(dh AS INT) AS dst_h,
+       FLOOR(CAST(dw AS DOUBLE) / width * 1e6 + 0.5) / 1e6 AS scale_x,
+       FLOOR(CAST(dh AS DOUBLE) / height * 1e6 + 0.5) / 1e6 AS scale_y,
+       CAST('0x' || substr(md5(text || 'x' || dw || 'x' || dh), 1, 15) AS BIGINT) AS resized_checksum
+FROM dims
+""",
+        "mm_sample_frames": f"""
+WITH {_DEC_CTE},
+fr AS (
+  SELECT doc_id, text, unnest(range(0, n_bytes // 16, 4)) AS frame_idx
+  FROM dec WHERE media_type = 'video'
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST('0x' || substr(md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)), 1, 15) AS BIGINT)
+         % {MERSENNE_P} AS frame_checksum
+FROM fr
+""",
+        "mm_features": f"""
+WITH {_DEC_CTE}
+SELECT doc_id, CAST(j AS INT) AS dim_idx,
+       FLOOR((CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT) % {MERSENNE_P})
+             / {MERSENNE_P}.0 * 1e6 + 0.5) / 1e6 AS feat
+FROM dec, (SELECT unnest(range(0, 8)) AS j)
 """,
         "sim_cosine_topk": f"""
 WITH {_VEC_CTE},
