@@ -36,9 +36,11 @@ from dask_mwu_spark.plans.pipeline import (
     rank_features_by_group,
 )
 from dask_mwu_spark.sources.loaders import (
+    load_table,
     obs_measure_from_events,
     obs_measure_from_lineitem,
 )
+from dask_mwu_spark.streaming import sessionize_batch, windowed_event_stats
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side)
@@ -275,6 +277,19 @@ def _q_events_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select("feature", "grp", "n1", "n2", "rank_sum", "u_stat", "z")
 
 
+def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the mode-agnostic streaming windowed aggregation
+    (same function powers the Structured Streaming path — see
+    dask_mwu_spark.streaming; stream==batch equivalence is pytest-gated)."""
+    return windowed_event_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sessionizer (same session semantics as
+    applyInPandasWithState path, lag/cumsum formulation)."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_mwu_full(spark, "/root/testdata/sf0.001")
@@ -296,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_core": _q_wilcoxon_core,
         "mwu_full_pipeline": _q_mwu_full,
         "mwu_events_core": _q_events_core,
+        "stream_windowed_agg": _q_stream_windowed_agg,
+        "stream_sessionize": _q_stream_sessionize,
     }
     try:
         from extensions_entry import extension_queries
@@ -443,6 +460,36 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "stream_windowed_agg": """
+SELECT CAST((epoch_us(ts) // 60000000) * 60 AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+        "stream_sessionize": """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 300000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(ts_us) AS BIGINT) AS t_start,
+       CAST(MAX(ts_us) AS BIGINT) AS t_end,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sess GROUP BY 1, 2
 """,
     }
     try:

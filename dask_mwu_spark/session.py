@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reused Python workers crash (silent exit, no traceback) in
+        # applyInPandasWithState when any streaming aggregation ran earlier
+        # in the same local-mode context (observed on PySpark 4.1.2); fresh
+        # workers cost ~nothing here and are safe everywhere
+        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,19 @@
+from dask_mwu_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    GAP_US_DEFAULT,
+    event_time,
+    sessionize_batch,
+    sessionize_stream,
+    stream_events,
+    windowed_event_stats,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "GAP_US_DEFAULT",
+    "event_time",
+    "sessionize_batch",
+    "sessionize_stream",
+    "stream_events",
+    "windowed_event_stats",
+]

@@ -1,0 +1,250 @@
+"""Structured Streaming operators over the events table.
+
+No counterpart in the reference — it has no streaming at all (SURVEY.md
+section 2.1); this is the Stage-4 stream-processing surface, built the
+idiomatic Spark way: transformations are written once against DataFrames and
+run unchanged in BATCH and STREAMING mode (``windowed_event_stats`` is the
+same function in both paths), so the batch twin is DuckDB-oracle-checkable
+while the streaming path adds only source/sink/watermark wiring.
+
+Scale design:
+- windowed aggregation shuffles on (window, event_type) — bounded key space,
+  partial aggregation map-side; watermark bounds state to
+  (#windows in watermark horizon × #event types).
+- sessionization keys state by user_id (uniform hash); streaming state per
+  user is O(1) (running session aggregate, not the event list), timeout
+  evicts idle users, so state size ~ #active users, not #events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet physical schema under nanosAsLong: ts is epoch-nanos BIGINT
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+NS_PER_US = 1_000
+
+
+def ts_us(ts_ns: Column | str) -> Column:
+    """epoch-nanos BIGINT → epoch-micros BIGINT by EXACT floor division.
+
+    ``(col / 1000).cast("long")`` would be DOUBLE division — at 2026-epoch
+    nano magnitudes (~1.7e18) the quotient rounds before the cast truncates,
+    landing one µs off on roughly half of all timestamps. Decimal division
+    is exact at this precision and matches Python ``//`` and DuckDB's
+    nanos→micros truncation bit-for-bit.
+    """
+    c = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
+    return (c.cast("decimal(30,0)") / F.lit(NS_PER_US)).cast("long")
+
+
+def event_time(ts_ns: Column | str) -> Column:
+    """epoch-nanos BIGINT → TimestampType at microsecond precision."""
+    return F.timestamp_micros(ts_us(ts_ns))
+
+
+def stream_events(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory. The schema must
+    be supplied explicitly (streaming sources don't infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count/sum/mean of ``value`` per event_type.
+
+    Mode-agnostic: pass a batch DataFrame and it is a plain grouped
+    aggregate; pass a stream (with ``watermark=``) and it becomes a
+    watermarked stateful aggregation that emits finalized windows and drops
+    state past the horizon. Output keys the window by its epoch-seconds
+    start for cross-engine comparability.
+    """
+    ev = events.withColumn("event_time", event_time("ts"))
+    if watermark is not None:
+        ev = ev.withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("t_start", T.LongType()),  # epoch micros
+        T.StructField("t_end", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# Session time arithmetic runs on MICROSECOND-truncated timestamps: the
+# parquet nanos carry sub-microsecond noise that engines with µs timestamps
+# (DuckDB TIMESTAMP) truncate away, so defining gap semantics at µs keeps
+# session boundaries identical across engines.
+GAP_US_DEFAULT = 300 * 10**6  # 5 minutes
+
+
+def sessionize_batch(events: DataFrame, *, gap_us: int = GAP_US_DEFAULT) -> DataFrame:
+    """Batch sessionization: split each user's event sequence at gaps
+    > ``gap_us`` (µs); emit per-session aggregates.
+
+    Classic lag/cumsum formulation — both window passes and the final
+    aggregate share the user_id hash key, so Catalyst plans ONE Exchange +
+    ONE Sort. Fully SQL-expressible → DuckDB oracle twin.
+    """
+    ev = events.select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_sess = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        "ts_us",
+        "value",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("t_start"),
+        F.max("ts_us").alias("t_end"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_us: int = GAP_US_DEFAULT,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``: per-user
+    GroupState holds the OPEN session's running aggregate (O(1) per user —
+    never the event list); a closed session is emitted as soon as an event
+    past the gap arrives.
+
+    ``state_timeout_ms`` (continuous streams only): flush idle users' open
+    sessions after that much processing time. Leave ``None`` under
+    ``Trigger.AvailableNow`` — a processing-time timeout makes AvailableNow
+    keep scheduling empty microbatches until every timeout has fired, which
+    turns a finite backfill into a multi-minute stage storm.
+
+    Ordering contract: like any per-key stateful stream op, correctness
+    requires each user's events to arrive in event-time order ACROSS
+    microbatches (within a batch this function sorts). Kafka-keyed streams
+    give this per partition; for file backfills, partition files by user.
+
+    Emitted rows match ``sessionize_batch`` exactly for any prefix whose
+    sessions are closed (the open tail differs by definition — it is not
+    finished yet).
+    """
+
+    state_schema = T.StructType(
+        [
+            T.StructField("session_idx", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("t_start", T.LongType()),
+            T.StructField("t_end", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+    def _update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s_idx, n, t0, t1, sv = state.get
+                closed.append((user_id, s_idx, n, t0, t1, round(sv, 6)))
+                state.remove()
+        else:
+            if state.exists:
+                s_idx, n, t0, t1, sv = state.get
+            else:
+                s_idx, n, t0, t1, sv = 0, 0, None, None, 0.0
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            for ts, val in zip(rows["ts"], rows["value"]):
+                ts = int(ts) // NS_PER_US
+                if n > 0 and ts - t1 > gap_us:
+                    closed.append((user_id, s_idx, n, t0, t1, round(sv, 6)))
+                    s_idx, n, t0, sv = s_idx + 1, 0, ts, 0.0
+                if n == 0:
+                    t0 = ts
+                n += 1
+                t1 = ts
+                sv += float(val)
+            state.update((s_idx, n, t0, t1, sv))
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_SCHEMA.fields]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1,0 +1,116 @@
+"""Structured Streaming: stream/batch equivalence of the mode-agnostic
+transformations, watermark wiring, and stateful sessionization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.sources.loaders import load_table
+from dask_mwu_spark.streaming import (
+    EVENTS_SCHEMA,
+    sessionize_batch,
+    sessionize_stream,
+    stream_events,
+    windowed_event_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events rewritten as a 4-file parquet directory (a stream source needs
+    a directory it can list; ts becomes plain BIGINT nanos on rewrite)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    # hash-partition by user so each user's history is within ONE file:
+    # the stateful sessionizer (like any per-key stream op) assumes per-key
+    # ordered arrival across microbatches, and the file source may split
+    # the backfill into several batches in arbitrary file order
+    load_table(spark, sf_dir, "events").repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def _run_stream(sdf, name: str, *, output_mode: str) -> None:
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_windowed_stats_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = windowed_event_stats(load_table(spark, sf_dir, "events")).collect()
+    stream = windowed_event_stats(
+        stream_events(spark, events_dir), watermark="2 minutes"
+    )
+    assert stream.isStreaming
+    _run_stream(stream, "win_stats", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_stats").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 10
+
+
+def test_windowed_stats_append_respects_watermark(spark, events_dir):
+    """Append mode emits only windows the watermark has closed — subset of
+    the complete result, missing at least the final window."""
+    stream = windowed_event_stats(
+        stream_events(spark, events_dir), watermark="2 minutes"
+    )
+    _run_stream(stream, "win_append", output_mode="append")
+    appended = {
+        tuple(r) for r in spark.sql("SELECT * FROM win_append").collect()
+    }
+    complete = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    assert appended <= complete
+    max_start = max(r[0] for r in complete)
+    assert all(r[0] < max_start for r in appended)
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir, events_dir):
+    """Every session the stream CLOSES must equal the batch result row;
+    the still-open tail session per user is withheld by definition."""
+    batch = sessionize_batch(load_table(spark, sf_dir, "events"))
+    last = batch.groupBy("user_id").agg(F.max("session_idx").alias("last_idx"))
+    closed_expected = {
+        tuple(r)
+        for r in batch.join(last, "user_id")
+        .where(F.col("session_idx") < F.col("last_idx"))
+        .drop("last_idx")
+        .collect()
+    }
+    stream = sessionize_stream(stream_events(spark, events_dir))
+    assert stream.isStreaming
+    _run_stream(stream, "sessions", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sessions").collect()}
+    assert got == closed_expected
+    assert len(got) > 50
+
+
+def test_sessionize_batch_properties(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_batch(ev).collect()
+    n_events = ev.count()
+    assert sum(r.n_events for r in sess) == n_events
+    for r in sess:
+        assert r.t_start <= r.t_end
+    # gap invariant: consecutive sessions of a user are > gap apart
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.session_idx)
+        assert [r.session_idx for r in rows] == list(range(len(rows)))
+        for a, b in zip(rows, rows[1:]):
+            assert b.t_start - a.t_end > 300 * 10**6
+
+
+def test_stream_source_schema(spark, events_dir):
+    sdf = stream_events(spark, events_dir)
+    assert sdf.isStreaming
+    assert sdf.schema == EVENTS_SCHEMA
