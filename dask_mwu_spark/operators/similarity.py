@@ -139,6 +139,109 @@ def lsh_cosine_topk(
     )
 
 
+N_CENTROIDS = 16
+
+
+def ivf_index(emb: DataFrame, *, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF (inverted-file) index: assign every vector to its nearest
+    centroid by cosine → (vec_id, vec, nrm, cent_id) posting lists.
+
+    Centroids are the ``n_centroids`` smallest vec_ids — deterministic
+    seeding instead of k-means iterations (whose float accumulation order
+    is engine-specific and would break cross-engine parity; on a real
+    corpus swap in KMeans|| centroids — the query path is unchanged).
+
+    Scale: assignment is a broadcast cross join against C centroids —
+    O(N·C) per-row expression work in the scan, no shuffle of the vectors;
+    the only shuffle in the query path is the bucket join on cent_id.
+    Deterministic: cosine rounded to 6 + cent_id tiebreak.
+    """
+    vecs = _with_vec(emb)
+    cents = vecs.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "nrm",
+        "cent_id",
+        F.round(
+            dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_nrm")), 6
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "vec", "nrm", "cent_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k via IVF: each query probes its ``n_probe`` nearest
+    centroids and scores only those posting lists — the classic
+    recall/cost dial (n_probe = n_centroids degenerates to brute force).
+    Output (q_id, vec_id, cosine); approximate recall vs ``cosine_topk``.
+    """
+    vecs = _with_vec(emb)
+    cents = vecs.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    idx = ivf_index(emb, n_centroids=n_centroids)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        "cent_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("c_cos"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("q_id", "q_vec", "q_nrm", "cent_id")
+    )
+    scored = (
+        idx.join(probes, on="cent_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
 def embedding_dup_pairs(emb: DataFrame, *, tau: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc-level semantic dedup):
     exact within LSH buckets (vectors this similar collide in every bucket

@@ -63,6 +63,48 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# flat deterministic stopword list for the quality heuristic (union of the
+# language marker sets — deterministic, engine-agnostic)
+STOPWORDS: tuple[str, ...] = tuple(
+    w for markers in LANG_MARKERS.values() for w in markers
+)
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality signals for corpus filtering — the classic cheap
+    heuristics (Gopher/C4-style): length, stopword ratio, character-class
+    ratios, and a composite [0,1] score. Pure per-row expression work
+    (no shuffle, whole-stage codegen).
+
+    The composite is a fixed affine blend — deliberately simple and
+    deterministic so the DuckDB oracle reproduces it bit-for-bit:
+    0.4·min(1, n_tokens/50) + 0.3·min(1, 5·stopword_ratio) + 0.3·(1−punct_ratio)
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chars = F.length("text")
+    stop_cnt = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    stop_ratio = stop_cnt.cast("double") / n
+    punct_ratio = punct.cast("double") / n_chars
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / 50.0)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha.cast("double") / n_chars, 6).alias("alpha_ratio"),
+        F.round(digit.cast("double") / n_chars, 6).alias("digit_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 

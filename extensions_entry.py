@@ -134,6 +134,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
         "text_token_count": lambda s, d: tx.token_count_bpe(_docs(s, d)),
         "text_lang_id": lambda s, d: tx.lang_confusion(_docs(s, d)),
+        "text_quality": lambda s, d: tx.quality_scores(_docs(s, d)),
         "text_fingerprints": lambda s, d: tx.winnow_fingerprints(_docs(s, d)),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
@@ -161,6 +162,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mm.attach_payload(_docs(s, d)), dim=8
         ).select("doc_id", F.posexplode("features").alias("dim_idx", "feat")),
         "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
+        "sim_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
         "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
             _emb(s, d), tau=0.4
         ),
@@ -254,6 +256,54 @@ SELECT doc_id,
        CAST(MIN(fp) AS BIGINT) AS min_fp,
        CAST(SUM(fp) % {MERSENNE_P} AS BIGINT) AS fp_checksum
 FROM fps GROUP BY doc_id
+""",
+        "text_quality": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(w) for w in tx.STOPWORDS)}))) AS stop_cnt,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(CAST(stop_cnt AS DOUBLE) / n, 6) AS stopword_ratio,
+       ROUND(CAST(alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       ROUND(CAST(digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+       ROUND(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(0.4 * LEAST(1.0, CAST(n AS DOUBLE) / 50.0)
+             + 0.3 * LEAST(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / n))
+             + 0.3 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6) AS quality
+FROM base
+""",
+        "sim_ivf_topk": f"""
+WITH {_VEC_CTE},
+cents AS (SELECT vec_id AS cent_id, vec AS c_vec, nrm AS c_nrm FROM nv WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, vec, nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, q_vec, q_nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT q_id, q_vec, q_nrm, cent_id FROM pr WHERE rn <= 4),
+s AS (
+  SELECT q_id, idx.vec_id,
+         ROUND(list_dot_product(idx.vec, q_vec) / (idx.nrm * q_nrm), 6) AS cosine
+  FROM idx JOIN probes USING (cent_id)
+  WHERE idx.vec_id != q_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
 """,
         "dedup_exact": f"""
 SELECT {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS text_hash,

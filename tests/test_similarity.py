@@ -64,3 +64,41 @@ def test_embedding_dup_pairs_finds_duplicate(spark):
     pairs = embedding_dup_pairs(_emb(spark, base), tau=0.95).toPandas()
     got = set(zip(pairs.vec_a, pairs.vec_b))
     assert (2, 9) in got
+
+
+def test_ivf_index_assigns_centroid_to_itself(spark):
+    from dask_mwu_spark.operators.similarity import ivf_index
+
+    base = rng.normal(size=(40, 64))
+    idx = ivf_index(_emb(spark, base), n_centroids=8).toPandas().set_index("vec_id")
+    # a centroid's nearest centroid is itself (cosine 1.0)
+    for c in range(8):
+        assert idx.loc[c].cent_id == c
+    assert set(idx.cent_id.unique()) <= set(range(8))
+    assert len(idx) == 40
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """n_probe == n_centroids searches every posting list -> exact."""
+    from dask_mwu_spark.operators.similarity import ivf_topk
+
+    base = rng.normal(size=(30, 64))
+    exact = cosine_topk(_emb(spark, base), n_queries=3, k=4).toPandas()
+    full = ivf_topk(
+        _emb(spark, base), n_centroids=6, n_probe=6, n_queries=3, k=4
+    ).toPandas()
+    key = lambda df: sorted(zip(df.q_id, df.vec_id, df.cosine))
+    assert key(full) == key(exact)
+
+
+def test_ivf_topk_recall_reasonable(spark):
+    from dask_mwu_spark.operators.similarity import ivf_topk
+
+    base = rng.normal(size=(80, 64))
+    exact = cosine_topk(_emb(spark, base), n_queries=5, k=3).toPandas()
+    approx = ivf_topk(
+        _emb(spark, base), n_centroids=8, n_probe=4, n_queries=5, k=3
+    ).toPandas()
+    hits = set(zip(approx.q_id, approx.vec_id)) & set(zip(exact.q_id, exact.vec_id))
+    assert len(hits) >= len(exact) * 0.4  # ANN: recall well above chance
+    assert len(approx) == len(exact)

@@ -76,3 +76,28 @@ def test_winnow_identical_docs_identical_fingerprints(spark):
     out = winnow_fingerprints(docs).toPandas().set_index("doc_id")
     assert out.loc[0].fp_checksum == out.loc[1].fp_checksum
     assert out.loc[0].n_fingerprints == out.loc[1].n_fingerprints
+
+
+def test_quality_scores_ranges_and_formula(spark):
+    from dask_mwu_spark.operators.text import quality_scores
+
+    docs = _docs(
+        spark,
+        [
+            (0, "the fast row runs past the slow row", "en"),
+            (1, "!!! ??? ,,, ;;;", "xx"),
+            (2, "a 1 b 2 c 3", "en"),
+        ],
+    )
+    out = quality_scores(docs).toPandas().set_index("doc_id")
+    for r in out.itertuples():
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert (
+            abs(r.alpha_ratio + r.digit_ratio + r.punct_ratio - 1.0) <= 1.0
+        )  # ' ' chars excluded from all three
+    # all-punctuation doc scores low; stopword-rich doc scores higher
+    assert out.loc[1].punct_ratio > 0.7
+    assert out.loc[0].quality > out.loc[1].quality
+    # "the"(2) + "fast"(1) + "row"(2) of 8 tokens
+    assert out.loc[0].stopword_ratio == round(5 / 8, 6)
