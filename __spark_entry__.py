@@ -142,14 +142,14 @@ def _stats_sql_side(spark: SparkSession, sf_dir: str, *, log1p: bool) -> DataFra
 
 
 def _q_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("group")
     )
     return distinct_groups(li).withColumnRenamed("group", "grp")
 
 
 def _q_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("group")
     )
     return group_sizes(li).withColumnRenamed("group", "grp")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from dask_mwu_spark.functions.hashing import (
     MERSENNE_P,
@@ -118,8 +119,12 @@ def ngram_jaccard_pairs(
     |A ∩ B| from the shingle self-join, |A ∪ B| = |A| + |B| − |A ∩ B| —
     the union is never materialized.  Jaccard rounded to 6 decimals
     (integer-ratio division; rounding only guards engine division quirks).
+
+    The shingle table is persisted: it feeds three plan branches (both join
+    sides + sizes) and Spark has no cross-branch CSE — without the persist
+    the token-explode/window pipeline runs three times.
     """
-    sh = shingles(docs, n=n, max_df=max_df)
+    sh = shingles(docs, n=n, max_df=max_df).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -186,7 +191,10 @@ def minhash_band_keys(docs: DataFrame, *, n: int = 3) -> DataFrame:
     an order-independent integer combine of the band's 4 minhash values
     (sum of minh * 31^(i mod 4), exact in BIGINT), so the aggregation needs
     no ordered collect."""
-    sig = minhash_signatures(docs, n=n)
+    return _band_keys_from_sig(minhash_signatures(docs, n=n))
+
+
+def _band_keys_from_sig(sig: DataFrame) -> DataFrame:
     return (
         sig.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
         .groupBy("doc_id", "band")
@@ -207,8 +215,17 @@ def minhash_lsh_pairs(
 
     Only documents sharing a full band ever meet — the join is on
     (band, band_key), sub-quadratic at scale, and AQE's skew handling splits
-    any hot bucket."""
-    bands = minhash_band_keys(docs, n=n)
+    any hot bucket.
+
+    The signature table (n_docs x 16 rows — tiny next to the shingle
+    explode) is persisted: it feeds FOUR plan branches (banding + both
+    sides of the estimate join via the candidate pairs), and without the
+    persist Catalyst re-runs the whole shingle+minhash dataflow per branch
+    (measured ~2x end-to-end on the bench corpus). This is the same
+    "materialize the expensive intermediate" discipline the reference
+    applies to its rank tensor (rank_data.py:221-223)."""
+    sig = minhash_signatures(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _band_keys_from_sig(sig)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "band_key"])
@@ -218,7 +235,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sig = minhash_signatures(docs, n=n)
     sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("minh").alias("ha"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("minh").alias("hb"))
     est = (
@@ -291,8 +307,12 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
     pairs must share at least one of the 4 signature bytes (at hamming <= 3
     this is exact by pigeonhole; beyond that it is the standard recall
     trade-off), so the join is on (byte_index, byte_value) — never all-pairs.
-    Output (doc_a, doc_b, hamming)."""
-    sh = simhash(docs)
+    Output (doc_a, doc_b, hamming).
+
+    The simhash table (one row per doc) is persisted — it feeds both sides
+    of the byte-bucket self-join, and Spark re-derives each branch from the
+    raw token explode otherwise."""
+    sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     bytes_df = sh.select(
         "doc_id",
         "simhash",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 N_PLANES = 8
 EMB_DIM = 64
@@ -111,8 +112,11 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """ANN top-k: exact cosine, but only within the query's LSH bucket.
     Approximate recall vs ``cosine_topk`` — the scale path when candidates
-    no longer fit a cross join.  Output (q_id, vec_id, cosine, bucket)."""
-    b = lsh_buckets(emb, n_planes=n_planes)
+    no longer fit a cross join.  Output (q_id, vec_id, cosine, bucket).
+
+    Buckets are persisted — both join sides derive from them and the 8
+    hyperplane projections per row are not free to recompute."""
+    b = lsh_buckets(emb, n_planes=n_planes).persist(StorageLevel.MEMORY_AND_DISK)
     queries = b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -200,7 +204,11 @@ def ivf_topk(
         F.col("vec").alias("c_vec"),
         F.col("nrm").alias("c_nrm"),
     )
-    idx = ivf_index(emb, n_centroids=n_centroids)
+    # persisted: the posting lists cost a C-way cross join + window to
+    # build and should not be re-derived if the plan branches
+    idx = ivf_index(emb, n_centroids=n_centroids).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -246,7 +254,7 @@ def embedding_dup_pairs(emb: DataFrame, *, tau: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc-level semantic dedup):
     exact within LSH buckets (vectors this similar collide in every bucket
     with overwhelming probability).  Output (vec_a, vec_b, cosine >= tau)."""
-    b = lsh_buckets(emb)
+    b = lsh_buckets(emb).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         b.alias("x")
         .join(b.alias("y"), on="bucket")

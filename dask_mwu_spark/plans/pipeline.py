@@ -46,8 +46,10 @@ def feature_group_stats(measure: DataFrame) -> DataFrame:
     z, p_value, p_adjusted — everything except LFC."""
     rv = rank_values(measure)
     fg = compute_in_group_ranksum(rv)
-    feat = compute_tie_term(fg)
-    return mann_whitney_u(fg, feat)
+    # feature totals come as window aggregates inside mann_whitney_u — a
+    # compute_tie_term + join would make Catalyst duplicate the whole
+    # upstream tree (two scans, two rank shuffles; no cross-branch CSE)
+    return mann_whitney_u(fg)
 
 
 def rank_features_by_group(

@@ -33,16 +33,38 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    fan_out: bool = False,
+) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark rejects unless
     the nanosAsLong legacy conf is on — set it here (runtime-settable) so the
     loaders work under any caller-provided SparkSession, not just ours.
+
+    ``fan_out``: parquet scan parallelism is bounded by ROW GROUPS, not byte
+    splits — a single-row-group file (like this testdata, and like plenty of
+    real-world exports) pins the scan + downstream narrow chain (melt,
+    partial aggregation) to ONE task no matter how many executors exist.
+    ``fan_out=True`` inserts a round-robin repartition after such a scan so
+    later stages run at full width. Off by default: below ~10M rows the
+    extra shuffle costs more than the recovered parallelism (measured at
+    sf0.1); turn it on for big single-row-group inputs, where it converts a
+    one-task scan chain into a full-width plan.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan_out:
+        slots = spark.sparkContext.defaultParallelism
+        # planning-time metadata only — no job is triggered
+        if df.rdd.getNumPartitions() < slots:
+            df = df.repartition(slots)
+    return df
 
 
 def melt(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+from dask_mwu_spark.sources.loaders import load_table
 from dask_mwu_spark.operators import dedup as dd
 from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import similarity as sim
@@ -122,11 +123,11 @@ buckets AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return load_table(spark, sf_dir, "embeddings")
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
