@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from dask_mwu_spark.operators.groups import distinct_groups, group_sizes
 from dask_mwu_spark.operators.logfoldchange import compute_logfoldchange
 from dask_mwu_spark.operators.mwu import bh_adjust
-from dask_mwu_spark.operators.ranking import rank_values
+from dask_mwu_spark.operators.ranking import rank_data, rank_values
 from dask_mwu_spark.plans.pipeline import (
     feature_group_stats,
     rank_features_by_group,
@@ -161,6 +161,18 @@ def _q_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rv = rank_values(m)
     return rv.select("feature", "value", "t", "avg_rank").distinct()
+
+
+def _q_rank_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row ranks (reference R2 rank_data API surface): value-level ranks
+    joined back to the raw rows."""
+    m = obs_measure_from_lineitem(
+        spark, sf_dir, features=("l_quantity", "l_discount")
+    )
+    rd = rank_data(m)
+    return rd.select(
+        "obs_id", "feature", "value", "rank", F.col("tie_count").alias("t")
+    )
 
 
 def _q_tie_term(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_distinct_groups": _q_distinct_groups,
         "mwu_group_sizes": _q_group_sizes,
         "mwu_rank_ties": _q_rank_ties,
+        "mwu_rank_data": _q_rank_data,
         "mwu_tie_term": _q_tie_term,
         "mwu_rank_sum": _q_rank_sum,
         "mwu_u_stat": _q_u_stat,
@@ -345,6 +358,26 @@ vc AS (
 SELECT feature, value, t,
        CAST(SUM(t) OVER (PARTITION BY feature ORDER BY value) - (t - 1) / 2.0 AS DOUBLE) AS avg_rank
 FROM vc
+""",
+        "mwu_rank_data": """
+WITH m AS (
+  SELECT l_orderkey * 8 + l_linenumber AS obs_id,
+         'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber,
+         'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+),
+vc AS (
+  SELECT feature, value, CAST(COUNT(*) AS BIGINT) AS t
+  FROM m GROUP BY feature, value
+),
+rv AS (
+  SELECT feature, value, t,
+         CAST(SUM(t) OVER (PARTITION BY feature ORDER BY value) - (t - 1) / 2.0 AS DOUBLE) AS avg_rank
+  FROM vc
+)
+SELECT m.obs_id, m.feature, m.value, rv.avg_rank AS rank, rv.t
+FROM m JOIN rv USING (feature, value)
 """,
         "mwu_tie_term": f"""
 WITH {_rank_cte(_MELT_RAW)}

@@ -1,6 +1,7 @@
 from dask_mwu_spark.streaming.events import (
     EVENTS_SCHEMA,
     GAP_US_DEFAULT,
+    dedup_stream,
     event_time,
     sessionize_batch,
     sessionize_stream,
@@ -11,6 +12,7 @@ from dask_mwu_spark.streaming.events import (
 __all__ = [
     "EVENTS_SCHEMA",
     "GAP_US_DEFAULT",
+    "dedup_stream",
     "event_time",
     "sessionize_batch",
     "sessionize_stream",

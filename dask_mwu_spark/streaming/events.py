@@ -106,6 +106,24 @@ def windowed_event_stats(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("user_id", "event_type", "value"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup on a content key via
+    ``dropDuplicatesWithinWatermark``: keeps the first arrival of each key;
+    state for a key is dropped once the watermark passes its event time, so
+    state size is bounded by the duplicate horizon, not the stream length —
+    the streaming analog of the batch exact-dedup operator
+    (operators/dedup.exact_dedup)."""
+    ev = events.withColumn("event_time", event_time("ts")).withWatermark(
+        "event_time", watermark
+    )
+    return ev.dropDuplicatesWithinWatermark(list(keys))
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from dask_mwu_spark.sources.loaders import load_table
 from dask_mwu_spark.streaming import (
     EVENTS_SCHEMA,
+    dedup_stream,
     sessionize_batch,
     sessionize_stream,
     stream_events,
@@ -108,6 +109,24 @@ def test_sessionize_batch_properties(spark, sf_dir):
         assert [r.session_idx for r in rows] == list(range(len(rows)))
         for a, b in zip(rows, rows[1:]):
             assert b.t_start - a.t_end > 300 * 10**6
+
+
+def test_dedup_stream_matches_batch_distinct(spark, sf_dir, events_dir):
+    """Streaming dropDuplicatesWithinWatermark keeps exactly one row per
+    content key — the same key set as batch distinct."""
+    keys = ["user_id", "event_type"]
+    batch_keys = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events").select(*keys).distinct().collect()
+    }
+    stream = dedup_stream(
+        stream_events(spark, events_dir), keys=tuple(keys), watermark="10 minutes"
+    ).select(*keys)
+    _run_stream(stream, "dedup_ev", output_mode="append")
+    got = [tuple(r) for r in spark.sql("SELECT * FROM dedup_ev").collect()]
+    assert len(got) == len(set(got))  # no key emitted twice
+    assert set(got) == batch_keys
+    assert len(got) > 50  # 15 users x 5 event types at sf0.001
 
 
 def test_stream_source_schema(spark, events_dir):
