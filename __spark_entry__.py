@@ -36,6 +36,7 @@ from dask_mwu_spark.plans.pipeline import (
     rank_features_by_group,
 )
 from dask_mwu_spark.sources.loaders import (
+    events_with_props,
     load_table,
     obs_measure_from_events,
     obs_measure_from_lineitem,
@@ -289,6 +290,20 @@ def _q_events_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select("feature", "grp", "n1", "n2", "rank_sum", "u_stat", "z")
 
 
+def _q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation: parse the events ``props``
+    column with a typed from_json schema and aggregate the extracted field
+    per event_type."""
+    ev = events_with_props(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("props_s.k")).alias("sum_k"),
+        F.min(F.col("props_s.k")).alias("min_k"),
+        F.max(F.col("props_s.k")).alias("max_k"),
+        F.count(F.when(F.col("props_s").isNull(), 1)).alias("n_malformed"),
+    )
+
+
 def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch run of the mode-agnostic streaming windowed aggregation
     (same function powers the Structured Streaming path — see
@@ -326,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_events_core": _q_events_core,
         "stream_windowed_agg": _q_stream_windowed_agg,
         "stream_sessionize": _q_stream_sessionize,
+        "events_json_agg": _q_events_json_agg,
     }
     try:
         from extensions_entry import extension_queries
@@ -493,6 +509,15 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "events_json_agg": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed
+FROM events GROUP BY event_type
 """,
         "stream_windowed_agg": """
 SELECT CAST((epoch_us(ts) // 60000000) * 60 AS BIGINT) AS window_start,

@@ -127,6 +127,17 @@ def obs_measure_from_lineitem(
     return out
 
 
+def events_with_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the ``props`` JSON column parsed into a typed struct
+    (``from_json`` with an explicit schema — Catalyst-native JSON path, no
+    Python; malformed rows become NULL structs, the PERMISSIVE default)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.withColumn("props_s", F.from_json("props", schema))
+
+
 def obs_measure_from_events(
     spark: SparkSession,
     sf_dir: str,
