@@ -158,6 +158,21 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
     )
 
 
+def cardinality_by_source(docs: DataFrame, *, rsd: float = 0.02) -> DataFrame:
+    """Per-source corpus cardinality: exact distinct vs HyperLogLog++ sketch
+    (``approx_count_distinct``). At 100 TB the exact count is a full shuffle
+    of every distinct value; the HLL sketch is a few KB per group and
+    mergeable across partitions — the scale path for corpus accounting.
+    Sketch estimates are engine-specific, so this query is registered
+    rows-only (no DuckDB hash oracle); the pytest gate asserts the estimate
+    is within 3*rsd of exact."""
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("uniq_exact"),
+        F.approx_count_distinct("text", rsd).alias("uniq_approx"),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, *, k: int = 8, window: int = 4
 ) -> DataFrame:

@@ -15,6 +15,7 @@ Local testing runs on ``local[N]`` but every setting here is chosen for the
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +49,12 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS); read as long (we only use
         # it for ordering/windowing where the integer is equivalent)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # in-memory catalog warehouse (bucketed saveAsTable targets) goes to
+        # a temp dir, never the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "dask_mwu_spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -136,6 +136,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": lambda s, d: tx.token_count_bpe(_docs(s, d)),
         "text_lang_id": lambda s, d: tx.lang_confusion(_docs(s, d)),
         "text_quality": lambda s, d: tx.quality_scores(_docs(s, d)),
+        # rows-only (HLL sketch values are engine-specific; pytest gates
+        # the accuracy bound instead)
+        "text_cardinality": lambda s, d: tx.cardinality_by_source(_docs(s, d)),
         "text_fingerprints": lambda s, d: tx.winnow_fingerprints(_docs(s, d)),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(

@@ -101,3 +101,14 @@ def test_quality_scores_ranges_and_formula(spark):
     assert out.loc[0].quality > out.loc[1].quality
     # "the"(2) + "fast"(1) + "row"(2) of 8 tokens
     assert out.loc[0].stopword_ratio == round(5 / 8, 6)
+
+
+def test_cardinality_sketch_within_bound(spark, sf_dir):
+    from dask_mwu_spark.operators.text import cardinality_by_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cardinality_by_source(docs, rsd=0.02).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.uniq_exact <= r.n_docs
+        assert abs(r.uniq_approx - r.uniq_exact) <= max(3, 0.06 * r.uniq_exact)
