@@ -27,9 +27,16 @@ BENCH_QUERIES = [
     # extension headliners (present from the extensions_entry module)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "text_stats",
     "text_lang_id",
+    "text_quality",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "mm_decode_meta",
+    "stream_windowed_agg",
+    "stream_sessionize",
+    "events_json_agg",
 ]
 
 
