@@ -28,14 +28,24 @@ from dask_mwu_spark.operators.mwu import (
     mann_whitney_u,
 )
 from dask_mwu_spark.operators.ranking import rank_data, rank_values
-from dask_mwu_spark.operators.topk import create_df
+from dask_mwu_spark.operators.skew import salted_join, two_phase_agg
+from dask_mwu_spark.operators.topk import create_df, write_per_group_csv
 from dask_mwu_spark.operators.validation import validate_obs_partition
-from dask_mwu_spark.plans.pipeline import rank_features_by_group
+from dask_mwu_spark.plans.pipeline import feature_group_stats, rank_features_by_group
+from dask_mwu_spark.sources.bucketed import write_bucketed_table
+from dask_mwu_spark.sources.loaders import load_table, melt
 
 __all__ = [
     "EmptyArrayError",
     "InvalidChunkSizeError",
     "InvalidDimensionError",
+    "feature_group_stats",
+    "load_table",
+    "melt",
+    "salted_join",
+    "two_phase_agg",
+    "write_bucketed_table",
+    "write_per_group_csv",
     "compute_in_group_ranksum",
     "compute_logfoldchange",
     "compute_tie_term",
