@@ -32,6 +32,13 @@ def plane_weight(p: int, d: int) -> float:
     return ((_LCG_A * (p * EMB_DIM + d + 1) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
 
 
+def table_planes(table: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Independent hyperplane set for LSH table ``table`` (table 0 == the
+    module-level PLANES, so single-table callers are unchanged)."""
+    off = table * n_planes
+    return [[plane_weight(off + p, d) for d in range(EMB_DIM)] for p in range(n_planes)]
+
+
 PLANES: list[list[float]] = [
     [plane_weight(p, d) for d in range(EMB_DIM)] for p in range(N_PLANES)
 ]
@@ -91,13 +98,17 @@ def cosine_topk(
     )
 
 
-def lsh_buckets(emb: DataFrame, *, n_planes: int = N_PLANES) -> DataFrame:
+def lsh_buckets(
+    emb: DataFrame, *, n_planes: int = N_PLANES, table: int = 0
+) -> DataFrame:
     """(vec_id, bucket): sign-of-projection bucket over ``n_planes``
     deterministic hyperplanes — the sub-linear ANN candidate generator.
-    Projection = sum_d r(p,d) * x_d via zip-with-index transform."""
+    Projection = sum_d r(p,d) * x_d via zip-with-index transform.
+    ``table`` selects an independent hyperplane set (multi-table LSH)."""
     vecs = _with_vec(emb)
+    planes = PLANES if table == 0 else table_planes(table, n_planes)
     projections = [
-        dot(F.col("vec"), F.array(*[F.lit(w) for w in PLANES[p]]))
+        dot(F.col("vec"), F.array(*[F.lit(w) for w in planes[p]]))
         for p in range(n_planes)
     ]
     bucket = None
@@ -140,6 +151,63 @@ def lsh_cosine_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select("q_id", "vec_id", "cosine", "bucket")
+    )
+
+
+def lsh_multi_topk(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Multi-table LSH ANN top-k: union the candidate sets of ``n_tables``
+    independent hyperplane tables, then exact-score once per candidate —
+    the standard recall dial (a true neighbor is missed only if it lands in
+    a different bucket in EVERY table; miss probability decays
+    exponentially in n_tables). Output (q_id, vec_id, cosine).
+
+    Each table is one bucket-join; candidates are unioned and deduped
+    before scoring, so the score cost is |distinct candidates|, not
+    n_tables x |candidates|.
+    """
+    vecs = _with_vec(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = None
+    for t in range(n_tables):
+        b = lsh_buckets(vecs.select("vec_id", F.col("vec").alias("embedding")), n_planes=n_planes, table=t)
+        q = b.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), "bucket"
+        )
+        pairs = (
+            b.select("vec_id", "bucket")
+            .join(q, on="bucket")
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        cand.join(vecs, on="vec_id")
+        .join(F.broadcast(queries), on="q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "cosine")
     )
 
 

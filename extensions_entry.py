@@ -89,6 +89,15 @@ def _planes_sql() -> str:
     return f"planes(p, w) AS (VALUES {','.join(rows)})"
 
 
+def _multi_planes_sql(n_tables: int = 4) -> str:
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(sim.table_planes(t)):
+            vec = ", ".join(f"'{w!r}'::DOUBLE" for w in plane)
+            rows.append(f"({t}, {p}, [{vec}])")
+    return f"planes_t(t, p, w) AS (VALUES {','.join(rows)})"
+
+
 _VEC_CTE = """
 v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -166,6 +175,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mm.attach_payload(_docs(s, d)), dim=8
         ).select("doc_id", F.posexplode("features").alias("dim_idx", "feat")),
         "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
+        "sim_lsh_multi_topk": lambda s, d: sim.lsh_multi_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
         "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
             _emb(s, d), tau=0.4
@@ -481,6 +491,37 @@ r AS (
   FROM s
 )
 SELECT q_id, vec_id, cosine, bucket FROM r WHERE rn <= 5
+""",
+        "sim_lsh_multi_topk": f"""
+WITH {_VEC_CTE},
+{_multi_planes_sql(4)},
+proj AS (
+  SELECT vec_id, vec, nrm, t, p, list_dot_product(vec, w) AS pr
+  FROM nv, planes_t
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+q AS (SELECT vec_id AS q_id, t, bucket FROM buckets WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.q_id, b.vec_id
+  FROM buckets b JOIN q ON b.t = q.t AND b.bucket = q.bucket
+  WHERE b.vec_id != q.q_id
+),
+s AS (
+  SELECT cand.q_id, cand.vec_id,
+         ROUND(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS cosine
+  FROM cand
+  JOIN nv x ON cand.vec_id = x.vec_id
+  JOIN nv y ON cand.q_id = y.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
 """,
         "sim_embedding_dup_pairs": f"""
 WITH {_BUCKET_CTE},

@@ -102,3 +102,33 @@ def test_ivf_topk_recall_reasonable(spark):
     hits = set(zip(approx.q_id, approx.vec_id)) & set(zip(exact.q_id, exact.vec_id))
     assert len(hits) >= len(exact) * 0.4  # ANN: recall well above chance
     assert len(approx) == len(exact)
+
+
+def test_multi_table_lsh_recall_dominates_single(spark):
+    from dask_mwu_spark.operators.similarity import lsh_multi_topk
+
+    # clustered vectors: 6 centers + small noise
+    centers = rng.normal(size=(6, 64))
+    base = centers[np.arange(60) % 6] + 0.1 * rng.normal(size=(60, 64))
+    emb = _emb(spark, base)
+    exact = set(
+        map(tuple, cosine_topk(emb, n_queries=5, k=3).select("q_id", "vec_id").collect())
+    )
+    single = set(
+        map(
+            tuple,
+            lsh_cosine_topk(emb, n_queries=5, k=3).select("q_id", "vec_id").collect(),
+        )
+    )
+    multi = set(
+        map(
+            tuple,
+            lsh_multi_topk(emb, n_queries=5, k=3, n_tables=4)
+            .select("q_id", "vec_id")
+            .collect(),
+        )
+    )
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.8  # 4 tables on well-clustered data
