@@ -100,3 +100,21 @@ def test_single_exchange_window_plan(spark):
     # one exchange for the groupBy, one for the window partitioning — the two
     # window frames must NOT add a third
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_full_pipeline_single_scan_plan(spark, sf_dir):
+    """Regression guard for the plan-shape optimization: the whole MWU
+    pipeline (stats + LFC + p/BH + top-k) must read the source exactly
+    ONCE — a compute_tie_term-style groupBy+join would duplicate the
+    upstream tree (Spark has no cross-branch CSE)."""
+    from dask_mwu_spark.plans.pipeline import rank_features_by_group
+    from dask_mwu_spark.sources.loaders import obs_measure_from_lineitem
+
+    m = obs_measure_from_lineitem(spark, sf_dir, log1p=True)
+    df = rank_features_by_group(m, top_n=5)
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
