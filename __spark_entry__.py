@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dask_mwu_spark.operators.asof import asof_join
 from dask_mwu_spark.operators.groups import distinct_groups, group_sizes
 from dask_mwu_spark.operators.logfoldchange import compute_logfoldchange
 from dask_mwu_spark.operators.mwu import bh_adjust
@@ -42,6 +43,7 @@ from dask_mwu_spark.sources.loaders import (
     obs_measure_from_lineitem,
 )
 from dask_mwu_spark.streaming import sessionize_batch, windowed_event_stats
+from dask_mwu_spark.streaming.events import ts_us
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side)
@@ -304,6 +306,71 @@ def _q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the most recent prior (or
+    simultaneous) click by the same user — operators/asof.asof_join, the
+    union-and-carry-forward formulation (one shuffle, no join node)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type", "value", ts_us("ts").alias("ts_us")
+    )
+    left = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    right = base.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join(left, right, on="user_id", ts="ts_us", payload_cols=["value"])
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP(l_returnflag, l_linestatus) —
+    grand total + per-flag + per-(flag,status). Quantities are
+    integer-valued doubles, so the sums are order-independent-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+    ).withColumnRenamed("l_returnflag", "grp")
+
+
+def _q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series analytics: rolling 5-event mean and
+    previous-event delta, ordered by event time."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.avg("value").over(w5), 6).alias("rolling_avg_5"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+    )
+
+
 def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch run of the mode-agnostic streaming windowed aggregation
     (same function powers the Structured Streaming path — see
@@ -342,6 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg": _q_stream_windowed_agg,
         "stream_sessionize": _q_stream_sessionize,
         "events_json_agg": _q_events_json_agg,
+        "events_asof_join": _q_asof_join,
+        "lineitem_rollup": _q_rollup,
+        "lineitem_percentiles": _q_percentiles,
+        "events_rolling_window": _q_rolling_window,
     }
     try:
         from extensions_entry import extension_queries
@@ -509,6 +580,44 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "lineitem_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "lineitem_percentiles": """
+SELECT l_returnflag AS grp,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty
+FROM lineitem GROUP BY 1
+""",
+        "events_rolling_window": """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT user_id, event_id, ts_us,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_5,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), 6) AS delta_prev
+FROM ev
+""",
+        "events_asof_join": """
+WITH l AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+r0 AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS rv
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_id, l.ts_us, l.value,
+       r0.rv AS asof_value, r0.ts_us AS asof_ts
+FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts_us >= r0.ts_us
 """,
         "events_json_agg": """
 SELECT event_type,
