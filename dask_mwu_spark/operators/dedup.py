@@ -253,6 +253,86 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components by
+    iterative min-label propagation — every document gets the smallest
+    doc_id in its component as ``component`` (the canonical survivor).
+
+    Pair lists only say "a~b"; real dedup needs the transitive closure
+    (a~b, b~c => one cluster {a,b,c}). This is the iterative step the SQL
+    surface cannot express; each iteration is one join + grouped min over
+    the edge list, state persisted between iterations, converging in
+    O(diameter) rounds (near-dup clusters are shallow — a handful of
+    rounds in practice; ``max_iter`` bounds adversarial chains).
+
+    Input: any (doc_a, doc_b) pair table. Output: (doc_id, component).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # hop step: each node adopts min(own comp, neighbors' comps)
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        hopped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer-jump step: comp := comp(comp) — doubles the propagation
+        # distance per round, so convergence is O(log diameter) instead of
+        # O(diameter) (a 1M-doc duplicate chain converges in ~20 rounds)
+        parents = hopped.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        new_labels = (
+            hopped.join(parents, hopped["comp"] == parents["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            # localCheckpoint truncates the lineage: without it each
+            # iteration's plan nests the previous one and analysis cost
+            # grows until the planner overflows
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

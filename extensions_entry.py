@@ -157,6 +157,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(
             _docs(s, d), est_threshold=0.25
         ),
+        "dedup_components": lambda s, d: dd.dup_components(
+            dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
+        ),
         "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(
             _docs(s, d), max_hamming=4
@@ -363,6 +366,37 @@ est AS (
   GROUP BY doc_a, doc_b
 )
 SELECT * FROM est WHERE est_jaccard >= 0.25
+""",
+        "dedup_components": f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.25),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+cc AS (
+  WITH RECURSIVE walk(node, comp) AS (
+      SELECT node, node FROM nodes
+    UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node WHERE w.comp < e.b
+  )
+  SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component FROM cc
 """,
         "dedup_simhash": f"""
 WITH {_TOK_CTE},

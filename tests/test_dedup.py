@@ -64,3 +64,23 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert 0 <= sh.loc[0] < 2**32
     pairs = simhash_pairs(_docs(spark), max_hamming=0).toPandas()
     assert (0, 1) in set(zip(pairs.doc_a, pairs.doc_b))
+
+
+def test_dup_components_transitive_closure(spark):
+    """a~b, b~c must collapse into one cluster labeled by the min doc_id."""
+    from dask_mwu_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (20, 15)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 15: 15, 20: 15}
+
+
+def test_dup_components_long_chain_converges(spark):
+    from dask_mwu_spark.operators.dedup import dup_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    got = {r.doc_id: r.component for r in dup_components(pairs=spark.createDataFrame(chain, "doc_a long, doc_b long")).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31
