@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_mwu_spark.operators.asof import asof_join
+from dask_mwu_spark.operators.interval import range_join
 from dask_mwu_spark.operators.groups import distinct_groups, group_sizes
 from dask_mwu_spark.operators.logfoldchange import compute_logfoldchange
 from dask_mwu_spark.operators.mwu import bh_adjust
@@ -323,6 +324,25 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on="user_id", ts="ts_us", payload_cols=["value"])
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitem prices into fixed price bands via the
+    bucketized interval join (operators/interval.range_join — hash join on
+    quantized buckets + exact containment filter, no nested loop)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_quantity"
+    )
+    bands = spark.range(12).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 10000).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10000).cast("double").alias("hi"),
+    )
+    joined = range_join(li, bands, value_col="price", bucket_width=10000.0)
+    return joined.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP(l_returnflag, l_linestatus) —
     grand total + per-flag + per-(flag,status). Quantities are
@@ -411,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_agg": _q_events_json_agg,
         "events_asof_join": _q_asof_join,
         "lineitem_rollup": _q_rollup,
+        "lineitem_range_join": _q_range_join,
         "lineitem_percentiles": _q_percentiles,
         "events_rolling_window": _q_rolling_window,
     }
@@ -580,6 +601,23 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "lineitem_range_join": """
+WITH bands AS (
+  SELECT CAST(range AS BIGINT) AS band,
+         range * 10000.0 AS lo,
+         (range + 1) * 10000.0 AS hi
+  FROM range(12)
+),
+j AS (
+  SELECT b.band, b.lo, b.hi, l.l_quantity
+  FROM lineitem l JOIN bands b
+    ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+)
+SELECT band, lo, hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM j GROUP BY 1, 2, 3
 """,
         "lineitem_rollup": """
 SELECT COALESCE(l_returnflag, 'ALL') AS flag,
