@@ -43,7 +43,11 @@ from dask_mwu_spark.sources.loaders import (
     obs_measure_from_events,
     obs_measure_from_lineitem,
 )
-from dask_mwu_spark.streaming import sessionize_batch, windowed_event_stats
+from dask_mwu_spark.streaming import (
+    interval_join_events,
+    sessionize_batch,
+    windowed_event_stats,
+)
 from dask_mwu_spark.streaming.events import ts_us
 
 # ---------------------------------------------------------------------------
@@ -343,6 +347,34 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (purchases x preceding
+    clicks by the same user within 24 h) — the same function powers the
+    watermarked Structured Streaming path, stream==batch pytest-gated."""
+    ev = load_table(spark, sf_dir, "events")
+    return interval_join_events(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        gap="24 hours",
+        gap_us=24 * 3600 * 10**6,
+    )
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP(l_returnflag, l_linestatus) —
     grand total + per-flag + per-(flag,status). Quantities are
@@ -431,7 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_agg": _q_events_json_agg,
         "events_asof_join": _q_asof_join,
         "lineitem_rollup": _q_rollup,
+        "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
+        "events_interval_join": _q_interval_join,
         "lineitem_percentiles": _q_percentiles,
         "events_rolling_window": _q_rolling_window,
     }
@@ -601,6 +635,32 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "lineitem_cube": """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "events_interval_join": """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id,
+       p.event_id AS left_event_id,
+       c.event_id AS right_event_id,
+       CAST(p.ts_us - c.ts_us AS BIGINT) AS gap_us
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts_us >= p.ts_us - 86400000000
+ AND c.ts_us <= p.ts_us
 """,
         "lineitem_range_join": """
 WITH bands AS (

@@ -3,6 +3,7 @@ from dask_mwu_spark.streaming.events import (
     GAP_US_DEFAULT,
     dedup_stream,
     event_time,
+    interval_join_events,
     sessionize_batch,
     sessionize_stream,
     stream_events,
@@ -14,6 +15,7 @@ __all__ = [
     "GAP_US_DEFAULT",
     "dedup_stream",
     "event_time",
+    "interval_join_events",
     "sessionize_batch",
     "sessionize_stream",
     "stream_events",

@@ -106,6 +106,53 @@ def windowed_event_stats(
     )
 
 
+def interval_join_events(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    gap: str = "10 minutes",
+    gap_us: int = 600 * 10**6,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Pair every LEFT event with each RIGHT event by the same user whose
+    event time falls within ``gap`` BEFORE the left event (inclusive both
+    ends) — e.g. purchases joined to the clicks that preceded them.
+
+    Mode-agnostic: on batch DataFrames this is a plain time-bounded
+    equi+range join; on streams (pass ``watermark=``) it becomes a
+    stream-stream inner join where the time bound plus both watermarks let
+    Spark expire join state — the canonical Structured Streaming two-stream
+    pattern. Output: (user_id, left_event_id, right_event_id, gap_us).
+    """
+    l = left.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("left_event_id"),
+        ts_us("ts").alias("l_ts_us"),
+        event_time("ts").alias("l_time"),
+    )
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_event_id"),
+        ts_us("ts").alias("r_ts_us"),
+        event_time("ts").alias("r_time"),
+    )
+    if watermark is not None:
+        l = l.withWatermark("l_time", watermark)
+        r = r.withWatermark("r_time", watermark)
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("r_time") <= F.col("l_time")),
+    )
+    return joined.select(
+        F.col("l_user").alias("user_id"),
+        "left_event_id",
+        "right_event_id",
+        (F.col("l_ts_us") - F.col("r_ts_us")).alias("gap_us"),
+    ).where(F.col("gap_us") <= gap_us)
+
+
 def dedup_stream(
     events: DataFrame,
     *,

@@ -8,6 +8,7 @@ from dask_mwu_spark.sources.loaders import load_table
 from dask_mwu_spark.streaming import (
     EVENTS_SCHEMA,
     dedup_stream,
+    interval_join_events,
     sessionize_batch,
     sessionize_stream,
     stream_events,
@@ -127,6 +128,37 @@ def test_dedup_stream_matches_batch_distinct(spark, sf_dir, events_dir):
     assert len(got) == len(set(got))  # no key emitted twice
     assert set(got) == batch_keys
     assert len(got) > 50  # 15 users x 5 event types at sf0.001
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream inner join (purchases x preceding clicks within 10 min)
+    must emit exactly the batch join's pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    # events are sparse (~11 h mean per-user gap) — 24 h window gives a
+    # meaningful pair count
+    gap, gap_us = "24 hours", 24 * 3600 * 10**6
+    batch = {
+        tuple(r)
+        for r in interval_join_events(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click"),
+            gap=gap,
+            gap_us=gap_us,
+        ).collect()
+    }
+    s_ev = stream_events(spark, events_dir)
+    stream = interval_join_events(
+        s_ev.where(F.col("event_type") == "purchase"),
+        s_ev.where(F.col("event_type") == "click"),
+        gap=gap,
+        gap_us=gap_us,
+        watermark="48 hours",
+    )
+    assert stream.isStreaming
+    _run_stream(stream, "ssj", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == batch
+    assert len(got) > 20
 
 
 def test_stream_source_schema(spark, events_dir):
