@@ -347,6 +347,53 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region/nation through the full star schema:
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. The three dimension
+    tables are broadcast explicitly (they are tiny at ANY scale factor —
+    nation/region are fixed-size; customer is |fact|/1000) so the only
+    shuffles are the two fact-side joins, which AQE plans as broadcast too
+    once orders fits the threshold. Revenue = price*(1-discount), rounded 6
+    (sum-order-dependent double)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        ).join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .select("c_custkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(dims, F.col("o_custkey") == dims["c_custkey"])
+        .groupBy("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 6).alias("revenue"),
+        )
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: users with a big purchase (value > 180)
+    EXCEPT users with a big error, INTERSECT users who clicked — value
+    thresholds keep the sets non-degenerate at every scale factor."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def u(t: str, min_value: float | None = None) -> DataFrame:
+        d = ev.where(F.col("event_type") == t)
+        if min_value is not None:
+            d = d.where(F.col("value") > min_value)
+        return d.select("user_id").distinct()
+
+    return u("purchase", 180.0).exceptAll(u("error", 180.0)).intersect(u("click"))
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join (purchases x preceding
     clicks by the same user within 24 h) — the same function powers the
@@ -466,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
         "events_interval_join": _q_interval_join,
+        "star_revenue_by_nation": _q_star_join,
+        "events_set_ops": _q_set_ops,
         "lineitem_percentiles": _q_percentiles,
         "events_rolling_window": _q_rolling_window,
     }
@@ -635,6 +684,26 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "star_revenue_by_nation": """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+        "events_set_ops": """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 180
+)
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
 """,
         "lineitem_cube": """
 SELECT COALESCE(l_returnflag, 'ALL') AS flag,
