@@ -347,6 +347,17 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: monthly order counts and totals."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+    )
+
+
 def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per region/nation through the full star schema:
     lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. The three dimension
@@ -515,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_interval_join,
         "star_revenue_by_nation": _q_star_join,
         "events_set_ops": _q_set_ops,
+        "orders_by_month": _q_orders_by_month,
         "lineitem_percentiles": _q_percentiles,
         "events_rolling_window": _q_rolling_window,
     }
@@ -684,6 +696,13 @@ SELECT feature, grp, n1, n2, rank_sum, u_stat,
               / SQRT(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tie_term / ((n1d + n2d) * (n1d + n2d - 1.0))))
        END AS z
 FROM ustat
+""",
+        "orders_by_month": """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total_price
+FROM orders GROUP BY 1, 2
 """,
         "star_revenue_by_nation": """
 SELECT r.r_name AS region, n.n_name AS nation,

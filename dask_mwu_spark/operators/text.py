@@ -158,6 +158,57 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, *, k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent words by document
+    frequency, with term and document counts. One explode + two
+    aggregations; the word key is Zipf-skewed by nature, but the partial
+    (map-side) aggregation absorbs the head before any shuffle."""
+    tok = tokens(docs)
+    counts = tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term_count").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("word", "term_count", "doc_freq", F.col("_rn").alias("rank"))
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (ln-idf, raw term frequency):
+    tfidf = tf * ln(N / df). The classic sparse feature extraction,
+    entirely as DataFrame algebra: token explode → (doc, word) counts →
+    word document frequencies → join → per-doc top-k window. Rounded to 6
+    (float division/log); ties broken by word for determinism."""
+    tok = tokens(docs)
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("doc_id", "word", "tf", "df", "tfidf")
+    )
+
+
 def cardinality_by_source(docs: DataFrame, *, rsd: float = 0.02) -> DataFrame:
     """Per-source corpus cardinality: exact distinct vs HyperLogLog++ sketch
     (``approx_count_distinct``). At 100 TB the exact count is a full shuffle

@@ -149,6 +149,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the accuracy bound instead)
         "text_cardinality": lambda s, d: tx.cardinality_by_source(_docs(s, d)),
         "text_fingerprints": lambda s, d: tx.winnow_fingerprints(_docs(s, d)),
+        "text_vocab_topk": lambda s, d: tx.vocab_topk(_docs(s, d), k=20),
+        "text_tfidf": lambda s, d: tx.tfidf_top_terms(_docs(s, d), k=3),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -321,6 +323,43 @@ s AS (
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
 SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
+""",
+        "text_vocab_topk": f"""
+WITH {_TOK_CTE},
+counts AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS term_count,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM tok GROUP BY word
+),
+ranked AS (
+  SELECT word, term_count, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term_count DESC, word ASC) AS rank
+  FROM counts
+)
+SELECT word, term_count, doc_freq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+        "text_tfidf": f"""
+WITH {_TOK_CTE},
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         ROUND(tf.tf * LN(nd.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word), nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf FROM ranked WHERE rn <= 3
 """,
         "dedup_exact": f"""
 SELECT {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS text_hash,

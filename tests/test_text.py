@@ -112,3 +112,22 @@ def test_cardinality_sketch_within_bound(spark, sf_dir):
     for r in out:
         assert r.uniq_exact <= r.n_docs
         assert abs(r.uniq_approx - r.uniq_exact) <= max(3, 0.06 * r.uniq_exact)
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    from dask_mwu_spark.operators.text import tfidf_top_terms
+
+    docs = _docs(
+        spark,
+        [
+            (0, "common common rare0 word", "en"),
+            (1, "common common rare1 word", "en"),
+            (2, "common common rare2 word", "en"),
+        ],
+    )
+    top = tfidf_top_terms(docs, k=1).toPandas().set_index("doc_id")
+    # the doc-unique term wins over corpus-wide terms despite lower tf
+    for i in range(3):
+        assert top.loc[i].word == f"rare{i}"
+        assert top.loc[i].df == 1
+    # 'common' has df == n_docs -> idf 0 -> never top
