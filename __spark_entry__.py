@@ -366,8 +366,16 @@ def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the two fact-side joins, which AQE plans as broadcast too
     once orders fits the threshold. Revenue = price*(1-discount), rounded 6
     (sum-order-dependent double)."""
+    # DECIMAL revenue: price and discount have 2 decimal digits, so the
+    # decimal product (scale 4) and its SUM are exact in both engines —
+    # a rounded double sum flips the last rounded digit at ~1e9 magnitude
+    # (observed at sf0.1: 24k-term sums differ by 1e-6 between engines)
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -385,7 +393,7 @@ def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region", "nation")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("rev"), 6).alias("revenue"),
+            F.sum("rev").cast("double").alias("revenue"),
         )
     )
 
@@ -707,7 +715,8 @@ FROM orders GROUP BY 1, 2
         "star_revenue_by_nation": """
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey

@@ -71,9 +71,13 @@ _BANDS_CTE = (
     _SIG_CTE
     + """,
 bands AS (
-  SELECT doc_id, CAST(i / 4 AS INT) AS band,
+  -- i // 4: INTEGER division. CAST(i / 4 AS INT) would float-divide then
+  -- ROUND (DuckDB cast semantics), splitting bands {0,1,2},{3,4,5},... —
+  -- a valid but DIFFERENT banding than the engine's truncating (int) cast,
+  -- which only coincidentally agreed at small scale
+  SELECT doc_id, CAST(i // 4 AS INT) AS band,
          CAST(SUM(minh * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS BIGINT) AS band_key
-  FROM sig GROUP BY doc_id, CAST(i / 4 AS INT)
+  FROM sig GROUP BY doc_id, i // 4
 )
 """
 )
