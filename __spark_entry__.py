@@ -350,11 +350,16 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: monthly order counts and totals."""
     o = load_table(spark, sf_dir, "orders")
+    # decimal sum: o_totalprice has 2 decimals; a rounded double sum sits
+    # ~1e-5 from the rounding boundary at this magnitude (see the sf0.1
+    # star-join divergence)
     return o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -709,7 +714,7 @@ FROM ustat
 SELECT CAST(year(o_orderdate) AS INT) AS yr,
        CAST(month(o_orderdate) AS INT) AS mo,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 6) AS total_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY 1, 2
 """,
         "star_revenue_by_nation": """
