@@ -392,6 +392,17 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
     ).withColumn("byte", F.expr("shiftright(simhash, k * 8)").bitwiseAND(255))
+    # a pair colliding on several bytes would surface once per match; keep
+    # only the row whose k is the FIRST matching byte — a per-row predicate
+    # on (sa, sb, k), replacing a DISTINCT that would shuffle the whole
+    # candidate multiset (~4x the pair count) a second time
+    first_match = F.lit(True)
+    for k2 in range(3):
+        differs_at_k2 = (
+            F.expr(f"shiftright(sa, {k2 * 8})").bitwiseAND(255)
+            != F.expr(f"shiftright(sb, {k2 * 8})").bitwiseAND(255)
+        )
+        first_match = first_match & (F.when(F.col("k") > k2, differs_at_k2).otherwise(F.lit(True)))
     cand = (
         bytes_df.alias("x")
         .join(bytes_df.alias("y"), on=["k", "byte"])
@@ -401,8 +412,9 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
             F.col("y.doc_id").alias("doc_b"),
             F.col("x.simhash").alias("sa"),
             F.col("y.simhash").alias("sb"),
+            F.col("k"),
         )
-        .distinct()
+        .where(first_match)
     )
     return (
         cand.withColumn(
