@@ -8,6 +8,23 @@ families ``(a*x + b) mod p`` over it with fixed coefficients.
 
 All arithmetic stays below 2^62: x mod p < 2^30, a < 2^30, so a*x' + b
 < 2^60 — no overflow in either engine's BIGINT.
+
+Collision math (why two widths exist, VERDICT r1 #4):
+- ``md5_long`` (60-bit slice): birthday bound — with n docs the expected
+  number of colliding pairs is ~n^2 / 2^61; a 50% chance of at least one
+  silent merge arrives around n = sqrt(2^61) ≈ 1.5e9 documents.  Plenty
+  for bench/oracle corpora, NOT for a 100 TB web crawl.
+- ``md5_hex`` (full 128-bit digest as the group key): collision odds
+  ~n^2 / 2^129 — vanishing below n = 2^64.  This is the production exact-
+  dedup key; it shuffles a 32-char string instead of an 8-byte long
+  (+24 bytes/row of shuffle width — irrelevant next to the text payload
+  it deduplicates).
+- SimHash: 32-bit signatures put random non-near-dup pairs at hamming<=3
+  with probability ~C(32,<=3)/2^32 ≈ 1.3e-6 — at 10^9 docs the candidate
+  byte-band join drowns in false positives; 64-bit (the width of Manku et
+  al., WWW'07) drops that to ~C(64,<=3)/2^64 ≈ 2.4e-15.  The 64-bit word
+  hash is Spark's builtin xxhash64 (JVM-side, no DuckDB twin) — the
+  32-bit md5 family stays the oracle path.
 """
 
 from __future__ import annotations
@@ -48,6 +65,12 @@ def md5_long(c: Column) -> Column:
 def md5_long_sql(expr: str) -> str:
     """DuckDB twin of md5_long."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def md5_hex(c: Column) -> Column:
+    """Full 128-bit md5 digest (32 hex chars) — the production exact-dedup
+    key; see the module docstring's collision math."""
+    return F.md5(c)
 
 
 def universal_hash(x: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:

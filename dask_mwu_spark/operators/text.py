@@ -162,17 +162,32 @@ def vocab_topk(docs: DataFrame, *, k: int = 20) -> DataFrame:
     """Corpus vocabulary head: the ``k`` most frequent words by document
     frequency, with term and document counts. One explode + two
     aggregations; the word key is Zipf-skewed by nature, but the partial
-    (map-side) aggregation absorbs the head before any shuffle."""
-    tok = tokens(docs)
-    counts = tok.groupBy("word").agg(
-        F.count(F.lit(1)).alias("term_count"),
-        F.countDistinct("doc_id").alias("doc_freq"),
+    (map-side) aggregation absorbs the head before any shuffle.
+
+    The global top-k is ``orderBy(...).limit(k)``, which Spark plans as
+    ``TakeOrderedAndProject``: each partition keeps its own k best rows and
+    the driver merges k·n_partitions candidates — no task ever sorts the
+    full distinct-vocabulary table (10^8+ rows at corpus scale).  The rank
+    column is derived *after* the limit, so its unpartitioned window only
+    ever sees k rows.
+    """
+    order = [
+        F.col("doc_freq").desc(),
+        F.col("term_count").desc(),
+        F.col("word").asc(),
+    ]
+    counts = (
+        tokens(docs)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
     )
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term_count").desc(), F.col("word").asc())
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select("word", "term_count", "doc_freq", F.col("_rn").alias("rank"))
+    top = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # k rows only — post-limit
+    return top.select(
+        "word", "term_count", "doc_freq", F.row_number().over(w).alias("rank")
     )
 
 

@@ -20,6 +20,7 @@ def create_df(
     top_n: int | None = None,
     sort_by: str = "desc",
     feature_col: str = "feature",
+    n_features: int | None = None,
 ) -> DataFrame:
     """Per-group result table sorted by |LFC| and truncated to ``top_n``.
 
@@ -27,15 +28,31 @@ def create_df(
     logfoldchange/abs_logfoldchange, sorted by abs_logfoldchange, head(top_n).
     pandas' stable sort tiebreak on input order becomes an explicit
     deterministic tiebreak on the feature name (SURVEY.md F1).
-    ``top_n=None`` keeps all features; top_n must be >= 0 (create_df.py:44-52).
+    ``top_n=None`` keeps all features; top_n must be >= 0, and — matching the
+    reference's upper bound (create_df.py:44-52) — must not exceed the
+    feature count.  The reference knows n_genes from its in-memory arrays;
+    here the input is a lazy DataFrame, so pass ``n_features=`` for an eager
+    check without triggering a count job (callers that track feature
+    cardinality, e.g. the pipeline, thread it through).
+
+    The ordering key is |LFC| rounded to 6 decimals (then the feature-name
+    tiebreak): LFC is mean-derived, so its float-sum order differs between
+    engines in the last ulp; ranking on the same 6-decimal precision the
+    emitted value is compared at keeps the selected top-k set identical
+    across engines (ADVICE r1 — cosine_topk already does this).
     """
     if sort_by not in ("asc", "desc"):
         raise InvalidDimensionError(f"sort_by must be 'asc' or 'desc', got {sort_by!r}")
     if top_n is not None and top_n < 0:
         raise InvalidDimensionError(f"top_n must be >= 0, got {top_n}")
+    if top_n is not None and n_features is not None and top_n > n_features:
+        raise InvalidDimensionError(
+            f"top_n must be <= n_features ({n_features}), got {top_n}"
+        )
     abs_lfc = F.abs(F.col("logfoldchange"))
+    order_key = F.round(abs_lfc, 6)
     order = (
-        abs_lfc.desc_nulls_last() if sort_by == "desc" else abs_lfc.asc_nulls_last()
+        order_key.desc_nulls_last() if sort_by == "desc" else order_key.asc_nulls_last()
     )
     w = Window.partitionBy("group").orderBy(order, F.col(feature_col).asc())
     out = stats.select(

@@ -58,12 +58,15 @@ def rank_features_by_group(
     top_n: int | None = None,
     sort_by: str = "desc",
     base: float | None = None,
+    n_features: int | None = None,
 ) -> DataFrame:
     """Full reference pipeline: MWU + BH + LFC + per-group top-k.
 
     ``measure`` is the long table (obs_id?, group, feature, value); returns
-    the per-group result table of create_df.py:117-134.
+    the per-group result table of create_df.py:117-134.  ``n_features``,
+    when known by the caller, enables the reference's eager
+    top_n <= n_features bound (create_df.py:44-52) without a count job.
     """
     stats = feature_group_stats(measure)
     stats = compute_logfoldchange(stats, base=base)
-    return create_df(stats, top_n=top_n, sort_by=sort_by)
+    return create_df(stats, top_n=top_n, sort_by=sort_by, n_features=n_features)

@@ -84,3 +84,51 @@ def test_dup_components_long_chain_converges(spark):
     got = {r.doc_id: r.component for r in dup_components(pairs=spark.createDataFrame(chain, "doc_a long, doc_b long")).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 31
+
+
+def test_dup_components_fixed_rounds_matches_adaptive(spark):
+    """n_rounds= (no convergence counts) must reach the same labels as the
+    adaptive mode on a chain needing full propagation: hop+pointer-jump at
+    least doubles distance per round, so ceil(log2(30))+1 = 6 rounds cover
+    a 31-node chain (VERDICT r1 #7)."""
+    from dask_mwu_spark.operators.dedup import dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    adaptive = {r.doc_id: r.component for r in dup_components(chain).collect()}
+    fixed = {
+        r.doc_id: r.component
+        for r in dup_components(chain, n_rounds=6).collect()
+    }
+    assert fixed == adaptive
+    assert set(fixed.values()) == {0}
+
+
+def test_exact_dedup_full_digest_same_groups(spark):
+    """128-bit production key groups identically to the 60-bit oracle key
+    on any collision-free corpus (collision math: functions/hashing.py)."""
+    g60 = exact_dup_groups(_docs(spark)).toPandas()
+    g128 = exact_dup_groups(_docs(spark), full_digest=True).toPandas()
+    assert sorted(g60.n_docs) == sorted(g128.n_docs)
+    assert sorted(g60.keep_doc_id) == sorted(g128.keep_doc_id)
+    assert g128.text_hash.str.len().eq(32).all()  # full hex digest
+    s60 = exact_dedup(_docs(spark)).toPandas()
+    s128 = exact_dedup(_docs(spark), full_digest=True).toPandas()
+    assert sorted(s60.doc_id) == sorted(s128.doc_id)
+
+
+def test_simhash_64bit_agrees_on_duplicate_pairs(spark):
+    """VERDICT r1 #4: both widths must put identical texts at hamming 0;
+    the 64-bit signature must actually use the high bits."""
+    sh64 = simhash(_docs(spark), bits=64).toPandas().set_index("doc_id").simhash
+    assert sh64.loc[0] == sh64.loc[1]
+    p32 = simhash_pairs(_docs(spark), max_hamming=0).toPandas()
+    p64 = simhash_pairs(_docs(spark), max_hamming=0, bits=64).toPandas()
+    dup32 = set(zip(p32.doc_a, p32.doc_b))
+    dup64 = set(zip(p64.doc_a, p64.doc_b))
+    assert (0, 1) in dup32 and (0, 1) in dup64
+    # hamming-0 under 64 bits is a strictly stronger condition
+    assert dup64 <= dup32
+    # 64-bit signatures spread beyond the low 32 bits (not just zero-padded)
+    assert any((abs(int(v)) >> 32) != 0 for v in sh64.values)

@@ -73,6 +73,26 @@ def test_invalid_args(spark):
         create_df(_stats_df(spark), sort_by="sideways")
 
 
+@pytest.mark.parametrize("n_features,top_n", [(100, 101), (100, -1), (4, 5)])
+def test_top_n_upper_bound(spark, n_features, top_n):
+    """V2 parity: reference rejects top_n > n_genes (create_df.py:44-52,
+    tests/test_create_df.py::test_invalid_n) — eager, no count job."""
+    with pytest.raises(InvalidDimensionError):
+        create_df(_stats_df(spark), top_n=top_n, n_features=n_features)
+
+
+def test_top_n_at_bound_ok(spark):
+    out = create_df(_stats_df(spark), top_n=4, n_features=4).toPandas()
+    assert len(out[out.group == "a"]) == 4
+
+
+def test_pipeline_threads_n_features(spark):
+    df = spark.createDataFrame(fx.to_long(fx.MIXED / 50.0, fx.LABELS_5))
+    n_feat = fx.MIXED.shape[0]
+    with pytest.raises(InvalidDimensionError):
+        rank_features_by_group(df, top_n=n_feat + 1, n_features=n_feat)
+
+
 def test_full_pipeline_smoke(spark):
     df = spark.createDataFrame(fx.to_long(fx.MIXED / 50.0, fx.LABELS_5))
     out = rank_features_by_group(df, top_n=3).toPandas()
