@@ -1,0 +1,221 @@
+"""Corpus-curation operators: the end-to-end steps a training-data pipeline
+runs between "raw crawl" and "training set" — benchmark decontamination,
+deterministic train/val/test splitting, repetition-based quality signals,
+near-dup purging, and the composed curation filter.
+
+No counterpart in the reference (single-node stats engine); these are the
+LLM-pipeline extensions (SURVEY.md section 2.1) built entirely from builtin
+DataFrame algebra over the operators in text.py / dedup.py.
+
+Scale design:
+- decontamination: the eval side is small by definition (benchmarks are
+  thousands of docs, the corpus is billions), so its distinct shingle set is
+  BROADCAST and the probe is a map-side semi/inner join — the corpus never
+  shuffles on shingle.
+- hash split: pure per-row expression work (md5 of the doc id) — zero
+  shuffle, stable under retries, reshards, and engine changes, which is the
+  property that matters for split integrity (a rand()-based split silently
+  leaks val into train on task retry).
+- repetition signals: one token explode re-aggregated by doc_id (uniform
+  key), same shape as text.py's stats operators.
+- purge: connected components (dedup.dup_components) then a keep-the-label
+  semi filter; the component table is doc-keyed — uniform join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.functions.hashing import md5_long
+from dask_mwu_spark.operators.dedup import dup_components, exact_dedup, shingles
+from dask_mwu_spark.operators.text import lang_scores, quality_scores, tokens
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    train: DataFrame, eval_docs: DataFrame, *, n: int = 3
+) -> DataFrame:
+    """Per-training-doc overlap with an evaluation set, by shared word
+    n-gram shingles: (doc_id, n_shared_shingles) for every train doc
+    sharing at least one shingle with ANY eval doc.
+
+    This is the standard n-gram decontamination test (GPT-3 appendix C /
+    PaLM-style): an eval example "contaminates" a training doc if they
+    share a long-enough n-gram.  The eval shingle set is deduped and
+    broadcast — the corpus-side shingle table never shuffles.
+    """
+    ev = F.broadcast(
+        shingles(eval_docs, n=n).select("shingle").distinct()
+    )
+    return (
+        shingles(train, n=n)
+        .join(ev, on="shingle")  # broadcast hash join, map-side
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, *, n: int = 3
+) -> DataFrame:
+    """Training docs surviving decontamination (no shared n-gram with the
+    eval set): left-anti join against the contaminated id set."""
+    bad = contamination(train, eval_docs, n=n).select("doc_id")
+    return train.join(bad, on="doc_id", how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+N_SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    docs: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    md5(salt:doc_id) % 10000, split by cumulative weight thresholds.
+    Adds a ``split`` column; every engine and every run assigns the same
+    doc to the same split (rand()-based splits break on task retry and
+    cannot be reproduced by the oracle).
+
+    ``weights`` default {train: .9, val: .05, test: .05}; they are
+    normalized, and bucket boundaries are floor(cum * 10000) — documents
+    on a boundary go to the later split.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % N_SPLIT_BUCKETS
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(cum * N_SPLIT_BUCKETS)
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition heuristics (the Gopher/MassiveText repetition
+    filters, re-expressed over whitespace tokens):
+
+    - ``top_word_frac``: count of the most frequent word / n_tokens — high
+      values mean keyword-stuffed or looping text.
+    - ``dup_bigram_frac``: 1 − distinct bigrams / total bigrams — high
+      values mean repeated phrases.
+
+    Both rounded to 6.  Two aggregations over the exploded token table
+    (uniform doc_id shuffle key); the bigram table derives from the same
+    explode via a lead() window, so the whole operator is one scan of the
+    text column per branch — at corpus scale persist ``tokens(docs)``
+    before calling if the plan also feeds other token consumers.
+    """
+    tok = tokens(docs)
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("word"), F.lead("word").over(w)).alias("bigram"),
+            F.lead("word").over(w).alias("_next"),
+        )
+        .where(F.col("_next").isNotNull())
+    )
+    bi_stats = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_uniq_bigrams"),
+    )
+    return (
+        word_stats.join(bi_stats, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_uniq_bigrams").cast("double") / F.col("n_bigrams"),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup purge + composed curation
+# ---------------------------------------------------------------------------
+
+
+def purge_near_dups(docs: DataFrame, pairs: DataFrame, **cc_kwargs) -> DataFrame:
+    """Documents surviving near-dup purging: collapse the pair list into
+    connected components (dedup.dup_components) and keep, per component,
+    only the canonical survivor (the min doc_id == the component label).
+    Docs in no pair survive trivially (left join, null component).
+    """
+    comp = dup_components(pairs, **cc_kwargs)
+    return (
+        docs.join(comp, on="doc_id", how="left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .drop("component")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    max_top_word_frac: float | None = 0.2,
+    require_lang_match: bool = True,
+) -> DataFrame:
+    """The composed corpus filter a training pipeline runs end-to-end:
+
+    1. exact dedup (keep smallest doc_id per normalized text),
+    2. quality score >= ``min_quality`` (text.quality_scores),
+    3. repetition cap: top_word_frac <= ``max_top_word_frac``,
+    4. language agreement: heuristic prediction matches the labeled lang
+       (drops mislabeled / unidentifiable docs).
+
+    Returns the surviving docs with their quality column attached.  Every
+    stage is a doc_id-keyed join against a per-row-derived table — no
+    all-pairs anywhere; the only shuffles are the dedup window and the
+    doc_id joins, all on the uniform doc key.
+    """
+    out = exact_dedup(docs)
+    q = quality_scores(docs).select("doc_id", "quality")
+    out = out.join(q, on="doc_id").where(F.col("quality") >= min_quality)
+    if max_top_word_frac is not None:
+        rep = repetition_signals(docs).select("doc_id", "top_word_frac")
+        out = out.join(rep, on="doc_id").where(
+            F.col("top_word_frac") <= max_top_word_frac
+        )
+    if require_lang_match:
+        pred = lang_scores(docs).select("doc_id", "pred_lang")
+        out = out.join(pred, on="doc_id").where(
+            F.col("pred_lang") == F.col("lang")
+        )
+    return out

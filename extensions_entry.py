@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
 from dask_mwu_spark.sources.loaders import load_table
+from dask_mwu_spark.operators import curation as cur
 from dask_mwu_spark.operators import dedup as dd
 from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import similarity as sim
@@ -130,6 +131,42 @@ buckets AS (
 """
 )
 
+# minhash-LSH pairs -> connected components chain, shared by the
+# dedup_components and dedup_purge oracles (DuckDB recursive CTE; the walk
+# only expands upward from each node's smallest reachable label)
+_CC_CTE = (
+    _BANDS_CTE
+    + """,
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.25),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+cc AS (
+  WITH RECURSIVE walk(node, comp) AS (
+      SELECT node, node FROM nodes
+    UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node WHERE w.comp < e.b
+  )
+  SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+)
+"""
+)
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -189,6 +226,28 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
             _emb(s, d), tau=0.4
         ),
+        # corpus curation (operators/curation.py): eval set = every 50th doc
+        "cur_contamination": lambda s, d: cur.contamination(
+            _docs(s, d).where(F.col("doc_id") % 50 != 0),
+            _docs(s, d).where(F.col("doc_id") % 50 == 0),
+        ),
+        "cur_hash_split": lambda s, d: cur.hash_split(_docs(s, d))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ),
+        "cur_repetition": lambda s, d: cur.repetition_signals(_docs(s, d)),
+        "cur_curate": lambda s, d: cur.curate(_docs(s, d))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        ),
+        "dedup_purge": lambda s, d: cur.purge_near_dups(
+            _docs(s, d), dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
+        ).select("doc_id", "source"),
     }
 
 
@@ -411,35 +470,14 @@ est AS (
 SELECT * FROM est WHERE est_jaccard >= 0.25
 """,
         "dedup_components": f"""
-WITH {_BANDS_CTE},
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
-  WHERE x.doc_id < y.doc_id
-),
-est AS (
-  SELECT doc_a, doc_b,
-         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
-  FROM cand
-  JOIN sig sa ON sa.doc_id = cand.doc_a
-  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
-  GROUP BY doc_a, doc_b
-),
-pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.25),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-nodes AS (SELECT DISTINCT a AS node FROM edges),
-cc AS (
-  WITH RECURSIVE walk(node, comp) AS (
-      SELECT node, node FROM nodes
-    UNION
-      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node WHERE w.comp < e.b
-  )
-  SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
-)
+WITH {_CC_CTE}
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component FROM cc
+""",
+        "dedup_purge": f"""
+WITH {_CC_CTE}
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+WHERE cc.node IS NULL OR cc.comp = d.doc_id
 """,
         "dedup_simhash": f"""
 WITH {_TOK_CTE},
@@ -609,5 +647,99 @@ pairs AS (
   WHERE x.vec_id < y.vec_id
 )
 SELECT * FROM pairs WHERE cosine >= 0.4
+""",
+        "cur_contamination": f"""
+WITH {_SHINGLE_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+""",
+        "cur_hash_split": f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         {_MD5H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM b
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split
+""",
+        "cur_repetition": f"""
+WITH {_TOK_CTE},
+wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY doc_id, word),
+ws AS (SELECT doc_id, SUM(cnt) AS n_tokens, MAX(cnt) AS top_cnt FROM wc GROUP BY doc_id),
+bg_raw AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER w AS bigram,
+         lead(word) OVER w AS _next
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bg AS (SELECT doc_id, bigram FROM bg_raw WHERE _next IS NOT NULL),
+bs AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_uniq
+  FROM bg GROUP BY doc_id
+)
+SELECT ws.doc_id AS doc_id, CAST(ws.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(ws.top_cnt AS DOUBLE) / ws.n_tokens, 6) AS top_word_frac,
+       ROUND(1.0 - CAST(bs.n_uniq AS DOUBLE) / bs.n_bigrams, 6) AS dup_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+""",
+        "cur_curate": f"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS nh
+  FROM documents
+),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+               + 0.3 * LEAST(1.0, 5.0 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(w) for w in tx.STOPWORDS)}))) AS DOUBLE) / len(string_split(text, ' '))))
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+  FROM documents
+),
+{_TOK_CTE.strip().lstrip()},
+wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY doc_id, word),
+rep AS (
+  SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+scores AS (
+  SELECT doc_id,
+         {langs_scores}
+  FROM documents
+),
+best AS (
+  SELECT *, GREATEST(score_en, score_fr, score_es, score_de) AS best FROM scores
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN best = 0 THEN 'unknown' {pred_chain} ELSE 'unknown' END AS pred_lang
+  FROM best
+)
+SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(q.quality) AS min_quality, MAX(q.quality) AS max_quality
+FROM norm d
+JOIN keep USING (doc_id)
+JOIN qual q USING (doc_id)
+JOIN rep USING (doc_id)
+JOIN pred USING (doc_id)
+WHERE q.quality >= 0.5 AND rep.top_word_frac <= 0.2 AND pred.pred_lang = d.lang
+GROUP BY d.source
 """,
     }

@@ -1,0 +1,102 @@
+"""Curation operator semantics on hand-built corpora."""
+
+import pandas as pd
+
+from dask_mwu_spark.operators.curation import (
+    contamination,
+    curate,
+    decontaminate,
+    hash_split,
+    purge_near_dups,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+def test_contamination_flags_shared_ngram(spark):
+    train = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps high", "en", "s", 30),
+            (11, "completely unrelated spark engine text", "en", "s", 38),
+        ],
+    )
+    ev = _docs(spark, [(0, "quick brown fox runs away", "en", "s", 25)])
+    got = contamination(train, ev).toPandas()
+    # train doc 10 shares the 3-gram "quick brown fox"; doc 11 shares none
+    assert list(got.doc_id) == [10]
+    assert got.iloc[0].n_shared_shingles == 1
+    survivors = decontaminate(train, ev).toPandas()
+    assert sorted(survivors.doc_id) == [11]
+
+
+def test_hash_split_is_deterministic_partition(spark):
+    docs = _docs(
+        spark, [(i, f"text {i}", "en", "s", 10) for i in range(2000)]
+    )
+    a = hash_split(docs).toPandas().set_index("doc_id").split
+    b = hash_split(docs).toPandas().set_index("doc_id").split
+    assert (a == b).all()  # deterministic
+    counts = a.value_counts()
+    assert set(counts.index) <= {"train", "val", "test"}
+    # ~90/5/5 with slack for a 2000-doc sample
+    assert 0.85 <= counts.get("train", 0) / 2000 <= 0.95
+    # subset invariance: a doc's split is independent of the rest of the set
+    sub = hash_split(
+        _docs(spark, [(7, "text 7", "en", "s", 10)])
+    ).toPandas().iloc[0]
+    assert sub.split == a.loc[7]
+
+
+def test_hash_split_respects_custom_weights(spark):
+    docs = _docs(spark, [(i, "x", "en", "s", 1) for i in range(500)])
+    out = hash_split(docs, weights={"a": 1.0, "b": 0.0}).toPandas()
+    # all mass in 'a' except the zero-width tail bucket boundary
+    assert (out.split == "a").all()
+
+
+def test_repetition_signals_hand_computed(spark):
+    out = (
+        repetition_signals(_docs(spark, [(0, "a a a b", "en", "s", 7)]))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out.n_tokens == 4
+    assert out.top_word_frac == 0.75
+    # bigrams: "a a", "a a", "a b" -> 3 total, 2 distinct
+    assert out.dup_bigram_frac == round(1 - 2 / 3, 6)
+
+
+def test_purge_near_dups_keeps_component_minimum(spark):
+    docs = _docs(
+        spark, [(i, f"doc {i}", "en", "s", 5) for i in range(5)]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = sorted(purge_near_dups(docs, pairs).toPandas().doc_id)
+    # cluster {1,2,3} -> keep 1; docs 0 and 4 untouched
+    assert got == [0, 1, 4]
+
+
+def test_curate_drops_dup_lowq_and_mislabeled(spark):
+    rich = "the fast row runs past the slow row and the data table"
+    docs = _docs(
+        spark,
+        [
+            (0, rich, "en", "s", len(rich)),
+            (1, rich, "en", "s", len(rich)),  # exact dup -> dropped
+            (2, "!!! ??? ;;; ,,,", "en", "s", 15),  # low quality -> dropped
+            (3, rich, "fr", "s", len(rich)),  # en-looking text labeled fr
+        ],
+    )
+    got = curate(
+        docs, min_quality=0.5, max_top_word_frac=0.3, require_lang_match=True
+    ).toPandas()
+    assert sorted(got.doc_id) == [0]
+    assert "quality" in got.columns
+    # default cap 0.2 also drops doc 0 ("the" = 3/12 = 0.25 of tokens)
+    assert curate(docs).count() == 0
