@@ -470,6 +470,35 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    per-(flag,status) detail, per-shipmode totals, and the grand total in
+    ONE pass (Catalyst plans a single Expand + hash aggregate, not three
+    scans unioned)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+            "l_returnflag",
+            "l_linestatus",
+            "ship_year",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            F.coalesce("ship_year", F.lit(-1)).alias("ship_year"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``, linear interpolation)."""
@@ -538,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_agg": _q_events_json_agg,
         "events_asof_join": _q_asof_join,
         "lineitem_rollup": _q_rollup,
+        "lineitem_grouping_sets": _q_grouping_sets,
         "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
         "events_interval_join": _q_interval_join,
@@ -794,6 +824,18 @@ SELECT band, lo, hi,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM j GROUP BY 1, 2, 3
+""",
+        "lineitem_grouping_sets": """
+WITH li AS (
+  SELECT *, CAST(year(l_shipdate) AS BIGINT) AS ship_year FROM lineitem
+)
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       COALESCE(ship_year, -1) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM li
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
 """,
         "lineitem_rollup": """
 SELECT COALESCE(l_returnflag, 'ALL') AS flag,

@@ -167,6 +167,107 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    max_tokens: int = 256,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a training-sequence pack, GPT-style
+    concat-and-chunk: within a shard, documents are concatenated in
+    ``id_col`` order and the token stream is cut into fixed ``max_tokens``
+    windows; a document belongs to the pack its FIRST token lands in
+    (``pack = start_offset // max_tokens``).  Adds ``shard``, ``n_tokens``
+    (whitespace tokens), ``start_offset`` (tokens before this doc in its
+    shard) and ``pack`` columns.
+
+    Scale design: the prefix sum is the whole problem — a single global
+    cumulative sum is one task no matter the cluster size, so packing is
+    SHARDED (``shard = doc_id % n_shards``), which is how real pipelines
+    pack anyway (per output file / worker).  Each shard's cumsum is an
+    independent window partition; set ``n_shards`` >= cluster parallelism
+    and no task ever sees more than 1/n_shards of the corpus.  The
+    assignment is deterministic in (doc_id, n_shards, max_tokens) — stable
+    under retries and engine changes, like ``hash_split``.
+    """
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn(
+            "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        )
+        .withColumn(
+            "pack", F.floor(F.col("start_offset") / F.lit(max_tokens))
+        )
+    )
+
+
+def pack_stats(
+    docs: DataFrame, *, max_tokens: int = 256, n_shards: int = 32
+) -> DataFrame:
+    """Per-(shard, pack) packing summary: docs per pack and tokens starting
+    in the pack — the fill-rate table a packing job reports."""
+    return (
+        pack_sequences(docs, max_tokens=max_tokens, n_shards=n_shards)
+        .groupBy("shard", "pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+    salt: str = "mix",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source downsampling to a target corpus mixture:
+    keep a doc iff ``md5(salt:doc_id) % 10000 < rate(source) * 10000``.
+
+    The hash-gate (not ``rand()`` / ``sampleBy``) makes the sample
+    reproducible across runs, engines, and task retries, and independent
+    of partitioning — the properties data-mixture experiments need (the
+    same doc is in or out of every ablation).  Pure per-row expression
+    work: zero shuffle, fully pushdown-friendly.  Rates are capped to
+    [0, 1]; upsampling is a separate concern (repeat at read time).
+    """
+    bucket = md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % N_SPLIT_BUCKETS
+    expr = None
+    for src, rate in rates.items():
+        bound = int(min(max(rate, 0.0), 1.0) * N_SPLIT_BUCKETS)
+        cond = F.col(source_col) == src
+        expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
+    default_bound = int(min(max(default_rate, 0.0), 1.0) * N_SPLIT_BUCKETS)
+    expr = (
+        F.lit(default_bound) if expr is None else expr.otherwise(default_bound)
+    )
+    return docs.where(bucket < expr)
+
+
+# ---------------------------------------------------------------------------
 # near-dup purge + composed curation
 # ---------------------------------------------------------------------------
 

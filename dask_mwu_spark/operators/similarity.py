@@ -65,6 +65,52 @@ def _with_vec(emb: DataFrame) -> DataFrame:
     ).withColumn("nrm", norm(F.col("vec")))
 
 
+# seed offset for the random-projection matrix: far past every LSH table's
+# hyperplane range (table t uses planes [t*N_PLANES, (t+1)*N_PLANES)), so
+# projection rows are independent of every bucketing plane
+_RP_OFFSET = 10_000
+
+
+def rp_matrix(k: int) -> list[list[float]]:
+    """Deterministic k x EMB_DIM dense Johnson-Lindenstrauss projection
+    matrix from the module LCG — Python float literals, so the Spark plan
+    and the DuckDB oracle embed bit-identical doubles."""
+    return [
+        [plane_weight(_RP_OFFSET + j, d) for d in range(EMB_DIM)]
+        for j in range(k)
+    ]
+
+
+def random_projection(emb: DataFrame, *, k: int = 16) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction EMB_DIM -> ``k``:
+    long-form output (vec_id, j, component) with component = <vec, r_j>
+    rounded to 6.
+
+    The projection matrix is a PLAN LITERAL (k x 64 doubles, ~8 KB) — the
+    per-row work is k in-order JVM fold products inside whole-stage
+    codegen: no Python boundary, no shuffle, no broadcast join needed.
+    That is the right 100 TB shape: a dense matmul against a constant
+    this small belongs in the row expression, not in a join.  Long form
+    (posexplode of the k components) keeps downstream consumers (ANN over
+    reduced vectors, per-dimension stats) in DataFrame algebra; callers
+    wanting array form can ``groupBy(vec_id).agg(array_agg)`` or skip the
+    explode by composing ``rp_matrix`` with ``dot`` directly.
+    """
+    mat = rp_matrix(k)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    comps = F.array(
+        *[
+            F.round(
+                dot(F.col("vec"), F.array(*[F.lit(w) for w in row])), 6
+            )
+            for row in mat
+        ]
+    )
+    return vecs.select(
+        "vec_id", F.posexplode(comps).alias("j", "component")
+    )
+
+
 def cosine_topk(
     emb: DataFrame, *, n_queries: int = 10, k: int = 5
 ) -> DataFrame:

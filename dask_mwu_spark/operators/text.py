@@ -105,6 +105,42 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns, restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB/Go): character classes, bounded repetition, and
+# ASCII word boundaries only — no lookarounds, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_ID_RE = r"\b\d{7,}\b"
+
+
+def redact_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and long digit runs (phone / account
+    ids) from ``text_col``; adds ``clean_text`` plus per-doc match counts
+    (``n_emails``, ``n_ips``, ``n_long_ids``, counted on the RAW text).
+
+    Replacements run in a fixed order — email, then IPv4, then long-id —
+    so the dotted digits inside an already-redacted email can't re-match
+    as an IP.  Pure per-row regexp expression work: zero shuffle, stays in
+    whole-stage codegen, and the regex subset is engine-portable (see
+    pattern comment), so the DuckDB oracle applies the byte-identical
+    patterns.  This is the standard pre-training scrub step (C4/RefinedWeb
+    style); a production pipeline swaps in its compliance pattern pack via
+    the same three-column contract.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PII_LONG_ID_RE, "<ID>")
+    return docs.withColumns(
+        {
+            "clean_text": clean,
+            "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long"),
+            "n_ips": F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long"),
+            "n_long_ids": F.regexp_count(t, F.lit(PII_LONG_ID_RE)).cast("long"),
+        }
+    )
+
+
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 

@@ -94,6 +94,14 @@ def _planes_sql() -> str:
     return f"planes(p, w) AS (VALUES {','.join(rows)})"
 
 
+def _rp_planes_sql(k: int = 16) -> str:
+    rows = []
+    for j, row in enumerate(sim.rp_matrix(k)):
+        vec = ", ".join(f"'{w!r}'::DOUBLE" for w in row)
+        rows.append(f"({j}, [{vec}])")
+    return f"rp(j, w) AS (VALUES {','.join(rows)})"
+
+
 def _multi_planes_sql(n_tables: int = 4) -> str:
     rows = []
     for t in range(n_tables):
@@ -248,7 +256,43 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_purge": lambda s, d: cur.purge_near_dups(
             _docs(s, d), dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
         ).select("doc_id", "source"),
+        # sequence packing: 8 shards so the sf0.01 oracle stays readable;
+        # production uses n_shards >= cluster parallelism
+        "cur_pack_stats": lambda s, d: cur.pack_stats(
+            _docs(s, d), max_tokens=256, n_shards=8
+        ),
+        "cur_sample_mixture": lambda s, d: cur.sample_mixture(
+            _docs(s, d),
+            {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0},
+            default_rate=0.1,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ),
+        # PII scrub over a deterministically PII-seeded text (the synthetic
+        # corpus itself contains no emails/IPs, so both engines append the
+        # same doc_id-derived contact line before redacting)
+        "text_redact_pii": lambda s, d: tx.redact_pii(
+            _docs(s, d).withColumn("text", _pii_seeded_text())
+        ).select("doc_id", "clean_text", "n_emails", "n_ips", "n_long_ids"),
+        "sim_random_projection": lambda s, d: sim.random_projection(
+            _emb(s, d), k=16
+        ),
     }
+
+
+def _pii_seeded_text():
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref "),
+        (F.lit(1_000_000) + F.col("doc_id") * 37).cast("string"),
+    )
 
 
 # shared decode CTE for the multimodal oracles: doc_id%3 → kind, md5-derived
@@ -741,5 +785,65 @@ JOIN rep USING (doc_id)
 JOIN pred USING (doc_id)
 WHERE q.quality >= 0.5 AND rep.top_word_frac <= 0.2 AND pred.pred_lang = d.lang
 GROUP BY d.source
+""",
+        "cur_pack_stats": """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) - n_tokens AS start_offset
+  FROM t
+)
+SELECT shard, start_offset // 256 AS pack,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY shard, pack
+""",
+        "cur_sample_mixture": f"""
+WITH b AS (
+  SELECT source, n_chars,
+         {_MD5H.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+WHERE bucket < CASE source
+  WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500 WHEN 'src2' THEN 5000
+  WHEN 'src3' THEN 2500 WHEN 'src4' THEN 0 ELSE 1000 END
+GROUP BY source
+""",
+        "text_redact_pii": f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ref ' || CAST(1000000 + doc_id * 37 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{tx.PII_IPV4_RE}', '<IP>', 'g'),
+         '{tx.PII_LONG_ID_RE}', '<ID>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{tx.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{tx.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{tx.PII_LONG_ID_RE}')) AS BIGINT) AS n_long_ids
+FROM seeded
+""",
+        "sim_random_projection": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+{_rp_planes_sql()}
+SELECT vec_id, j, ROUND(list_dot_product(vec, w), 6) AS component
+FROM v, rp
 """,
     }

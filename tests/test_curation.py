@@ -100,3 +100,72 @@ def test_curate_drops_dup_lowq_and_mislabeled(spark):
     assert "quality" in got.columns
     # default cap 0.2 also drops doc 0 ("the" = 3/12 = 0.25 of tokens)
     assert curate(docs).count() == 0
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from dask_mwu_spark.operators.curation import pack_sequences, pack_stats
+
+    # one shard (n_shards=1): docs of 3,4,5,6 tokens, max_tokens=8
+    # offsets 0,3,7,12 -> packs 0,0,0,1
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c", "en", "s", 5),
+            (1, "d e f g", "en", "s", 7),
+            (2, "h i j k l", "en", "s", 9),
+            (3, "m n o p q r", "en", "s", 11),
+        ],
+    )
+    got = (
+        pack_sequences(docs, max_tokens=8, n_shards=1)
+        .select("doc_id", "n_tokens", "start_offset", "pack")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(got.n_tokens) == [3, 4, 5, 6]
+    assert list(got.start_offset) == [0, 3, 7, 12]
+    assert list(got.pack) == [0, 0, 0, 1]
+    stats = pack_stats(docs, max_tokens=8, n_shards=1).toPandas()
+    assert sorted(map(tuple, stats.values.tolist())) == [
+        (0, 0, 3, 12),
+        (0, 1, 1, 6),
+    ]
+
+
+def test_pack_sequences_sharding_is_independent(spark):
+    from dask_mwu_spark.operators.curation import pack_sequences
+
+    docs = _docs(spark, [(i, "w " * 9 + "w", "en", "s", 19) for i in range(40)])
+    got = pack_sequences(docs, max_tokens=25, n_shards=4).toPandas()
+    # shard = doc_id % 4; within a shard every doc has 10 tokens, so doc
+    # rank r in the shard starts at 10r -> pack = 10r // 25
+    for _, row in got.iterrows():
+        r = row.doc_id // 4  # rank of this doc within its shard
+        assert row.shard == row.doc_id % 4
+        assert row.start_offset == 10 * r
+        assert row.pack == (10 * r) // 25
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    from dask_mwu_spark.operators.curation import sample_mixture
+
+    docs = _docs(
+        spark,
+        [(i, "x", "a" if i % 2 == 0 else "b", "src", 1) for i in range(2000)],
+    )
+    docs = docs.withColumnRenamed("lang", "mix_src")
+    # rates keyed on the source column; here use lang as the source col
+    out = sample_mixture(
+        docs, {"a": 1.0, "b": 0.25}, source_col="mix_src"
+    ).toPandas()
+    n_a = (out.mix_src == "a").sum()
+    n_b = (out.mix_src == "b").sum()
+    assert n_a == 1000  # rate 1.0 keeps everything
+    assert 150 <= n_b <= 350  # ~25% of 1000
+    again = sample_mixture(
+        docs, {"a": 1.0, "b": 0.25}, source_col="mix_src"
+    ).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)  # deterministic
+    # rate 0 drops the source entirely
+    none = sample_mixture(docs, {"a": 0.0, "b": 0.0}, source_col="mix_src")
+    assert none.count() == 0

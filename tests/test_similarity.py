@@ -162,3 +162,24 @@ def test_multi_table_lsh_recall_dominates_single(spark):
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.8  # 4 tables on well-clustered data
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from dask_mwu_spark.operators.similarity import random_projection, rp_matrix
+    from dask_mwu_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    rows = emb.select("vec_id", "embedding").collect()
+    got = (
+        random_projection(spark.createDataFrame(rows), k=4)
+        .toPandas()
+        .set_index(["vec_id", "j"])
+        .component
+    )
+    mat = np.array(rp_matrix(4))  # k x 64
+    for r in rows:
+        want = mat @ np.array(r.embedding, dtype=np.float64)
+        for j in range(4):
+            assert abs(got.loc[(r.vec_id, j)] - round(want[j], 6)) < 1e-9

@@ -152,3 +152,32 @@ def test_tfidf_ranks_distinctive_terms(spark):
         assert top.loc[i].word == f"rare{i}"
         assert top.loc[i].df == 1
     # 'common' has df == n_docs -> idf 0 -> never top
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "mail bob.smith+x@corp.example.com now",
+                    "host 192.168.0.1 acct 12345678 short 123456",
+                    "clean text no pii at all",
+                ],
+            }
+        )
+    )
+    got = redact_pii(docs).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "clean_text"] == "mail <EMAIL> now"
+    assert got.loc[0, "n_emails"] == 1 and got.loc[0, "n_ips"] == 0
+    # 6-digit run is below the 7-digit floor -> kept
+    assert got.loc[1, "clean_text"] == "host <IP> acct <ID> short 123456"
+    assert got.loc[1, "n_ips"] == 1 and got.loc[1, "n_long_ids"] == 1
+    assert got.loc[2, "clean_text"] == "clean text no pii at all"
+    assert (
+        got.loc[2, ["n_emails", "n_ips", "n_long_ids"]].sum() == 0
+    )
