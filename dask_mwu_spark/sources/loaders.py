@@ -49,21 +49,33 @@ def load_table(
     ``fan_out``: parquet scan parallelism is bounded by ROW GROUPS, not byte
     splits — a single-row-group file (like this testdata, and like plenty of
     real-world exports) pins the scan + downstream narrow chain (melt,
-    partial aggregation) to ONE task no matter how many executors exist.
+    partial aggregation) to ONE task no matter how many executors exist
+    (Spark still REPORTS many partitions for a big file — they're empty
+    byte-range splits; see the repartition comment below).
     ``fan_out=True`` inserts a round-robin repartition after such a scan so
-    later stages run at full width. Off by default: below ~10M rows the
-    extra shuffle costs more than the recovered parallelism (measured at
-    sf0.1); turn it on for big single-row-group inputs, where it converts a
-    one-task scan chain into a full-width plan.
+    later stages run at full width.  Off by default, and the decision
+    variable is downstream COMPUTE-PER-BYTE, not row count
+    (tools/scale_probe_fanout.py, 20M-row one-row-group file, local[32]):
+    a cheap melt+sum chain is 5x FASTER single-task than behind the
+    fan-out shuffle (5.4s vs 25.8s — the single producer pays the shuffle
+    write either way), while a hashing-heavy chain (md5 per cell, the
+    text/dedup operator shape) is 6.5x SLOWER single-task (225s vs 35s).
+    Turn it on when the per-row work after the scan clearly outweighs one
+    raw-row shuffle; with multi-row-group inputs it's moot.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if fan_out:
-        slots = spark.sparkContext.defaultParallelism
-        # planning-time metadata only — no job is triggered
-        if df.rdd.getNumPartitions() < slots:
-            df = df.repartition(slots)
+        # UNCONDITIONAL repartition: getNumPartitions() cannot gate this —
+        # Spark byte-splits a big single-row-group file into many scan
+        # partitions, but only the split containing the row-group start
+        # emits rows, so the partition COUNT looks wide while the actual
+        # row production is one task (measured in
+        # tools/scale_probe_fanout.py: a 100M-cell hash chain ran 1-task
+        # at "32 partitions").  The caller opted into one raw-row shuffle;
+        # give it to them.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
