@@ -227,6 +227,114 @@ def vocab_topk(docs: DataFrame, *, k: int = 20) -> DataFrame:
     )
 
 
+def ngram_topk(docs: DataFrame, *, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-level n-gram head: the ``k`` most frequent word ``n``-grams.
+    N-grams come from a lead() window per doc (uniform doc_id key, one
+    shuffle), counted with map-side partial aggregation, and the global
+    top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject, never a full
+    sort of the (huge, Zipf-tailed) distinct n-gram table."""
+    tok = tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    grams = tok.select(
+        F.concat_ws(" ", *parts).alias("ngram"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    order = [F.col("n_occurrences").desc(), F.col("ngram").asc()]
+    top = counts.orderBy(*order).limit(k)
+    wr = Window.orderBy(*order)  # k rows only — post-limit
+    return top.select(
+        "ngram", "n_occurrences", F.row_number().over(wr).alias("rank")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, *, chunk_tokens: int = 32, overlap: int = 8
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each doc into windows of
+    ``chunk_tokens`` whitespace tokens with ``overlap`` tokens of overlap
+    (stride = chunk_tokens - overlap); the last window may be short.
+    Output (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_text).
+
+    Pure generator explode in the scan stage — ``sequence`` builds the
+    window starts per row and ``slice`` cuts each window out of the
+    already-split token array, so chunking is zero-shuffle and scales
+    like the scan itself.  Deterministic in (text, chunk_tokens, overlap).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        docs.select(
+            "doc_id", toks.alias("_toks"), F.explode(starts).alias("chunk_start")
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def build_vocab(docs: DataFrame, *, max_size: int = 1000) -> DataFrame:
+    """Frequency-ordered token vocabulary: (word, token_id, term_count)
+    with ids 0..max_size-1 assigned by (count desc, word asc).
+
+    The head selection is ``orderBy().limit(max_size)`` —
+    TakeOrderedAndProject over the distinct-term table, never a global
+    sort.  The id-assigning row_number window IS unpartitioned, but it
+    runs on the post-limit table, which is bounded by ``max_size`` (a
+    model-vocabulary constant, 32k-256k) — bounded-input global windows
+    are fine; unbounded ones are the scale-killer.
+    """
+    counts = tokens(docs).groupBy("word").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    order = [F.col("term_count").desc(), F.col("word").asc()]
+    top = counts.orderBy(*order).limit(max_size)
+    w = Window.orderBy(*order)  # <= max_size rows — post-limit
+    return top.select(
+        "word", (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "term_count",
+    )
+
+
+OOV_ID = -1
+
+
+def tokenize_ids(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map each document to its token-id sequence under ``vocab``
+    (build_vocab output): long form (doc_id, pos, token_id), OOV -> -1.
+
+    The vocab is broadcast (bounded by max_size, a few MB at most) so the
+    token stream never shuffles on the Zipf-skewed word key — the classic
+    dictionary-encode join done the only way that survives corpus scale.
+    Long form keeps downstream consumers (packing, filtering, statistics)
+    in DataFrame algebra; ``groupBy(doc_id).agg(array_sort+collect)``
+    re-assembles arrays when a consumer needs them.
+    """
+    return (
+        tokens(docs)
+        .join(F.broadcast(vocab.select("word", "token_id")), on="word", how="left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce("token_id", F.lit(OOV_ID)).cast("long").alias("token_id"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
     """Per-document top-k terms by TF-IDF (ln-idf, raw term frequency):
     tfidf = tf * ln(N / df). The classic sparse feature extraction,

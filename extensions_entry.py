@@ -280,6 +280,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_random_projection": lambda s, d: sim.random_projection(
             _emb(s, d), k=16
         ),
+        "text_ngram_topk": lambda s, d: tx.ngram_topk(_docs(s, d), n=3, k=20),
+        "text_chunks": lambda s, d: tx.chunk_documents(
+            _docs(s, d), chunk_tokens=32, overlap=8
+        ),
+        "text_vocab_ids": lambda s, d: tx.build_vocab(_docs(s, d), max_size=50),
+        "text_tokenize_ids": lambda s, d: tx.tokenize_ids(
+            _docs(s, d), tx.build_vocab(_docs(s, d), max_size=50)
+        ),
     }
 
 
@@ -845,5 +853,65 @@ WITH v AS (
 {_rp_planes_sql()}
 SELECT vec_id, j, ROUND(list_dot_product(vec, w), 6) AS component
 FROM v, rp
+""",
+        "text_ngram_topk": f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS ngram,
+         lead(word, 2) OVER w AS _last
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+c AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM g WHERE _last IS NOT NULL GROUP BY ngram
+),
+ranked AS (
+  SELECT ngram, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
+  FROM c
+)
+SELECT ngram, n_occurrences, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+        "text_chunks": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS chunk_start
+  FROM t
+)
+SELECT doc_id,
+       chunk_start // 24 AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 32)) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32), ' ')
+         AS chunk_text
+FROM s
+""",
+        "text_vocab_ids": f"""
+WITH {_TOK_CTE},
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS term_count FROM tok GROUP BY word),
+top AS (SELECT word, term_count FROM c ORDER BY term_count DESC, word LIMIT 50)
+SELECT word,
+       CAST(ROW_NUMBER() OVER (ORDER BY term_count DESC, word) - 1 AS BIGINT)
+         AS token_id,
+       term_count
+FROM top
+""",
+        "text_tokenize_ids": f"""
+WITH {_TOK_CTE},
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS term_count FROM tok GROUP BY word),
+top AS (SELECT word, term_count FROM c ORDER BY term_count DESC, word LIMIT 50),
+v AS (
+  SELECT word,
+         ROW_NUMBER() OVER (ORDER BY term_count DESC, word) - 1 AS token_id
+  FROM top
+)
+SELECT t.doc_id,
+       CAST(t.pos - 1 AS BIGINT) AS pos,
+       CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+FROM tok t LEFT JOIN v USING (word)
 """,
     }

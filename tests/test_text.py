@@ -181,3 +181,76 @@ def test_redact_pii_patterns_and_counts(spark):
     assert (
         got.loc[2, ["n_emails", "n_ips", "n_long_ids"]].sum() == 0
     )
+
+
+def test_ngram_topk_hand_counted(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.text import ngram_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b c a b c", "a b c d"],
+            }
+        )
+    )
+    got = ngram_topk(docs, n=3, k=2).toPandas()
+    # trigrams doc0: "a b c","b c a","c a b","a b c"; doc1: "a b c","b c d"
+    assert list(got.ngram) == ["a b c", "b c a"]
+    assert list(got.n_occurrences) == [3, 1]
+    assert list(got["rank"]) == [1, 2]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(f"w{i}" for i in range(10))]})
+    )
+    got = (
+        chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .toPandas()
+        .sort_values("chunk_id")
+    )
+    # stride 3, 10 tokens -> starts 0,3,6,9
+    assert list(got.chunk_start) == [0, 3, 6, 9]
+    assert list(got.chunk_text) == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9",
+    ]
+    assert list(got.n_chunk_tokens) == [4, 4, 4, 1]
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_vocab_and_tokenize_roundtrip(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.text import build_vocab, tokenize_ids
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["b a b c b a", "a c zz"]})
+    )
+    vocab = build_vocab(docs, max_size=3).toPandas().set_index("word")
+    # counts: a=3, b=3, c=2, zz=1 -> tie a/b broken by word asc:
+    # a:0 b:1 c:2, zz cut
+    assert vocab.loc["a"].token_id == 0
+    assert vocab.loc["b"].token_id == 1
+    assert vocab.loc["c"].token_id == 2
+    assert "zz" not in vocab.index
+    ids = (
+        tokenize_ids(docs, build_vocab(docs, max_size=3))
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+    )
+    assert list(ids[ids.doc_id == 0].token_id) == [1, 0, 1, 2, 1, 0]
+    assert list(ids[ids.doc_id == 1].token_id) == [0, 2, -1]  # zz -> OOV
