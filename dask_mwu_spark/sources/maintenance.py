@@ -1,0 +1,121 @@
+"""Table-maintenance operators: small-file compaction and range-clustered
+rewrite.
+
+The small-file problem is THE operational failure mode of a long-lived
+100 TB lake: streaming jobs, per-partition sinks, and incremental loads
+each leave thousands of KB-scale parquet files, and every downstream scan
+then pays per-file open/footer costs (plus driver-side listing memory)
+that dwarf the actual IO.  Compaction rewrites a directory into
+``ceil(bytes / target_file_mb)`` files; clustering additionally
+range-partitions and sorts by a key so each output file covers a disjoint
+key range — parquet min/max row-group statistics then let later filtered
+scans skip whole files (partition-pruning's poor-man's cousin, and the
+precursor of Z-ordering).
+
+No counterpart in the reference (single-pipeline tool, SURVEY.md
+section 2.1) — engine-level capability the Spark port adds.  Verified by
+tests/test_maintenance.py: file-count, row/value parity, and per-file
+min/max disjointness via parquet footers.
+
+Scale notes:
+- The rewrite is one shuffle of the data, the unavoidable minimum;
+  ``repartitionByRange`` samples the key distribution (reservoir, one
+  extra pass over a sample) so output files are even-sized under skew.
+- Write-then-swap keeps the old data readable until the new files are
+  complete; on a real lake this is the commit step a table format
+  (Iceberg/Delta) does transactionally — the local-FS rename stands in
+  for it and is documented as such, not hidden.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def plan_target_files(path: str, target_file_mb: int) -> int:
+    """ceil(directory bytes / target) — at least 1."""
+    return max(1, math.ceil(_dir_bytes(path) / (target_file_mb << 20)))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 256,
+    cluster_by: str | None = None,
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(bytes / target_file_mb)`` files; with ``cluster_by`` the
+    rewrite is ``repartitionByRange(key).sortWithinPartitions(key)`` so
+    output files cover disjoint key ranges (file-level min/max skipping
+    for later scans).  Returns {files_before, files_after, bytes}.
+
+    The swap is local-FS rename (write to a sibling temp dir, move over);
+    a production lake does this commit atomically via a table format —
+    see module docstring.
+    """
+    files_before = len(parquet_files(path))
+    n_out = plan_target_files(path, target_file_mb)
+    df = spark.read.parquet(path)
+    if cluster_by is not None:
+        out = df.repartitionByRange(n_out, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    else:
+        out = df.repartition(n_out)
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    nbytes = _dir_bytes(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": len(parquet_files(path)),
+        "bytes": nbytes,
+    }
+
+
+def file_key_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) of ``column`` from parquet footers — the
+    statistics a clustered layout exposes for file skipping.  Reads ONLY
+    metadata (no row groups)."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return []  # stats unavailable — caller can't skip
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo, hi))
+    return ranges
