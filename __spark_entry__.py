@@ -499,6 +499,57 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream (operators/events.py:
+    min-ts chaining, shrinking per-step user sets, no per-user sort)."""
+    from dask_mwu_spark.operators.events import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention; integer epoch math only (tz/calendar
+    free), see operators/events.cohort_retention."""
+    from dask_mwu_spark.operators.events import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 orders by revenue within one market segment.
+    The filtered customer key set is broadcast (segment selectivity ~1/5 of
+    an already-small dim), the orders⋈lineitem join is the only shuffle,
+    and the global top-10 is orderBy().limit() — TakeOrderedAndProject,
+    no full sort of the order table.  DECIMAL revenue (exact, engine-
+    portable); ties broken by o_orderkey."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``, linear interpolation)."""
@@ -568,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_asof_join,
         "lineitem_rollup": _q_rollup,
         "lineitem_grouping_sets": _q_grouping_sets,
+        "events_funnel": _q_funnel,
+        "events_cohort": _q_cohort,
+        "orders_top_revenue": _q_top_orders,
         "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
         "events_interval_join": _q_interval_join,
@@ -824,6 +878,53 @@ SELECT band, lo, hi,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM j GROUP BY 1, 2, 3
+""",
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS step, 'signup' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT CAST(2 AS INT), 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT CAST(3 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+UNION ALL SELECT CAST(4 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+""",
+        "events_cohort": """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, epoch_ns(ts) // 86400000000000 AS day
+  FROM events
+),
+first AS (SELECT u, MIN(day) AS cohort_day FROM active GROUP BY u)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (u)
+GROUP BY 1, 2
+""",
+        "orders_top_revenue": """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "lineitem_grouping_sets": """
 WITH li AS (

@@ -1,0 +1,102 @@
+"""Batch event-analytics operators: ordered funnels and cohort retention.
+
+No counterpart in the reference (SURVEY.md section 2.1) — product-analytics
+primitives every event pipeline ships, built from joins and aggregations on
+the uniform ``user_id`` key.
+
+Scale design:
+- Funnel: one filtered min-ts aggregation per step plus an equi-join on
+  user_id between consecutive steps.  Each step's table only SHRINKS
+  (users who reached the step), the join key is the uniform user id, and
+  the filters push into the shared scan.  No windows over the event
+  stream, no per-user sorting — the classic "sort each user's events"
+  formulation dies on power users; min-ts chaining doesn't.
+- Cohort retention: two aggregations keyed by user_id / (cohort, offset).
+  Day indexing is pure integer arithmetic on the raw epoch (no calendar
+  functions), so the result is timezone-free and engine-portable.
+
+The events table stores TIMESTAMP(NANOS), which ``load_table`` surfaces as
+a BIGINT of nanoseconds — all time math here is integer math on that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS_PER_DAY = 86_400_000_000_000
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: (step, step_name, n_users) where a user
+    counts for step i iff they produced ``steps[i]`` at-or-after their
+    earliest qualifying time for step i-1 (min-ts chaining; ties allowed,
+    matching the usual at-least-once semantics).
+
+    Step tables are monotonically shrinking user sets; each transition is
+    one filtered aggregation + one uniform equi-join.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    counts = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step)
+        if prev is None:
+            stage = ev.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            stage = (
+                ev.join(prev.select(user_col, F.col("_t").alias("_prev_t")), on=user_col)
+                .where(F.col(ts_col) >= F.col("_prev_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        counts.append(
+            stage.agg(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(step).alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        prev = stage
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-grain cohort retention: (cohort_day, day_offset, n_users) =
+    users whose FIRST event fell on ``cohort_day`` (epoch-day integer) and
+    who were active ``day_offset`` days later.  Integer epoch math only —
+    timezone-free, calendar-free, engine-portable.
+    """
+    # integer `div`, NOT `/`: a 2024 epoch-nanos value (~1.7e18) exceeds
+    # double's 53-bit exact-integer range, so float division can misplace
+    # events at day boundaries; `div` stays in long arithmetic
+    day = F.expr(f"{ts_col} div {NS_PER_DAY}")
+    active = events.select(
+        F.col(user_col).alias("u"), day.alias("day")
+    ).distinct()
+    first = active.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, on="u")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
