@@ -499,6 +499,28 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (batch twin): events ⋈ broadcast user
+    dimension, then per-(segment, type) stats.  The stream never shuffles —
+    the dimension is re-broadcast per microbatch; see
+    streaming/events.enrich_events (stream==batch pytest in
+    tests/test_streaming.py)."""
+    from dask_mwu_spark.streaming.events import enrich_events
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    return (
+        enrich_events(ev, dim)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
@@ -622,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_funnel,
         "events_cohort": _q_cohort,
         "orders_top_revenue": _q_top_orders,
+        "events_enriched": _q_enriched,
         "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
         "events_interval_join": _q_interval_join,
@@ -878,6 +901,13 @@ SELECT band, lo, hi,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM j GROUP BY 1, 2, 3
+""",
+        "events_enriched": """
+SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey - 1
+GROUP BY 1, 2
 """,
         "events_funnel": """
 WITH s1 AS (

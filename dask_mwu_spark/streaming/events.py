@@ -106,6 +106,28 @@ def windowed_event_stats(
     )
 
 
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a slowly-
+    changing dimension (user/account/device attributes).
+
+    Mode-agnostic like the other operators here: with a batch DataFrame
+    it's a plain broadcast join; with a stream it's Structured Streaming's
+    stream-static join — STATELESS (no watermark, no state store), because
+    the static side is re-broadcast per microbatch.  That is the correct
+    100 TB shape for enrichment: the dimension is orders of magnitude
+    smaller than the stream, so the stream never shuffles at all.  For a
+    dimension too big to broadcast, pre-bucket both sides on the key
+    (sources/bucketed.py) instead.
+    """
+    return events.join(F.broadcast(dim), on=key, how=how)
+
+
 def interval_join_events(
     left: DataFrame,
     right: DataFrame,

@@ -165,3 +165,29 @@ def test_stream_source_schema(spark, events_dir):
     sdf = stream_events(spark, events_dir)
     assert sdf.isStreaming
     assert sdf.schema == EVENTS_SCHEMA
+
+
+def test_enrich_stream_equals_batch(spark, sf_dir, events_dir):
+    """Stream-static broadcast enrichment: stateless (no watermark) and
+    result-identical to the batch twin."""
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.streaming.events import enrich_events
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+
+    def stats(ev):
+        return enrich_events(ev, dim).groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+
+    batch = stats(load_table(spark, sf_dir, "events")).collect()
+    stream = stats(stream_events(spark, events_dir))
+    assert stream.isStreaming
+    _run_stream(stream, "enriched", output_mode="complete")
+    got = spark.sql("SELECT * FROM enriched").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) >= 5
