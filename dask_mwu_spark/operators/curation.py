@@ -136,15 +136,21 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         F.sum("cnt").alias("n_tokens"),
         F.max("cnt").alias("top_cnt"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("word"), F.lead("word").over(w)).alias("bigram"),
-            F.lead("word").over(w).alias("_next"),
-        )
-        .where(F.col("_next").isNotNull())
-    )
+    # bigrams straight from the token ARRAY (zip with its own shift) — a
+    # scan-stage generator like tokens(), not a lead() window: the window
+    # form costs a full (doc_id, pos) shuffle + per-doc sort before the
+    # bigram table even exists (~2x the operator's runtime at 1M docs,
+    # tools/scale_probe_curation.py)
+    toks = F.split(F.col("text"), " ")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("bigram"))
     bi_stats = bigrams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.countDistinct("bigram").alias("n_uniq_bigrams"),

@@ -84,9 +84,16 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n = F.size(toks)
     n_chars = F.length("text")
     stop_cnt = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
-    punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    # character-class COUNTS via translate (per-char map lookup), not
+    # regexp_replace (regex engine + rewritten-string allocation per row):
+    # same integers, ~2x less per-row cost at corpus scale
+    # (tools/scale_probe_curation.py).  The DuckDB oracle keeps its
+    # regexp_replace form — integer counts are method-independent.
+    _alpha_chars = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    _digit_chars = "0123456789"
+    alpha = n_chars - F.length(F.translate("text", _alpha_chars, ""))
+    digit = n_chars - F.length(F.translate("text", _digit_chars, ""))
+    punct = F.length(F.translate("text", _alpha_chars + _digit_chars + " ", ""))
     stop_ratio = stop_cnt.cast("double") / n
     punct_ratio = punct.cast("double") / n_chars
     quality = (
