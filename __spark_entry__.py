@@ -521,6 +521,39 @@ def _q_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog replay (sources/cdc.py): base orders + a deterministic
+    synthetic changelog (seq 1 re-prices every 7th order, seq 2 deletes
+    every 11th), collapsed latest-wins in ONE key shuffle — no join node.
+    Output per-status counts and DECIMAL-exact totals of the final state."""
+    from dask_mwu_spark.sources.cdc import apply_changelog
+
+    base = load_table(spark, sf_dir, "orders")
+    cols = base.columns
+    upd = base.where(F.col("o_orderkey") % 7 == 0).select(
+        *[
+            (F.col("o_totalprice") + 1000).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ],
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = base.where(F.col("o_orderkey") % 11 == 0).select(
+        *cols, F.lit(2).cast("long").alias("seq"), F.lit("D").alias("op")
+    )
+    cur = apply_changelog(
+        base, upd.unionByName(dels), keys=["o_orderkey"]
+    )
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
@@ -645,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort": _q_cohort,
         "orders_top_revenue": _q_top_orders,
         "events_enriched": _q_enriched,
+        "orders_cdc_apply": _q_cdc_apply,
         "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
         "events_interval_join": _q_interval_join,
@@ -901,6 +935,37 @@ SELECT band, lo, hi,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM j GROUP BY 1, 2, 3
+""",
+        "orders_cdc_apply": """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, CAST(-1 AS BIGINT) AS seq, 'U' AS op
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000,
+         o_orderdate, o_orderpriority, CAST(1 AS BIGINT), 'U'
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+dels AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, CAST(2 AS BIGINT), 'D'
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM dels
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END
+  ) AS rn
+  FROM merged
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM r WHERE rn = 1 AND op = 'U'
+GROUP BY 1
 """,
         "events_enriched": """
 SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
