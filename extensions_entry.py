@@ -18,6 +18,7 @@ from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
 from dask_mwu_spark.sources.loaders import load_table
 from dask_mwu_spark.operators import curation as cur
 from dask_mwu_spark.operators import dedup as dd
+from dask_mwu_spark.operators import graph as gr
 from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import similarity as sim
 from dask_mwu_spark.operators import text as tx
@@ -287,6 +288,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_ids": lambda s, d: tx.build_vocab(_docs(s, d), max_size=50),
         "text_tokenize_ids": lambda s, d: tx.tokenize_ids(
             _docs(s, d), tx.build_vocab(_docs(s, d), max_size=50)
+        ),
+        "graph_dup_stats": lambda s, d: gr.graph_stats(
+            dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
         ),
     }
 
@@ -913,5 +917,44 @@ SELECT t.doc_id,
        CAST(t.pos - 1 AS BIGINT) AS pos,
        CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
 FROM tok t LEFT JOIN v USING (word)
+""",
+        "graph_dup_stats": f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+canon AS (
+  SELECT DISTINCT doc_a AS u, doc_b AS v FROM est WHERE est_jaccard >= 0.25
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS t FROM canon e1
+  JOIN canon e2 ON e1.v = e2.u
+  JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE ROUND(3.0 * t / n_wedges, 6) END AS clustering
+FROM agg, tri
 """,
     }
