@@ -60,18 +60,51 @@ def plan_target_files(path: str, target_file_mb: int) -> int:
     return max(1, math.ceil(_dir_bytes(path) / (target_file_mb << 20)))
 
 
+def zorder_key(c1, c2, *, bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of each input lands at output
+    positions 2i+1 / 2i.  Sorting by this key gives MULTI-dimensional
+    locality — consecutive rows are close in BOTH dimensions — so a
+    range-clustered rewrite on it yields files whose parquet min/max
+    footers are tight rectangles in (c1, c2) space, and filtered scans on
+    EITHER column (or both) skip files.  Single-column clustering can only
+    ever skip on its one column; that is the whole point of Z-ordering.
+
+    Pure bit arithmetic (shifts + masks unrolled ``bits`` times, whole-
+    stage codegen); inputs beyond ``bits`` bits alias — map/bucket values
+    into [0, 2^bits) first (rank, hash, or quantile bucket).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    one = F.lit(1).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        # bitwiseAND/OR, not the Python &/| operators — PySpark maps those
+        # to LOGICAL and/or on Columns
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(one), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(one), 2 * i)
+        )
+    return out
+
+
 def compact(
     spark: SparkSession,
     path: str,
     *,
     target_file_mb: int = 256,
-    cluster_by: str | None = None,
+    cluster_by=None,
 ) -> dict:
     """Rewrite the parquet directory at ``path`` into
-    ``ceil(bytes / target_file_mb)`` files; with ``cluster_by`` the
-    rewrite is ``repartitionByRange(key).sortWithinPartitions(key)`` so
-    output files cover disjoint key ranges (file-level min/max skipping
-    for later scans).  Returns {files_before, files_after, bytes}.
+    ``ceil(bytes / target_file_mb)`` files; with ``cluster_by`` (a column
+    name or expression — e.g. ``zorder_key("a", "b")`` for multi-dim
+    skipping) the rewrite is
+    ``repartitionByRange(key).sortWithinPartitions(key)`` so output files
+    cover disjoint key ranges (file-level min/max skipping for later
+    scans).  Returns {files_before, files_after, bytes}.
 
     The swap is local-FS rename (write to a sibling temp dir, move over);
     a production lake does this commit atomically via a table format —
