@@ -554,6 +554,60 @@ def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINEITEM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null profile in ONE scan / one aggregation row
+    (operators/audit.py — never one job per column)."""
+    from dask_mwu_spark.operators.audit import null_profile
+
+    return null_profile(
+        load_table(spark, sf_dir, "lineitem"), LINEITEM_COLS
+    )
+
+
+def _q_audit_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness + referential-integrity metrics row: orders primary
+    key duplication and lineitem→orders orphan count (LEFT ANTI join —
+    only violations ever materialize)."""
+    from dask_mwu_spark.operators.audit import orphans, uniqueness
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    uniq = uniqueness(orders, ["o_orderkey"])
+    orph = (
+        orphans(li, orders, child_key="l_orderkey", parent_key="o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    )
+    return uniq.crossJoin(orph)
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count matrix via pivot with EXPLICIT values —
+    passing the value list skips the extra distinct job Spark otherwise
+    runs to discover pivot columns (a full scan at corpus scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
@@ -679,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_top_revenue": _q_top_orders,
         "events_enriched": _q_enriched,
         "orders_cdc_apply": _q_cdc_apply,
+        "audit_lineitem_nulls": _q_null_profile,
+        "audit_orders_keys": _q_audit_keys,
+        "events_pivot": _q_events_pivot,
         "lineitem_cube": _q_cube,
         "lineitem_range_join": _q_range_join,
         "events_interval_join": _q_interval_join,
@@ -935,6 +992,28 @@ SELECT band, lo, hi,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM j GROUP BY 1, 2, 3
+""",
+        "audit_lineitem_nulls": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS "column", CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"""
+            for c in LINEITEM_COLS
+        ),
+        "audit_orders_keys": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL) AS n_orphan_lineitems
+FROM orders
+""",
+        "events_pivot": """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
 """,
         "orders_cdc_apply": """
 WITH base AS (

@@ -1,0 +1,71 @@
+"""Data-quality audit operators: null profiling, key uniqueness,
+referential integrity.
+
+The checks a pipeline runs BEFORE trusting a 100 TB table: every one is a
+single pass or a single key-join, emitted as a small metrics table a
+scheduler can gate on.  No counterpart in the reference (SURVEY.md
+section 2.1).
+
+Scale design:
+- ``null_profile``: ONE scan, one aggregation row — per-column null
+  counts are conditional sums inside the same partial aggregate, exploded
+  to long form afterwards (never one job per column, the classic
+  profiling mistake that turns a 200-column table into 200 scans).
+- ``uniqueness``: one groupBy on the candidate key (uniform if the key is
+  worth auditing) with map-side partial counts.
+- ``orphans``: LEFT ANTI join child→parent on the key — one shuffle, no
+  row ever materializes except violations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """(column, n_nulls, n_rows) per column — one scan, one agg row,
+    exploded to long form."""
+    cols = list(columns) if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), F.col(f"_nn_{i}").alias("n_nulls")
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(
+        F.explode(pairs).alias("p"), F.col("_n").alias("n_rows")
+    ).select("p.column", "p.n_nulls", "n_rows")
+
+
+def uniqueness(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row: (n_rows, n_distinct_keys, n_dup_rows) for a candidate
+    key — n_dup_rows counts rows beyond the first per duplicated key."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    return per_key.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.sum(F.col("_c") - 1).cast("long").alias("n_dup_rows"),
+    )
+
+
+def orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Child rows whose key has no parent (referential-integrity
+    violations) — LEFT ANTI join, one shuffle, violations only."""
+    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    return child.join(p, on=child_key, how="left_anti")
