@@ -111,6 +111,113 @@ def hash_split(
 
 
 # ---------------------------------------------------------------------------
+# model-based quality scoring (hashed linear classifier)
+# ---------------------------------------------------------------------------
+
+N_CLF_BUCKETS = 64
+CLF_BIAS = 0.1
+
+
+def clf_weights(n_buckets: int = N_CLF_BUCKETS, seed: str = "clf") -> list[int]:
+    """Deterministic integer weights in [-1e6, 1e6] (millionths), one per
+    hash bucket — a stand-in for trained classifier coefficients, derived
+    from md5 so tests and the DuckDB oracle can rebuild them bit-for-bit.
+    A real deployment passes its fasttext/logreg coefficients instead;
+    the scoring plan is identical."""
+    import hashlib
+
+    out = []
+    for b in range(n_buckets):
+        h = int(hashlib.md5(f"{seed}:{b}".encode()).hexdigest()[:15], 16)
+        out.append(int(h % 2_000_001) - 1_000_000)
+    return out
+
+
+def classifier_score(
+    docs: DataFrame,
+    *,
+    weights: list[int] | None = None,
+    bias: float = CLF_BIAS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-classifier scoring at corpus scale: a linear model over
+    hashed bag-of-words features (the fasttext-style quality filter used
+    to curate web corpora — CCNet/LLaMA-style), evaluated entirely as
+    JVM-side DataFrame algebra: (doc_id, n_tokens, clf_score, keep).
+
+    Model: bucket = md5(word) % B; z = bias + Σ_b tf_b · w_b where tf_b is
+    the bucket's token fraction; score = sigmoid(z).  ``weights`` are
+    INTEGER millionths shipped as a plan literal and folded into the
+    per-token expression, so the feature sum is an exact BIGINT
+    Σ count·w — no float accumulation order anywhere until the final
+    sigmoid (cross-engine hash-safe, and at scale immune to partial-agg
+    reordering).
+
+    Scale: one token explode → one groupBy(doc_id) with map-side partial
+    aggregation (the Σ count·w collapses per doc before the shuffle); the
+    broadcast-free weight lookup is ``element_at`` on a B-element array
+    literal — no join, no Python.  Cost is O(total tokens), the same shape
+    as text.text_stats.
+    """
+    w = weights if weights is not None else clf_weights()
+    n_buckets = len(w)
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    toks = tokens(docs)
+    scored = (
+        toks.withColumn("_b", md5_long(F.col("word")) % n_buckets)
+        .withColumn("_w", F.element_at(warr, F.col("_b").cast("int") + 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w").alias("_wsum"),
+        )
+        .withColumn(
+            "_z",
+            F.lit(bias)
+            + F.col("_wsum").cast("double")
+            / (F.lit(1_000_000.0) * F.col("n_tokens")),
+        )
+        .withColumn(
+            "clf_score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 6)
+        )
+        .withColumn("keep", F.col("clf_score") >= threshold)
+        .select("doc_id", "n_tokens", "clf_score", "keep")
+    )
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    *,
+    k: int = 10,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACTLY k rows per stratum, deterministically: rank rows inside each
+    stratum by md5(salt:id) and keep the first k.  Unlike ``sampleBy``
+    (Bernoulli per-row, approximate counts, rand()-based and thus
+    retry-unstable), this gives exact counts and the same sample on every
+    engine, run, and partition layout — the property audits need.
+
+    Scale: one hash-keyed window per stratum; the sort is per-stratum
+    (no global order), and skewed strata are bounded by the top-k rank
+    cutoff, not materialized."""
+    h = md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality heuristics)
 # ---------------------------------------------------------------------------
 

@@ -209,6 +209,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(
             _docs(s, d), est_threshold=0.25
         ),
+        "dedup_verified": lambda s, d: dd.verified_pairs(
+            _docs(s, d), est_threshold=0.25, threshold=0.5
+        ),
+        "dedup_edit_sim": lambda s, d: dd.edit_similarity_pairs(
+            _docs(s, d), est_threshold=0.25, threshold=0.6
+        ),
         "dedup_components": lambda s, d: dd.dup_components(
             dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
         ),
@@ -247,6 +253,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chars").alias("sum_chars"),
         ),
         "cur_repetition": lambda s, d: cur.repetition_signals(_docs(s, d)),
+        "cur_classifier": lambda s, d: cur.classifier_score(_docs(s, d)),
+        "cur_stratified": lambda s, d: cur.stratified_sample(_docs(s, d), k=5),
         "cur_curate": lambda s, d: cur.curate(_docs(s, d))
         .groupBy("source")
         .agg(
@@ -525,6 +533,71 @@ est AS (
 )
 SELECT * FROM est WHERE est_jaccard >= 0.25
 """,
+        "dedup_verified": f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+keep AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT k.doc_a, k.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM keep k
+  JOIN sh a ON a.doc_id = k.doc_a
+  JOIN sh b ON b.doc_id = k.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT k.doc_a, k.doc_b, k.est_jaccard,
+         ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+               / (x.n_sh + y.n_sh - COALESCE(n_inter, 0)), 6) AS jaccard
+  FROM keep k
+  LEFT JOIN inter ON k.doc_a = inter.doc_a AND k.doc_b = inter.doc_b
+  JOIN sizes x ON k.doc_a = x.doc_id
+  JOIN sizes y ON k.doc_b = y.doc_id
+)
+SELECT * FROM scored WHERE jaccard >= 0.5
+""",
+        "dedup_edit_sim": f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+keep AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.25),
+nt AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS ntext
+  FROM documents
+),
+scored AS (
+  SELECT k.doc_a, k.doc_b,
+         ROUND(1.0 - CAST(levenshtein(a.ntext, b.ntext) AS DOUBLE)
+                     / GREATEST(length(a.ntext), length(b.ntext)), 6) AS edit_sim
+  FROM keep k
+  JOIN nt a ON k.doc_a = a.doc_id
+  JOIN nt b ON k.doc_b = b.doc_id
+)
+SELECT * FROM scored WHERE edit_sim >= 0.6
+""",
         "dedup_components": f"""
 WITH {_CC_CTE}
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component FROM cc
@@ -728,6 +801,35 @@ s AS (
 SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split
+""",
+        "cur_classifier": f"""
+WITH {_TOK_CTE},
+w(b, wt) AS (VALUES {",".join(f"({b},{wt})" for b, wt in enumerate(cur.clf_weights()))}),
+bs AS (
+  SELECT doc_id, {_MD5H.format(x='word')} % {cur.N_CLF_BUCKETS} AS b FROM tok
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt) AS BIGINT) AS wsum
+  FROM bs JOIN w USING (b) GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id, n_tokens,
+         ROUND(1.0 / (1.0 + exp(-({cur.CLF_BIAS} + CAST(wsum AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS clf_score
+  FROM agg
+)
+SELECT doc_id, n_tokens, clf_score, (clf_score >= 0.5) AS keep FROM sc
+""",
+        "cur_stratified": f"""
+WITH r AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_MD5H.format(x="'strat:' || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 5
 """,
         "cur_repetition": f"""
 WITH {_TOK_CTE},

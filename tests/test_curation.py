@@ -169,3 +169,60 @@ def test_sample_mixture_rates_and_determinism(spark):
     # rate 0 drops the source entirely
     none = sample_mixture(docs, {"a": 0.0, "b": 0.0}, source_col="mix_src")
     assert none.count() == 0
+
+
+def test_classifier_score_matches_numpy_oracle(spark):
+    """Hashed-linear-model scoring vs a from-scratch numpy/hashlib oracle."""
+    import hashlib
+    import math
+
+    from dask_mwu_spark.operators.curation import classifier_score, clf_weights
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "spark engines shuffle data across the cluster", "en", "s", 45),
+        (2, "one", "en", "s", 3),
+    ]
+    got = (
+        classifier_score(_docs(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    w = clf_weights()
+    for doc_id, text, *_ in rows:
+        toks = text.split(" ")
+        wsum = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % len(w)
+            wsum += w[b]
+        z = 0.1 + wsum / (1_000_000.0 * len(toks))
+        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert got.loc[doc_id].clf_score == want
+        assert got.loc[doc_id].n_tokens == len(toks)
+        assert bool(got.loc[doc_id].keep) == (want >= 0.5)
+
+
+def test_classifier_score_custom_weights_and_threshold(spark):
+    from dask_mwu_spark.operators.curation import classifier_score
+
+    rows = [(0, "a b", "en", "s", 3)]
+    # all-zero weights -> z = bias -> sigmoid(0.1) ~ 0.524979
+    got = classifier_score(
+        _docs(spark, rows), weights=[0] * 8, threshold=0.6
+    ).toPandas()
+    assert got.iloc[0].clf_score == 0.524979
+    assert not got.iloc[0].keep
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from dask_mwu_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"text {i}", "en", "src%d" % (i % 3), 10) for i in range(300)]
+    a = stratified_sample(_docs(spark, rows), k=7).toPandas()
+    b = stratified_sample(_docs(spark, rows), k=7).toPandas()
+    assert a.groupby("source").size().tolist() == [7, 7, 7]
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # deterministic
+    # sample of a subset stays inside the sample rank order: k smaller -> subset
+    small = stratified_sample(_docs(spark, rows), k=3).toPandas()
+    assert set(small.doc_id) <= set(a.doc_id)

@@ -132,3 +132,64 @@ def test_simhash_64bit_agrees_on_duplicate_pairs(spark):
     assert dup64 <= dup32
     # 64-bit signatures spread beyond the low 32 bits (not just zero-padded)
     assert any((abs(int(v)) >> 32) != 0 for v in sh64.values)
+
+
+def test_verify_jaccard_matches_exact_pairs(spark):
+    """Verified two-stage pairs must agree with the exact all-pairs measure
+    on every candidate LSH surfaces."""
+    from dask_mwu_spark.operators.dedup import verified_pairs
+
+    got = verified_pairs(
+        _docs(spark), est_threshold=0.2, threshold=0.3
+    ).toPandas()
+    exact = (
+        ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=None)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+        .jaccard
+    )
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert exact.loc[(r.doc_a, r.doc_b)] == r.jaccard
+    # identical docs verify at exactly 1.0
+    idx = got.set_index(["doc_a", "doc_b"]).jaccard
+    assert idx.loc[(0, 1)] == 1.0
+
+
+def test_verify_jaccard_kills_false_positive(spark):
+    """A fabricated candidate pair with zero shingle overlap must be
+    filtered by the verification stage (jaccard 0 < threshold)."""
+    from dask_mwu_spark.operators.dedup import verify_jaccard
+
+    cand = spark.createDataFrame([(0, 4)], "doc_a long, doc_b long")
+    out = verify_jaccard(_docs(spark), cand, threshold=0.1).toPandas()
+    assert len(out) == 0
+
+
+def test_edit_similarity_normalized_dup_is_one(spark):
+    from dask_mwu_spark.operators.dedup import edit_similarity_pairs
+
+    got = edit_similarity_pairs(
+        _docs(spark), est_threshold=0.2, threshold=0.5
+    ).toPandas()
+    idx = got.set_index(["doc_a", "doc_b"]).edit_sim
+    assert idx.loc[(0, 1)] == 1.0  # identical
+    assert idx.loc[(0, 2)] == 1.0  # whitespace/case normalize to equal
+    # near dup: one word differs ("lazy" -> "sleepy"): lev <= 6 on ~43 chars
+    assert 0.8 <= idx.loc[(0, 3)] < 1.0
+
+
+def test_edit_similarity_distance_cap_agrees(spark):
+    """The banded JVM fast path must agree with the uncapped oracle path
+    on every pair it emits."""
+    from dask_mwu_spark.operators.dedup import edit_similarity_pairs
+
+    full = edit_similarity_pairs(
+        _docs(spark), est_threshold=0.2, threshold=0.5
+    ).toPandas()
+    capped = edit_similarity_pairs(
+        _docs(spark), est_threshold=0.2, threshold=0.5, distance_cap=50
+    ).toPandas()
+    f = full.set_index(["doc_a", "doc_b"]).edit_sim.to_dict()
+    c = capped.set_index(["doc_a", "doc_b"]).edit_sim.to_dict()
+    assert f == c
