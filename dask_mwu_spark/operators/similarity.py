@@ -409,6 +409,161 @@ def kmeans_centroids(
     )
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    tau: float = 0.4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the corpus (nearest
+    centroid by cosine), then compare pairs ONLY within a cluster:
+    (vec_a, vec_b, cent_id, cosine >= tau).
+
+    This is the published SemDeDup recipe (Abbas et al. 2023): k-means the
+    embeddings, then do pairwise similarity inside each cluster — O(Σ_c
+    n_c²) instead of O(N²), with n_c ≈ N/C.  Against the LSH variant
+    (``embedding_dup_pairs``) the clustering adapts to data geometry, so
+    recall does not collapse on structureless regions the way fixed
+    hyperplanes do.  ``centroids=`` injects real KMeans|| centers
+    (``kmeans_centroids``); the default deterministic seeding keeps the
+    DuckDB oracle exact.
+
+    Scale: assignment is the broadcast cross join from ``ivf_index`` (no
+    vector shuffle); the pair join shuffles once on cent_id, and a skewed
+    mega-cluster is AQE-splittable.  The assignment table is persisted —
+    it feeds both sides of the self-join.
+    """
+    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = (
+        idx.alias("x")
+        .join(idx.alias("y"), on="cent_id")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            "cent_id",
+            F.round(
+                dot(F.col("x.vec"), F.col("y.vec"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= tau)
+
+
+def semantic_purge(
+    emb: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    tau: float = 0.4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Vectors surviving semantic dedup: connected components over the
+    within-cluster pair graph, keep the smallest vec_id per component.
+    Pairs never cross clusters, so components are cluster-local and the
+    closure converges in O(log cluster-size) rounds."""
+    from dask_mwu_spark.operators.dedup import dup_components
+
+    pairs = semantic_dup_pairs(
+        emb, n_centroids=n_centroids, tau=tau, centroids=centroids
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = dup_components(pairs)
+    drop = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(drop, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the ANN memory path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization: (vec_id, qvec, qnrm).
+
+    q_i = floor(x_i · s + 0.5) with s = 127 / max|x| — symmetric max-abs
+    quantization, the standard serving-time compression (4× memory, and
+    integer dot products).  floor(+0.5) is used instead of round() because
+    its half-up-toward-+inf tie behavior is identical in every engine
+    (round() half-away differs from DuckDB's banker-ish double rounding on
+    negative ties).
+
+    At 100 TB this is the difference between an embedding table that fits
+    executor memory and one that doesn't: 768-dim float32 = 3 KB/vec vs
+    768 B/vec quantized, and the bucket-join ANN paths carry qvec instead
+    of vec.  Zero-vectors quantize to all-zero (guarded scale) and are
+    excluded from cosine by the qnrm > 0 filter downstream.
+    """
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    mx = F.array_max(F.transform(F.col("vec"), lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q = F.transform(
+        F.col("vec"), lambda x: F.floor(x * F.col("_s") + F.lit(0.5)).cast("long")
+    )
+    out = (
+        vecs.withColumn("_s", scale)
+        .withColumn("qvec", q)
+        .withColumn(
+            "qnrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("qvec"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).cast("double")
+            ),
+        )
+        .select("vec_id", "qvec", "qnrm")
+    )
+    return out
+
+
+def quantized_topk(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors:
+    (q_id, vec_id, qcosine).  The dot product is an exact BIGINT sum (no
+    float accumulation anywhere — cross-engine and partition-layout
+    invariant by construction); only the final normalization divides.
+    Recall vs the float path is gated in tests (max-abs int8 keeps
+    cosine error ~1e-2, far inside top-k stability for clustered data)."""
+    qv = quantize_embeddings(emb).where(F.col("qnrm") > 0)
+    queries = qv.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnrm").alias("q_qnrm"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("q_qvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qv.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                qdot.cast("double") / (F.col("qnrm") * F.col("q_qnrm")), 6
+            ).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qcosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "qcosine")
+    )
+
+
 def embedding_dup_pairs(emb: DataFrame, *, tau: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc-level semantic dedup):
     exact within LSH buckets (vectors this similar collide in every bucket

@@ -183,3 +183,64 @@ def test_random_projection_matches_numpy(spark, sf_dir):
         want = mat @ np.array(r.embedding, dtype=np.float64)
         for j in range(4):
             assert abs(got.loc[(r.vec_id, j)] - round(want[j], 6)) < 1e-9
+
+
+def test_semantic_dup_pairs_within_cluster_only(spark):
+    """Pairs must come from the same assigned cluster, and planted
+    near-identical vectors must be found."""
+    from dask_mwu_spark.operators.similarity import ivf_index, semantic_dup_pairs
+
+    base = rng.normal(size=(40, 32))
+    base[25] = base[20] + 1e-4 * rng.normal(size=32)  # planted near-dup
+    emb = _emb(spark, base)
+    pairs = semantic_dup_pairs(emb, n_centroids=4, tau=0.9).toPandas()
+    assert (20, 25) in set(zip(pairs.vec_a, pairs.vec_b))
+    asg = ivf_index(emb, n_centroids=4).toPandas().set_index("vec_id").cent_id
+    for r in pairs.itertuples():
+        assert asg.loc[r.vec_a] == asg.loc[r.vec_b] == r.cent_id
+
+
+def test_semantic_purge_keeps_min_per_component(spark):
+    from dask_mwu_spark.operators.similarity import semantic_purge
+
+    base = rng.normal(size=(30, 32))
+    base[12] = base[4]          # dup of 4
+    base[21] = base[4] * 1.001  # scaled copy (cosine 1) -> same component
+    out = semantic_purge(_emb(spark, base), n_centroids=4, tau=0.999).toPandas()
+    kept = set(out.vec_id)
+    assert 4 in kept and 12 not in kept and 21 not in kept
+    assert len(kept) == 28
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    from dask_mwu_spark.operators.similarity import quantize_embeddings
+
+    base = rng.normal(size=(8, 16))
+    base[3] = 0.0  # zero vector edge case
+    got = quantize_embeddings(_emb(spark, base)).toPandas().set_index("vec_id")
+    f32 = base.astype(np.float32).astype(np.float64)
+    for vid in range(8):
+        x = f32[vid]
+        m = np.abs(x).max()
+        if m == 0:
+            want = np.zeros_like(x, dtype=np.int64)
+        else:
+            want = np.floor(x * (127.0 / m) + 0.5).astype(np.int64)
+        assert list(got.loc[vid].qvec) == want.tolist()
+        assert np.abs(want).max() <= 127
+        assert abs(got.loc[vid].qnrm - np.sqrt((want * want).sum())) < 1e-9
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """On clustered data the quantized top-k must recover most of the float
+    top-k (int8 max-abs keeps cosine error ~1e-2)."""
+    from dask_mwu_spark.operators.similarity import quantized_topk
+
+    centers = rng.normal(size=(5, 32)) * 3
+    base = np.vstack([c + 0.05 * rng.normal(size=(12, 32)) for c in centers])
+    emb = _emb(spark, base)
+    exact = cosine_topk(emb, n_queries=5, k=5).toPandas()
+    quant = quantized_topk(emb, n_queries=5, k=5).toPandas()
+    e = {(r.q_id, r.vec_id) for r in exact.itertuples()}
+    q = {(r.q_id, r.vec_id) for r in quant.itertuples()}
+    assert len(e & q) / len(e) >= 0.8
