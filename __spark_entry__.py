@@ -687,6 +687,61 @@ def _q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth on one windowed pass: quartile bucket
+    (ntile), percent_rank, and cume_dist per event_type over (value,
+    event_id) — all three share ONE window sort (single Exchange +
+    Sort in the plan).  percent_rank/cume_dist are exact integer ratios
+    in double, engine-portable without rounding; the (value, event_id)
+    ordering key is unique, so every function is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.unpivot (wide→long melt) over the four lineitem
+    measures, re-aggregated per measure.  Money sums in DECIMAL(18,2) —
+    a rounded double SUM at 1e9 magnitudes diverges across engines
+    (verify-skill gotcha); decimal is exact on both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(
+        "l_orderkey", *[F.col(m).cast("decimal(18,2)").alias(m) for m in measures]
+    ).unpivot("l_orderkey", measures, "feature", "value")
+    return long.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("double").alias("sum_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+
+
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with gap fill + forward fill (see
+    operators/events.resample_events)."""
+    from dask_mwu_spark.operators.events import resample_events
+
+    return resample_events(load_table(spark, sf_dir, "events"))
+
+
+def _q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming running-stats anomaly detector
+    (streaming/events.anomaly_stream; stream==batch pytest-gated)."""
+    from dask_mwu_spark.streaming.events import anomaly_batch
+
+    return anomaly_batch(load_table(spark, sf_dir, "events"))
+
+
 def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch run of the mode-agnostic streaming windowed aggregation
     (same function powers the Structured Streaming path — see
@@ -744,6 +799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": _q_orders_by_month,
         "lineitem_percentiles": _q_percentiles,
         "events_rolling_window": _q_rolling_window,
+        "events_window_rank": _q_window_rank,
+        "lineitem_unpivot": _q_unpivot,
+        "events_resample": _q_resample,
+        "events_anomaly": _q_anomaly,
     }
     try:
         from extensions_entry import extension_queries
@@ -1126,6 +1185,84 @@ SELECT l_returnflag AS grp,
        ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
        ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty
 FROM lineitem GROUP BY 1
+""",
+        "events_window_rank": """
+SELECT event_id, event_type, value,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+        "lineitem_unpivot": """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS feature, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value) AS DOUBLE) AS sum_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM long GROUP BY feature
+""",
+        "events_resample": """
+WITH pb AS (
+  -- floor(floor(ns/1000)/3.6e9) == floor(ns/3.6e12): nested integer
+  -- division composes exactly, so micro-epoch bucketing matches the
+  -- engine's nano-epoch `div`
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM pb GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.bucket,
+         COALESCE(pb.n_events, 0) AS n_events,
+         pb.sum_value
+  FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, n_events, sum_value,
+       LAST_VALUE(sum_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM j
+""",
+        "events_anomaly": """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts_us, value,
+         COUNT(*) OVER wp AS n_prior,
+         SUM(value) OVER wp AS sum_p,
+         SUM(value * value) OVER wp AS sumsq_p
+  FROM ev
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, event_id, ts_us, value, CAST(n_prior AS BIGINT) AS n_prior,
+         CASE WHEN n_prior >= 5
+               AND (sumsq_p - sum_p * sum_p / n_prior) / (n_prior - 1) > 0
+              THEN ROUND((value - sum_p / n_prior)
+                         / sqrt((sumsq_p - sum_p * sum_p / n_prior) / (n_prior - 1)), 6)
+         END AS z
+  FROM s
+)
+SELECT user_id, event_id, ts_us, value, n_prior, z,
+       (abs(z) > 3.0) AS is_anomaly
+FROM z
 """,
         "events_rolling_window": """
 WITH ev AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NS_PER_DAY = 86_400_000_000_000
@@ -99,4 +99,68 @@ def cohort_retention(
             "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+def resample_events(
+    events: DataFrame,
+    *,
+    bucket_ns: int = NS_PER_HOUR,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user fixed-interval resampling with GAP FILL and forward fill:
+    (user_id, bucket, n_events, sum_value, filled_value).
+
+    Downsamples the event stream to ``bucket_ns``-wide intervals, emits a
+    row for EVERY bucket between each user's first and last event (gaps
+    get n_events = 0), and carries the last observed per-bucket sum
+    forward across gaps — the resample → ffill primitive time-series
+    stores ship (and the feature-engineering shape "activity per hour,
+    zero-filled" a training pipeline needs).
+
+    Engine mechanics: bucket index is integer `div` on the raw epoch-nanos
+    (timezone-free, exact — see cohort_retention); the dense grid is a
+    per-user ``sequence()`` explode (generator in the scan stage, no
+    shuffle) bounded by each user's own span, NOT a global calendar cross
+    join; the fill is one ``last(ignorenulls)`` running window per user.
+    Scale: grid size is Σ_u span_u/bucket — linear in users × span; the
+    join key (user, bucket) is uniform, and a power user costs its span,
+    never its event count squared.
+    """
+    b = F.expr(f"{ts_col} div {bucket_ns}").alias("bucket")
+    per_bucket = (
+        events.select(F.col(user_col).alias("user_id"), b, F.col(value_col))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+    grid = (
+        per_bucket.groupBy("user_id")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        )
+    )
+    joined = grid.join(per_bucket, ["user_id", "bucket"], "left").na.fill(
+        {"n_events": 0}
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
     )

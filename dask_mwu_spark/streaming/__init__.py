@@ -1,6 +1,9 @@
 from dask_mwu_spark.streaming.events import (
+    ANOMALY_SCHEMA,
     EVENTS_SCHEMA,
     GAP_US_DEFAULT,
+    anomaly_batch,
+    anomaly_stream,
     dedup_stream,
     event_time,
     interval_join_events,
@@ -11,8 +14,11 @@ from dask_mwu_spark.streaming.events import (
 )
 
 __all__ = [
+    "ANOMALY_SCHEMA",
     "EVENTS_SCHEMA",
     "GAP_US_DEFAULT",
+    "anomaly_batch",
+    "anomaly_stream",
     "dedup_stream",
     "event_time",
     "interval_join_events",

@@ -335,3 +335,130 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# running-statistics anomaly detection (stream + batch twins)
+# ---------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+
+def anomaly_batch(
+    events: DataFrame, *, min_history: int = 5, threshold: float = 3.0
+) -> DataFrame:
+    """Per-event anomaly score against the user's OWN history: z-score of
+    each value vs the running mean/stddev of all PRIOR events (event-time
+    order): (user_id, event_id, ts_us, value, n_prior, z, is_anomaly).
+
+    z is NULL until ``min_history`` prior events exist and the prior
+    variance is positive; ``is_anomaly`` compares the ROUNDED z (the value
+    emitted) so flag and score never disagree across engines.  The running
+    sums Σv, Σv² come from one cumulative window frame — the same
+    user-keyed Exchange+Sort every other per-user analytic here uses, and
+    the formulation the streaming twin reproduces with O(1) state.
+    """
+    ev = events.select(
+        "user_id", "event_id", ts_us("ts").alias("ts_us"), "value"
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count(F.lit(1)).over(wp)
+    s = F.sum("value").over(wp)
+    ss = F.sum(F.col("value") * F.col("value")).over(wp)
+    var = (ss - s * s / n) / (n - 1)
+    z = F.when(
+        (n >= min_history) & (var > 0),
+        F.round((F.col("value") - s / n) / F.sqrt(var), 6),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        n.cast("long").alias("n_prior"),
+        z.alias("z"),
+        (F.abs(z) > threshold).alias("is_anomaly"),
+    )
+
+
+def anomaly_stream(
+    events: DataFrame,
+    *,
+    min_history: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``anomaly_batch`` via ``applyInPandasWithState``:
+    per-user GroupState holds (n, Σv, Σv²) — three numbers, never the
+    history — and each arriving event is scored against the state BEFORE
+    being folded in.  Same event-order accumulation as the batch window,
+    so closed prefixes match the batch result exactly (stream==batch
+    pytest-gated).  Ordering contract as in ``sessionize_stream``."""
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("ss", T.DoubleType()),
+        ]
+    )
+
+    def _update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            n, s, ss = state.get
+        else:
+            n, s, ss = 0, 0.0, 0.0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        for eid, ts, val in zip(rows["event_id"], rows["ts"], rows["value"]):
+            v = float(val)
+            z = None
+            if n >= min_history:
+                var = (ss - s * s / n) / (n - 1)
+                if var > 0:
+                    z = round((v - s / n) / (var ** 0.5), 6)
+            out.append(
+                (
+                    user_id,
+                    int(eid),
+                    int(ts) // NS_PER_US,
+                    v,
+                    n,
+                    z,
+                    (abs(z) > threshold) if z is not None else None,
+                )
+            )
+            n, s, ss = n + 1, s + v, ss + v * v
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ANOMALY_SCHEMA.fields]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

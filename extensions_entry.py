@@ -241,6 +241,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
             _emb(s, d), tau=0.4
         ),
+        "sim_semantic_dedup": lambda s, d: sim.semantic_dup_pairs(
+            _emb(s, d), n_centroids=16, tau=0.4
+        ),
+        "sim_quantized_topk": lambda s, d: sim.quantized_topk(_emb(s, d)),
         # corpus curation (operators/curation.py): eval set = every 50th doc
         "cur_contamination": lambda s, d: cur.contamination(
             _docs(s, d).where(F.col("doc_id") % 50 != 0),
@@ -776,6 +780,59 @@ pairs AS (
   WHERE x.vec_id < y.vec_id
 )
 SELECT * FROM pairs WHERE cosine >= 0.4
+""",
+        "sim_semantic_dedup": f"""
+WITH {_VEC_CTE},
+cents AS (SELECT vec_id AS cent_id, vec AS c_vec, nrm AS c_nrm FROM nv WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, vec, nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg WHERE rn = 1),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cent_id AS cent_id,
+         ROUND(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS cosine
+  FROM idx x JOIN idx y ON x.cent_id = y.cent_id
+  WHERE x.vec_id < y.vec_id
+)
+SELECT * FROM pairs WHERE cosine >= 0.4
+""",
+        "sim_quantized_topk": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+mx AS (
+  SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) AS m FROM v
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(vec, x -> CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)) AS qvec
+  FROM mx WHERE m > 0
+),
+qn AS (
+  SELECT vec_id, qvec,
+         sqrt(CAST(list_aggregate(list_transform(qvec, x -> x * x), 'sum') AS DOUBLE)) AS qnrm
+  FROM qv
+),
+qz AS (SELECT * FROM qn WHERE qnrm > 0),
+q AS (SELECT vec_id AS q_id, qvec AS q_qvec, qnrm AS q_qnrm FROM qz WHERE vec_id < 10),
+s AS (
+  -- int dot via double list_dot_product: |q_i| <= 127 so the products and
+  -- their sum stay far inside the 2^53 exact-integer range of DOUBLE
+  SELECT q_id, vec_id,
+         ROUND(list_dot_product(list_transform(qvec, x -> CAST(x AS DOUBLE)),
+                                list_transform(q_qvec, x -> CAST(x AS DOUBLE)))
+               / (qnrm * q_qnrm), 6) AS qcosine
+  FROM qz, q WHERE vec_id != q_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, qcosine FROM r WHERE rn <= 5
 """,
         "cur_contamination": f"""
 WITH {_SHINGLE_CTE},

@@ -77,3 +77,60 @@ def test_cohort_retention_day_offsets(spark):
         (10, 3): 1,
         (11, 0): 1,
     }
+
+
+def test_resample_fills_gaps_and_carries_forward(spark):
+    from dask_mwu_spark.operators.events import resample_events
+
+    h = 3_600_000_000_000  # NS_PER_HOUR
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # user 1: events in hours 0, 0, 3 -> grid 0..3, gaps at 1,2
+                (1, "a", 0 * h + 5, 10.0),
+                (1, "b", 0 * h + 9, 2.5),
+                (1, "c", 3 * h + 1, 7.0),
+                # user 2: single event -> single-bucket grid
+                (2, "a", 10 * h, 1.0),
+            ],
+            columns=["user_id", "event_type", "ts", "value"],
+        )
+    )
+    got = (
+        resample_events(ev)
+        .toPandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got.user_id == 1]
+    assert list(u1.bucket) == [0, 1, 2, 3]
+    assert list(u1.n_events) == [2, 0, 0, 1]
+    assert u1.iloc[0].sum_value == 12.5
+    assert pd.isna(u1.iloc[1].sum_value) and pd.isna(u1.iloc[2].sum_value)
+    # forward fill carries 12.5 across the gap, then 7.0
+    assert list(u1.filled_value) == [12.5, 12.5, 12.5, 7.0]
+    u2 = got[got.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0].n_events == 1
+
+
+def test_resample_partition_invariance(spark):
+    """Result must not depend on the input partition layout."""
+    import numpy as np
+
+    from dask_mwu_spark.operators.events import resample_events
+
+    rng = np.random.default_rng(3)
+    h = 3_600_000_000_000
+    rows = [
+        (int(u), "t", int(rng.integers(0, 50) * h + rng.integers(0, h)), float(v))
+        for u, v in zip(rng.integers(0, 20, 400), rng.normal(size=400))
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "value"])
+    )
+    a = resample_events(ev.repartition(1)).toPandas()
+    b = resample_events(ev.repartition(17)).toPandas()
+    key = ["user_id", "bucket"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -191,3 +191,38 @@ def test_enrich_stream_equals_batch(spark, sf_dir, events_dir):
     got = spark.sql("SELECT * FROM enriched").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(got) >= 5
+
+
+def test_anomaly_stream_equals_batch(spark, sf_dir, events_dir):
+    """Every row the stream emits must match the batch z-scores exactly —
+    the running (n, Σv, Σv²) state reproduces the batch window accumulation
+    order, so even the float math agrees bit-for-bit."""
+    from dask_mwu_spark.streaming import anomaly_batch, anomaly_stream
+
+    batch = anomaly_batch(load_table(spark, sf_dir, "events")).collect()
+    stream = anomaly_stream(stream_events(spark, events_dir))
+    assert stream.isStreaming
+    _run_stream(stream, "anomaly", output_mode="append")
+    got = spark.sql("SELECT * FROM anomaly").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) >= 1000
+
+
+def test_anomaly_batch_flags_planted_outlier(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.streaming import anomaly_batch
+
+    us = 1_000
+    rows = [(1, i, i * 60 * 10**9, 10.0 + (i % 3) * 0.1, "t", None) for i in range(10)]
+    rows.append((1, 99, 11 * 60 * 10**9 * 100, 500.0, "t", None))  # outlier
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value", "event_type", "props"]
+        )
+    )
+    got = anomaly_batch(ev).toPandas().set_index("event_id")
+    assert got.loc[99].is_anomaly == True  # noqa: E712
+    # warm-up rows have no score
+    assert pd.isna(got.loc[0].z) and pd.isna(got.loc[4].z)
+    assert got.loc[5].n_prior == 5
