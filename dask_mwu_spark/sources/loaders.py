@@ -66,6 +66,8 @@ def load_table(
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_event_ts(spark, df)
     if fan_out:
         # UNCONDITIONAL repartition: getNumPartitions() cannot gate this —
         # Spark byte-splits a big single-row-group file into many scan
@@ -77,6 +79,41 @@ def load_table(
         # give it to them.
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to epoch-nanos BIGINT whatever the file stores.
+
+    The generated testdata has shipped ``ts`` as TIMESTAMP(NANOS) (read as
+    BIGINT nanos under the nanosAsLong legacy conf) in one round and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) in another.  Downstream
+    operators and every DuckDB oracle (``epoch_ns(ts)`` / ``epoch_us(ts)``,
+    naive-as-UTC) assume epoch-nanos BIGINT, so the loader is the single
+    normalization point:
+
+    - BIGINT: already epoch nanos — unchanged.
+    - TIMESTAMP / TIMESTAMP_NTZ: ``unix_micros(cast ts as timestamp) * 1000``.
+      ``unix_micros`` is exact integer math (no double rounding) and the
+      micros→nanos multiply stays well inside BIGINT range.  The NTZ→LTZ cast
+      interprets the naive value in the session timezone, so pin it to UTC to
+      match DuckDB's naive-as-UTC ``epoch_us`` bit-for-bit regardless of the
+      caller session's zone.
+
+    Scan-stage projection — no shuffle, no UDF, and parquet min/max stats on
+    the raw column still prune row groups for pushed-down filters on other
+    columns.
+    """
+    (dtype,) = [t for c, t in df.dtypes if c == "ts"]
+    if dtype == "bigint":
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cols = [
+        (F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)).alias(c)
+        if c == "ts"
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
 
 
 def melt(
