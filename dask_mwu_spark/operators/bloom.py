@@ -1,0 +1,122 @@
+"""Distributed Bloom-filter pre-join pruning.
+
+No reference counterpart (the reference is single-dataset, SURVEY.md §2.1);
+this is the classic big-data pattern for joining a huge fact table against a
+selective key set: build a compact bit table over the keys, broadcast it, and
+drop non-matching fact rows IN THE SCAN STAGE — before they ever reach the
+join shuffle.  At 100 TB this is the difference between shuffling the whole
+fact table and shuffling only the (tiny) matching fraction plus a bounded
+false-positive residue; the exact join afterwards removes the residue, so
+composed results are EXACTLY the plain join's.
+
+Spark itself injects runtime bloom filters for this shape
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default, with a
+10 GB application-side scan threshold so it only triggers at real scale —
+see tests/test_bloom.py for a forced-injection plan assertion).  This module
+exists for the shapes the optimizer can't see: pruning against a PERSISTED
+key index from a previous run (cross-job), pruning before an aggregation
+rather than a join, or pruning with a filter small enough to store next to
+the data.  Everything is md5-family hashing (functions/hashing.py) — fully
+deterministic and exactly reproducible in DuckDB SQL, so the oracle checks
+the filter bit-for-bit, not just the composed join result.
+
+Design
+- ``m_bits`` bits stored as ``ceil(m/63)`` BIGINT words using bits 0..62
+  only — the sign bit is never set, sidestepping engine-specific semantics
+  of ``1 << 63`` overflow.
+- k=5 positions per key from the universal-hash family over the md5 digest
+  (independent (a,b) pairs).  False-positive rate ≈ (1 - e^(-kn/m))^k:
+  n=1e6 keys at the default m=2^20·63 ≈ 6.6e7 bits gives ~2e-6.
+- The bit table has at most m/63 rows (≈16k at the default) — broadcast
+  size ~256 KB; membership is k broadcast hash joins, all in the scan
+  stage, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dask_mwu_spark.functions.hashing import MINHASH_COEFFS, md5_long, universal_hash
+
+BLOOM_K = 5
+WORD_BITS = 63
+DEFAULT_M_BITS = (1 << 20) * WORD_BITS // (1 << 6)  # 1_032_192 bits ≈ 16k words
+BLOOM_COEFFS = MINHASH_COEFFS[:BLOOM_K]
+
+
+def _positions(key: F.Column, m_bits: int) -> list[F.Column]:
+    h = md5_long(key.cast("string"))
+    return [universal_hash(h, a, b) % m_bits for a, b in BLOOM_COEFFS]
+
+
+def build_bloom(keys: DataFrame, key_col: str, *, m_bits: int = DEFAULT_M_BITS) -> DataFrame:
+    """Bit table ``(word_idx INT, bits BIGINT)`` over the distinct keys.
+
+    One explode (k rows per key) + one map-side-combinable bit_or — the
+    filter builds in a single pass over the key set and the output is
+    mergeable across batches (union + re-bit_or), so a persisted filter can
+    be maintained incrementally like the LSH band index."""
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits))).alias("pos")
+    )
+    return (
+        pos.groupBy((F.col("pos") / WORD_BITS).cast("int").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """Rows of ``df`` whose key passes the filter (all k bits set).
+
+    k broadcast hash joins against the ≤ m/63-row bit table — scan-stage,
+    no shuffle of ``df``; a missing word row means "no bit in this word was
+    ever set", so the left-join NULL correctly fails the check."""
+    positions = _positions(F.col(key_col), m_bits)
+    out = df.select(
+        "*", *[p.alias(f"_p{j}") for j, p in enumerate(positions)]
+    )
+    for j in range(BLOOM_K):
+        bj = bloom.select(
+            F.col("word_idx").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}")
+        )
+        mask = F.expr(f"shiftleft(1L, cast(_p{j} % {WORD_BITS} as int))")
+        out = out.join(
+            F.broadcast(bj),
+            (F.col(f"_p{j}") / WORD_BITS).cast("int") == F.col(f"_w{j}"),
+            "left",
+        ).where(F.col(f"_b{j}").bitwiseAND(mask).isNotNull()
+                & (F.col(f"_b{j}").bitwiseAND(mask) != 0))
+    return out.drop(
+        *[c for j in range(BLOOM_K) for c in (f"_p{j}", f"_w{j}", f"_b{j}")]
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    key_col: str | None = None,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """Exact semi join ``big ⋉ keys`` with Bloom pre-pruning: the filter
+    eliminates almost all non-matching ``big`` rows before the join shuffle;
+    the semi join then removes the false-positive residue, so the result is
+    EXACTLY ``big.join(keys, on, "left_semi")`` — verified by the
+    lineitem_bloom_semi oracle, which replays the bit math in DuckDB."""
+    key_col = key_col or on
+    bloom = build_bloom(keys, key_col, m_bits=m_bits)
+    pruned = bloom_might_contain(big, on, bloom, m_bits=m_bits)
+    return pruned.join(
+        keys.select(F.col(key_col).alias(on)).distinct(), on, "left_semi"
+    )

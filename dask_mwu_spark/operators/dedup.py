@@ -597,3 +597,102 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs. historical corpus index)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_flags(
+    new_docs: DataFrame,
+    history_bands: DataFrame,
+    *,
+    n: int = 3,
+    batch_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch against a persistent corpus index, the shape
+    every production ingest pipeline has (a crawl increment lands daily; the
+    full corpus never re-clusters).  No reference counterpart — the reference
+    is single-dataset (SURVEY.md section 2.1); this extends its dedup family
+    to continuous ingestion.
+
+    ``history_bands`` is the accumulated LSH band index of previously KEPT
+    documents — the ``(doc_id, band, band_key)`` output of
+    :func:`minhash_band_keys`, maintained across runs by unioning each
+    batch's kept rows (see :func:`band_index_update`).
+
+    Returns one row per incoming document:
+    ``(doc_id, dup_of_history, dup_in_batch, keep)`` where
+
+    - ``dup_of_history``: some band collides with the history index;
+    - ``dup_in_batch``: some band collides with a SMALLER-doc_id batch doc
+      (first-seen-wins, evaluated greedily: a doc is dropped if ANY earlier
+      batch doc shares a band, whether or not that doc itself survives —
+      the monotone rule every streaming dedup uses, computable in one
+      self-join with no iteration; transitive-closure clustering of a batch
+      is :func:`dup_components` composed with :func:`minhash_lsh_pairs`);
+    - ``keep = NOT(dup_of_history OR dup_in_batch)``.
+
+    Documents too short to shingle (< n words) have no bands and are always
+    kept — the left join reinstates them.
+
+    100 TB design: the history index is stored bucketed by
+    ``(band, band_key)`` (sources/bucketed.py), so this join shuffles ONLY
+    the incoming batch (batch bands ~ 4 rows/doc) into the index's
+    bucketing; history — the 100 TB side — is never re-shuffled, and a
+    daily 0.1% increment costs O(batch) + the matched buckets, not
+    O(corpus).  The batch-side self-join is quadratic only within a band
+    bucket, the standard LSH bound.
+    """
+    batch_bands = (
+        minhash_band_keys(new_docs, n=n) if batch_bands is None else batch_bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hist_hit = (
+        batch_bands.join(
+            history_bands.select("band", "band_key"), on=["band", "band_key"]
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_of_history", F.lit(True))
+    )
+    batch_hit = (
+        batch_bands.alias("x")
+        .join(batch_bands.alias("y"), on=["band", "band_key"])
+        .where(F.col("y.doc_id") < F.col("x.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hist_hit, "doc_id", "left")
+        .join(batch_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_history", F.lit(False)).alias("dup_of_history"),
+            F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+            (
+                ~(
+                    F.coalesce("dup_of_history", F.lit(False))
+                    | F.coalesce("dup_in_batch", F.lit(False))
+                )
+            ).alias("keep"),
+        )
+    )
+
+
+def band_index_update(
+    new_docs: DataFrame, history_bands: DataFrame, *, n: int = 3
+) -> DataFrame:
+    """The index-maintenance half of incremental dedup: history bands plus
+    the bands of the batch docs that survived this run.  Writing this back
+    bucketed by (band, band_key) keeps the next run's history join
+    shuffle-free on the corpus side."""
+    bands = minhash_band_keys(new_docs, n=n)
+    flags = incremental_dedup_flags(
+        new_docs, history_bands, n=n, batch_bands=bands
+    )
+    kept = flags.where(F.col("keep")).select("doc_id")
+    kept_bands = bands.join(kept, "doc_id")
+    return history_bands.unionByName(kept_bands)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
 from dask_mwu_spark.sources.loaders import load_table
+from dask_mwu_spark.operators import bloom as bl
 from dask_mwu_spark.operators import curation as cur
 from dask_mwu_spark.operators import dedup as dd
 from dask_mwu_spark.operators import graph as gr
@@ -303,6 +304,26 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "graph_dup_stats": lambda s, d: gr.graph_stats(
             dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
+        ),
+        # incremental ingest: even doc_ids play the historical corpus (its
+        # band index), odd doc_ids the incoming batch
+        "dedup_incremental": lambda s, d: dd.incremental_dedup_flags(
+            _docs(s, d).where(F.col("doc_id") % 2 == 1),
+            dd.minhash_band_keys(_docs(s, d).where(F.col("doc_id") % 2 == 0)),
+        ),
+        # bloom-pruned semi join: result is EXACTLY the plain semi join
+        # (false positives removed by the confirm join; the oracle replays
+        # the plain join, and tests/test_bloom.py replays the bit table)
+        "lineitem_bloom_semi": lambda s, d: bl.bloom_semi_join(
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "orders").where(F.col("o_totalprice") >= 400000),
+            on="l_orderkey",
+            key_col="o_orderkey",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
         ),
     }
 
@@ -1115,5 +1136,39 @@ SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
        CASE WHEN n_wedges = 0 THEN 0.0
             ELSE ROUND(3.0 * t / n_wedges, 6) END AS clustering
 FROM agg, tri
+""",
+        # incremental ingest twin: bands over ALL docs, split even (history)
+        # / odd (batch) — band computation is per-doc, so post-filtering is
+        # identical to computing bands on each subset
+        "dedup_incremental": f"""
+WITH {_BANDS_CTE},
+nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+hb AS (SELECT band, band_key FROM bands WHERE doc_id % 2 = 0),
+hist_hit AS (
+  SELECT DISTINCT nb.doc_id FROM nb JOIN hb
+  ON nb.band = hb.band AND nb.band_key = hb.band_key
+),
+batch_hit AS (
+  SELECT DISTINCT x.doc_id FROM nb x JOIN nb y
+  ON x.band = y.band AND x.band_key = y.band_key AND y.doc_id < x.doc_id
+)
+SELECT d.doc_id,
+       h.doc_id IS NOT NULL AS dup_of_history,
+       b.doc_id IS NOT NULL AS dup_in_batch,
+       (h.doc_id IS NULL AND b.doc_id IS NULL) AS keep
+FROM documents d
+LEFT JOIN hist_hit h ON h.doc_id = d.doc_id
+LEFT JOIN batch_hit b ON b.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+""",
+        "lineitem_bloom_semi": """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000
+)
+GROUP BY 1
 """,
     }

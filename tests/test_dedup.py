@@ -193,3 +193,58 @@ def test_edit_similarity_distance_cap_agrees(spark):
     f = full.set_index(["doc_a", "doc_b"]).edit_sim.to_dict()
     c = capped.set_index(["doc_a", "doc_b"]).edit_sim.to_dict()
     assert f == c
+
+
+def test_incremental_dedup_flags(spark):
+    from dask_mwu_spark.operators.dedup import (
+        band_index_update,
+        incremental_dedup_flags,
+        minhash_band_keys,
+    )
+
+    docs = _docs(spark)
+    history = docs.where("doc_id = 0")  # corpus already contains doc 0
+    batch = docs.where("doc_id > 0")
+    hist_bands = minhash_band_keys(history)
+    flags = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_dedup_flags(batch, hist_bands).collect()
+    }
+    assert set(flags) == {1, 2, 3, 4}  # one row per batch doc
+    # 1 and 2 are (normalized-)identical to history doc 0
+    assert flags[1]["dup_of_history"] and not flags[1]["keep"]
+    assert flags[2]["dup_of_history"] and not flags[2]["keep"]
+    # 3 is a near dup: collides with history AND with smaller batch ids
+    assert not flags[3]["keep"]
+    # 4 shares nothing
+    assert flags[4] == {
+        "doc_id": 4,
+        "dup_of_history": False,
+        "dup_in_batch": False,
+        "keep": True,
+    }
+
+    # index update: history bands + bands of kept docs only (doc 4)
+    updated = band_index_update(batch, hist_bands)
+    ids = {r["doc_id"] for r in updated.select("doc_id").distinct().collect()}
+    assert ids == {0, 4}
+
+
+def test_incremental_dedup_empty_history_and_short_docs(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.dedup import (
+        incremental_dedup_flags,
+        minhash_band_keys,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, "too short"), (11, "also tiny")], columns=["doc_id", "text"]
+        )
+    )
+    empty_hist = minhash_band_keys(docs.where("doc_id < 0"))
+    flags = incremental_dedup_flags(docs, empty_hist).collect()
+    # docs with < n words have no shingles/bands: always kept
+    assert all(r["keep"] and not r["dup_of_history"] for r in flags)
+    assert len(flags) == 2
