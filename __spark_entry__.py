@@ -554,6 +554,64 @@ def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_changelog(base: DataFrame) -> DataFrame:
+    """The deterministic synthetic changelog shared by the CDC and SCD2
+    queries: seq 1 re-prices every 7th order, seq 2 deletes every 11th."""
+    cols = base.columns
+    upd = base.where(F.col("o_orderkey") % 7 == 0).select(
+        *[
+            (F.col("o_totalprice") + 1000).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ],
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = base.where(F.col("o_orderkey") % 11 == 0).select(
+        *cols, F.lit(2).cast("long").alias("seq"), F.lit("D").alias("op")
+    )
+    return upd.unionByName(dels)
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (sources/cdc.py scd2_history): full version
+    history with validity intervals from base + changelog, one shuffle,
+    no join.  Aggregated per (status, currency) with interval checksums."""
+    from dask_mwu_spark.sources.cdc import scd2_history
+
+    base = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(base, _orders_changelog(base), keys=["o_orderkey"])
+    return hist.groupBy("o_orderstatus", "is_current").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum("valid_from").alias("sum_from"),
+        F.sum(F.coalesce("valid_to", F.lit(0))).alias("sum_to"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle pre-flight (operators/audit.py key_skew_profile): top-k
+    heavy keys with share and skew factor, TakeOrderedAndProject plan."""
+    from dask_mwu_spark.operators.audit import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), "event_type", top_k=5
+    )
+
+
+def _q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training-data construction (operators/events.py
+    user_event_sequences): per-user ordered action strings, one shuffle."""
+    from dask_mwu_spark.operators.events import user_event_sequences
+
+    return user_event_sequences(
+        load_table(spark, sf_dir, "events"), max_len=8
+    )
+
+
 LINEITEM_COLS = (
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
@@ -803,6 +861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot": _q_unpivot,
         "events_resample": _q_resample,
         "events_anomaly": _q_anomaly,
+        "orders_scd2": _q_scd2,
+        "events_skew_profile": _q_skew_profile,
+        "events_user_sequences": _q_user_sequences,
     }
     try:
         from extensions_entry import extension_queries
@@ -1139,6 +1200,67 @@ SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
 FROM r WHERE rn = 1 AND op = 'U'
 GROUP BY 1
+""",
+        "orders_scd2": """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(-1 AS BIGINT) AS seq, 'U' AS op
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000,
+         CAST(1 AS BIGINT), 'U'
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+dels AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(2 AS BIGINT), 'D'
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM dels
+),
+hist AS (
+  SELECT *,
+         seq AS valid_from,
+         LEAD(seq) OVER (
+           PARTITION BY o_orderkey
+           ORDER BY seq, CASE WHEN op = 'D' THEN 1 ELSE 0 END
+         ) AS valid_to
+  FROM merged
+)
+SELECT o_orderstatus,
+       valid_to IS NULL AS is_current,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(SUM(valid_from) AS BIGINT) AS sum_from,
+       CAST(SUM(COALESCE(valid_to, 0)) AS BIGINT) AS sum_to,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM hist WHERE op = 'U'
+GROUP BY 1, 2
+""",
+        "events_skew_profile": """
+WITH counts AS (
+  SELECT event_type AS key_value, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT key_value, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n_rows AS DOUBLE) * n_keys / total, 6) AS skew_vs_uniform
+FROM counts, tot
+ORDER BY n_rows DESC, key_value
+LIMIT 5
+""",
+        "events_user_sequences": """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       array_to_string(
+         list_slice(list(event_type ORDER BY ts, event_id), 1, 8), '>'
+       ) AS seq
+FROM events
+GROUP BY user_id
 """,
         "events_enriched": """
 SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,

@@ -69,3 +69,39 @@ def orphans(
     violations) — LEFT ANTI join, one shuffle, violations only."""
     p = parent.select(F.col(parent_key).alias(child_key)).distinct()
     return child.join(p, on=child_key, how="left_anti")
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, *, top_k: int = 10
+) -> DataFrame:
+    """The pre-flight check for any planned shuffle on ``key``: the top-k
+    heaviest key values with absolute counts and their share of the table,
+    plus the uniform-share baseline to read the skew factor off directly —
+    ``(key_value, n_rows, share, skew_vs_uniform)``.
+
+    A skew_vs_uniform of s means the hottest reducer gets s× the average
+    partition's work; above ~5-10 the join/agg on this key wants the
+    salted path (operators/skew.py) or AQE skew splitting.
+
+    Plan shape: one map-side-combinable count per distinct key, then
+    ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition top-k,
+    driver merges k·partitions rows) — no global sort, no collect of the
+    distinct-key table, safe at any cardinality.  The two scalar totals
+    ride along via a 1-row broadcast join.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key_value")).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key_value",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+        ).alias("skew_vs_uniform"),
+    )

@@ -164,3 +164,52 @@ def resample_events(
         "sum_value",
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_len: int = 32,
+) -> DataFrame:
+    """Per-user ordered action sequences — the construction step for
+    sequence-model training data (next-event prediction, session LMs) and
+    for behavioral features: ``(user_id, n_events, seq)`` where ``seq`` is
+    the first ``max_len`` event types in (ts, event_id) order joined with
+    '>'.
+
+    Spark-first: sort_array over collected (ts, id, type) structs — the
+    struct sorts lexicographically (ts first, id tiebreak), so ordering is
+    deterministic under any partitioning; slice + array_join truncate and
+    render JVM-side.  ONE shuffle on the (uniform) user key; per-user state
+    is the user's event count, and the output row is clipped to max_len —
+    a power user costs their event count in the aggregation, never more.
+
+    At 100 TB: this is the canonical groupBy-heavy shape; the collected
+    struct carries only (ts, id, type) — project before calling if events
+    has wide payloads, so the shuffle moves 3 columns, not the row.
+    """
+    packed = F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+    )
+    return (
+        events.select(F.col(user_col).alias("user_id"), packed.alias("_e"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(F.collect_list("_e")), lambda s: s["etype"]
+                    ),
+                    1,
+                    max_len,
+                ),
+                ">",
+            ).alias("seq"),
+        )
+    )

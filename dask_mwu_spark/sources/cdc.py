@@ -82,3 +82,59 @@ def merge_upsert(
         F.lit(OP_UPSERT).alias("op"),
     )
     return apply_changelog(base, changes, keys=keys)
+
+
+def scd2_history(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    base_seq: int = -1,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: the full version history of every
+    key with validity intervals, instead of just the latest state.
+
+    Returns the base+changes rows (deletes excluded from the output but
+    closing the interval of the version they superseded) with three audit
+    columns:
+
+    - ``valid_from``: this version's own sequence number;
+    - ``valid_to``: the next version's sequence number, NULL while open;
+    - ``is_current``: the version is the key's live row (latest AND not
+      superseded by a delete).
+
+    Same single-shuffle discipline as :func:`apply_changelog` — union,
+    one window per key ordered by seq, ``lead()`` closes intervals.  No
+    join; a key's history lives in one partition's window frame, which is
+    bounded by that key's change count, not the table size.
+
+    Warehouse SCD2 merges usually run per-batch against a stored dimension
+    table; this is the from-scratch (re)build — the shape backfills and
+    migrations need.  Incremental per-batch maintenance is
+    :func:`merge_upsert` on the ``is_current`` slice.
+    """
+    data_cols = list(base.columns)
+    tagged_base = base.select(
+        *data_cols,
+        F.lit(base_seq).cast("long").alias(seq_col),
+        F.lit(OP_UPSERT).alias(op_col),
+    )
+    merged = tagged_base.unionByName(changes.select(*data_cols, seq_col, op_col))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).asc(),
+        F.when(F.col(op_col) == OP_DELETE, 1).otherwise(0).asc(),
+    )
+    hist = merged.select(
+        *data_cols,
+        F.col(seq_col).alias("valid_from"),
+        F.lead(seq_col).over(w).alias("valid_to"),
+        F.col(op_col).alias("_op"),
+    )
+    return hist.where(F.col("_op") == OP_UPSERT).select(
+        *data_cols,
+        "valid_from",
+        "valid_to",
+        (F.col("valid_to").isNull()).alias("is_current"),
+    )

@@ -31,3 +31,20 @@ def test_orphans_left_anti(spark):
     parent = spark.createDataFrame(pd.DataFrame({"pk": [1, 2, 3]}))
     got = orphans(child, parent, child_key="fk", parent_key="pk").toPandas()
     assert list(got.fk) == [9, 9]
+
+
+def test_key_skew_profile_values_and_plan(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.audit import key_skew_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot"] * 80 + ["warm"] * 15 + ["cold"] * 5})
+    )
+    prof = key_skew_profile(df, "k", top_k=2)
+    rows = {r["key_value"]: r.asDict() for r in prof.collect()}
+    assert list(rows) == ["hot", "warm"]  # ordered by weight, k=2
+    assert rows["hot"]["n_rows"] == 80 and rows["hot"]["share"] == 0.8
+    # 3 keys, uniform share would be 1/3 of 100 rows: hot is 2.4x that
+    assert rows["hot"]["skew_vs_uniform"] == 2.4
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort

@@ -68,3 +68,39 @@ def test_apply_changelog_plan_has_single_shuffle_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_history_intervals(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.sources.cdc import scd2_history
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "v": ["a2", "a3", None],
+                "seq": [1, 5, 3],
+                "op": ["U", "U", "D"],
+            }
+        )
+    )
+    hist = {
+        (r["k"], r["valid_from"]): r.asDict()
+        for r in scd2_history(base, changes, keys=["k"]).collect()
+    }
+    # key 1: base(-1) -> u(1) -> u(5): two closed intervals + one open
+    assert hist[(1, -1)]["valid_to"] == 1 and not hist[(1, -1)]["is_current"]
+    assert hist[(1, 1)]["valid_to"] == 5 and not hist[(1, 1)]["is_current"]
+    assert hist[(1, 5)]["valid_to"] is None and hist[(1, 5)]["is_current"]
+    assert hist[(1, 5)]["v"] == "a3"
+    # key 2: base closed by the delete at seq 3; no current row
+    assert hist[(2, -1)]["valid_to"] == 3 and not hist[(2, -1)]["is_current"]
+    assert (2, 3) not in hist  # the delete itself is not a version
+    # key 3: untouched — single open interval
+    assert hist[(3, -1)]["valid_to"] is None and hist[(3, -1)]["is_current"]
+    assert len(hist) == 5

@@ -134,3 +134,44 @@ def test_resample_partition_invariance(spark):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_user_event_sequences_order_and_truncation(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.events import user_event_sequences
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1] * 5 + [2],
+                "event_id": [10, 11, 12, 13, 14, 20],
+                "ts": [50, 40, 30, 20, 10, 99],  # reverse arrival order
+                "event_type": ["e", "d", "c", "b", "a", "solo"],
+            }
+        )
+    )
+    out = {
+        r["user_id"]: r.asDict()
+        for r in user_event_sequences(ev, max_len=3).collect()
+    }
+    assert out[1]["n_events"] == 5  # count is pre-truncation
+    assert out[1]["seq"] == "a>b>c"  # ts-ordered, clipped to max_len
+    assert out[2] == {"user_id": 2, "n_events": 1, "seq": "solo"}
+
+
+def test_user_event_sequences_tiebreak_on_event_id(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.events import user_event_sequences
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "event_id": [2, 1],
+                "ts": [7, 7],  # same timestamp: event_id breaks the tie
+                "event_type": ["second", "first"],
+            }
+        )
+    )
+    (row,) = user_event_sequences(ev).collect()
+    assert row["seq"] == "first>second"
