@@ -69,7 +69,9 @@ def value_counts(measure: DataFrame) -> DataFrame:
     )
 
 
-def rank_values(measure: DataFrame) -> DataFrame:
+def rank_values(
+    measure: DataFrame, *, n_value_buckets: int | None = None
+) -> DataFrame:
     """Value-level average ranks + tie counts.
 
     Returns one row per distinct (feature, value, group):
@@ -84,7 +86,16 @@ def rank_values(measure: DataFrame) -> DataFrame:
     cum_prev+t) has average cum_prev + (t+1)/2 = cum_incl - (t-1)/2.
     Matches scipy._rankdata(method='average') exactly; ranks are multiples of
     0.5 and therefore exact in binary floating point at any realistic scale.
+
+    ``n_value_buckets``: the default plan's per-feature window puts one
+    feature's distinct values in ONE task — fine up to millions of distinct
+    values per feature, a hot task beyond (few continuous features x 1e9
+    observations).  Setting this routes to
+    :func:`rank_values_bucketed`, the two-phase distributed rank with
+    (features x buckets)-way parallelism and identical output.
     """
+    if n_value_buckets is not None:
+        return rank_values_bucketed(measure, n_buckets=n_value_buckets)
     vc = value_counts(measure)
     w = Window.partitionBy("feature").orderBy("value")
     # RANGE CURRENT ROW..CURRENT ROW = all value-peers; RANGE UNBOUNDED
@@ -102,6 +113,98 @@ def rank_values(measure: DataFrame) -> DataFrame:
             F.when(
                 F.col("has_nan"), F.lit(None).cast("double")
             ).otherwise(F.col("cum") - (F.col("t") - F.lit(1)) / F.lit(2.0)),
+        )
+    )
+    return ranked.select(
+        "feature", "value", "group", "c", "t", "avg_rank", "has_nan"
+    )
+
+
+def rank_values_bucketed(measure: DataFrame, *, n_buckets: int = 64) -> DataFrame:
+    """Two-phase distributed rank: identical output to :func:`rank_values`
+    (pytest-asserted row-for-row), but the per-feature sort runs as
+    (feature x value-bucket) units instead of one task per feature.
+
+    This is the classic distributed-rank decomposition:
+
+    1. bucket each distinct value by its position in the feature's
+       [min, max] range (``width_bucket`` — a pure projection; equal values
+       always land in the same bucket, so tie counts stay local);
+    2. local cumulative counts within each (feature, bucket) window —
+       parallelism = features x buckets;
+    3. a tiny per-(feature, bucket) totals table (≤ features x (buckets+1)
+       rows) turned into prefix offsets with a window over buckets, then
+       broadcast back.
+
+    The global rank of a value = its bucket's offset + its local cumulative
+    count.  Value skew degrades bucket balance, not correctness (a fully
+    constant feature collapses to one bucket — exactly the single-window
+    cost it would have anyway).
+
+    The bucketed value-count table is persisted: it feeds the totals branch
+    and the local-window branch, and recomputing the melt+count scan per
+    branch measurably dominates otherwise (no cross-branch CSE in Catalyst).
+
+    NaN rows park in bucket ``n_buckets + 1`` past every real value; their
+    ranks are NULL anyway (propagate semantics) but their counts must
+    survive for group sizes, so they stay in the table.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    vc = value_counts(measure)
+    stats = vc.groupBy("feature").agg(
+        F.min("value").alias("_vmin"), F.max("value").alias("_vmax")
+    )
+    vcb = (
+        vc.join(F.broadcast(stats), "feature")
+        .withColumn(
+            "_bkt",
+            F.when(F.isnan("value"), F.lit(n_buckets + 1))
+            # Spark max() treats NaN as the largest double, so a NaN-poisoned
+            # feature has _vmax = NaN and width_bucket would return NULL —
+            # which the (feature, _bkt) join would silently drop, corrupting
+            # group sizes.  Ranks are NULL for these features anyway; any
+            # deterministic non-null bucket keeps the counts intact.
+            .when(F.isnan("_vmax"), F.lit(1))
+            .when(F.col("_vmin") == F.col("_vmax"), F.lit(1))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets),
+                    F.width_bucket("value", "_vmin", "_vmax", F.lit(n_buckets)),
+                )
+            ),
+        )
+        .drop("_vmin", "_vmax")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # tiny totals table: per-bucket row counts + per-bucket NaN flags
+    btot = vcb.groupBy("feature", "_bkt").agg(
+        F.sum("c").alias("_bc"), F.max(F.isnan("value")).alias("_bnan")
+    )
+    wb = Window.partitionBy("feature").orderBy("_bkt")
+    offs = btot.select(
+        "feature",
+        "_bkt",
+        F.coalesce(
+            F.sum("_bc").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.max("_bnan").over(Window.partitionBy("feature")).alias("has_nan"),
+    )
+    wloc = Window.partitionBy("feature", "_bkt").orderBy("value")
+    t = F.sum("c").over(wloc.rangeBetween(Window.currentRow, Window.currentRow))
+    cum_loc = F.sum("c").over(
+        wloc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        vcb.withColumn("t", t)
+        .withColumn("_cum_loc", cum_loc)
+        .join(F.broadcast(offs), ["feature", "_bkt"])
+        .withColumn(
+            "avg_rank",
+            F.when(F.col("has_nan"), F.lit(None).cast("double")).otherwise(
+                F.col("_off") + F.col("_cum_loc") - (F.col("t") - F.lit(1)) / F.lit(2.0)
+            ),
         )
     )
     return ranked.select(

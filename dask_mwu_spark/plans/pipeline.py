@@ -41,10 +41,18 @@ from dask_mwu_spark.operators.ranking import rank_values
 from dask_mwu_spark.operators.topk import create_df
 
 
-def feature_group_stats(measure: DataFrame) -> DataFrame:
+def feature_group_stats(
+    measure: DataFrame, *, n_value_buckets: int | None = None
+) -> DataFrame:
     """(feature, group) statistics table: n1, n2, rank_sum, tie_term, u_stat,
-    z, p_value, p_adjusted — everything except LFC."""
-    rv = rank_values(measure)
+    z, p_value, p_adjusted — everything except LFC.
+
+    ``n_value_buckets``: opt into the two-phase distributed rank
+    (ranking.rank_values_bucketed) when features are few and continuous —
+    the per-feature window is a single task otherwise, fine to ~1e7
+    distinct values per feature, 8x slower than bucketed at 2x20M
+    (tools/scale_probe_rank.py; identical output either way)."""
+    rv = rank_values(measure, n_value_buckets=n_value_buckets)
     fg = compute_in_group_ranksum(rv)
     # feature totals come as window aggregates inside mann_whitney_u — a
     # compute_tie_term + join would make Catalyst duplicate the whole
@@ -59,6 +67,7 @@ def rank_features_by_group(
     sort_by: str = "desc",
     base: float | None = None,
     n_features: int | None = None,
+    n_value_buckets: int | None = None,
 ) -> DataFrame:
     """Full reference pipeline: MWU + BH + LFC + per-group top-k.
 
@@ -67,6 +76,6 @@ def rank_features_by_group(
     when known by the caller, enables the reference's eager
     top_n <= n_features bound (create_df.py:44-52) without a count job.
     """
-    stats = feature_group_stats(measure)
+    stats = feature_group_stats(measure, n_value_buckets=n_value_buckets)
     stats = compute_logfoldchange(stats, base=base)
     return create_df(stats, top_n=top_n, sort_by=sort_by, n_features=n_features)

@@ -118,3 +118,81 @@ def test_full_pipeline_single_scan_plan(spark, sf_dir):
     )
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_bucketed_rank_identical_to_windowed(spark, sf_dir):
+    from dask_mwu_spark.operators.ranking import rank_values
+    from dask_mwu_spark.sources.loaders import obs_measure_from_lineitem
+
+    m = obs_measure_from_lineitem(spark, sf_dir)
+    a = rank_values(m).orderBy("feature", "value", "group").collect()
+    b = (
+        rank_values(m, n_value_buckets=16)
+        .orderBy("feature", "value", "group")
+        .collect()
+    )
+    assert len(a) > 0 and [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bucketed_rank_nan_poisoned_feature_keeps_counts(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.ranking import rank_values
+
+    rows = pd.DataFrame(
+        {
+            "feature": ["f"] * 6 + ["g"] * 4,
+            "group": ["a", "a", "b", "b", "a", "b"] + ["a", "b", "a", "b"],
+            "value": [1.0, 2.0, 2.0, 3.0, None, 4.0] + [5.0, 6.0, 6.0, 7.0],
+        }
+    )
+    m = spark.createDataFrame(rows)
+    a = rank_values(m).orderBy("feature", "value", "group").collect()
+    b = (
+        rank_values(m, n_value_buckets=4)
+        .orderBy("feature", "value", "group")
+        .collect()
+    )
+    # f is NaN-poisoned: ranks NULL, but every (feature,value,group) count row
+    # must survive in both plans; g ranks normally
+    import math
+
+    def norm(rs):
+        return [
+            tuple(
+                None
+                if isinstance(x, float) and math.isnan(x)
+                else x
+                for x in r
+            )
+            for r in rs
+        ]
+
+    assert norm(a) == norm(b)
+    f_rows = [r for r in b if r["feature"] == "f"]
+    assert sum(r["c"] for r in f_rows) == 6
+    assert all(r["avg_rank"] is None for r in f_rows)
+    g_ranks = {
+        (r["value"]): r["avg_rank"] for r in b if r["feature"] == "g"
+    }
+    assert g_ranks == {5.0: 1.0, 6.0: 2.5, 7.0: 4.0}
+
+
+def test_bucketed_rank_parallelism_in_plan(spark, sf_dir):
+    """The local window must partition by (feature, _bkt) — not feature
+    alone — so one feature's values spread over n_buckets tasks."""
+    from dask_mwu_spark.operators.ranking import rank_values
+    from dask_mwu_spark.sources.loaders import obs_measure_from_lineitem
+
+    m = obs_measure_from_lineitem(spark, sf_dir)
+    import re
+
+    plan = (
+        rank_values(m, n_value_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every value-ordered window spec partitions by (feature, _bkt), never
+    # feature alone (the windowed plan prints 'feature#N,' here)
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)value#\d+ ASC", plan)
+    assert specs and all("_bkt" in s for s in specs)
