@@ -105,3 +105,62 @@ def key_skew_profile(
             F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
         ).alias("skew_vs_uniform"),
     )
+
+
+def value_histogram(
+    df: DataFrame, col: str, *, n_bins: int = 20
+) -> DataFrame:
+    """Equal-width histogram of a numeric column:
+    ``(bin, lo, hi, n_rows)`` for the non-empty bins, bin ∈ 1..n_bins.
+
+    Two passes, both trivial: a 1-row min/max aggregate broadcast back,
+    then one map-side-combinable groupBy on the bin index — the same cost
+    profile as any count(*).  Bin assignment is explicit floor math (not
+    width_bucket) so the DuckDB oracle reproduces it bit-for-bit:
+    ``bin = least(n, floor((v - min) / (max - min) * n) + 1)`` with the max
+    value closing into the last bin; a constant column collapses to bin 1.
+
+    At scale this IS the histogram you can afford on 100 TB: no sort, no
+    per-value state, shuffle bounded by n_bins x partitions.
+    """
+    c = F.col(col).cast("double")
+    rng = df.agg(
+        F.min(c).alias("_lo"), F.max(c).alias("_hi")
+    )
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("_lo") == F.col("_hi"), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(n_bins),
+                F.floor(
+                    (c - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(n_bins)
+                ).cast("int")
+                + F.lit(1),
+            )
+        )
+        .alias("bin"),
+        "_lo",
+        "_hi",
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(n_bins)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("_lo") + (F.col("bin") - 1) * w, 6).alias("lo"),
+            F.round(
+                F.when(F.col("bin") == n_bins, F.col("_hi")).otherwise(
+                    F.col("_lo") + F.col("bin") * w
+                ),
+                6,
+            ).alias("hi"),
+            "n_rows",
+        )
+    )

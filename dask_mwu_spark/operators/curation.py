@@ -433,3 +433,57 @@ def curate(
             F.col("pred_lang") == F.col("lang")
         )
     return out
+
+
+def calibrated_quality_filter(
+    docs: DataFrame,
+    *,
+    keep_fraction: float = 0.5,
+    strata_col: str = "source",
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile-calibrated quality filtering: instead of a fixed score
+    cutoff (whose meaning drifts with every corpus and model), keep the
+    top ``keep_fraction`` of documents by classifier score and report per-
+    stratum survival — the way production curation actually tunes its
+    knives (choose a retention budget, derive the threshold).
+
+    Returns ``(strata, n_total, n_kept, threshold)`` per stratum, where
+    ``threshold`` is the GLOBAL (1 - keep_fraction) score quantile (exact
+    linear interpolation — matches DuckDB ``quantile_cont`` bit-for-bit)
+    and ties at the threshold are kept.
+
+    Scale: scoring is one token pass (classifier_score); the exact
+    quantile is one ``percentile`` aggregation over the (doc-level, so
+    already small) score table; the 1-row threshold broadcasts back.  An
+    exact percentile at 1e11 docs is itself a sort — swap in
+    ``percentile_approx`` (t-digest, mergeable, bounded error) via
+    ``exact=False`` when the doc table stops being 'small'.
+    """
+    scored = classifier_score(docs).select(
+        "doc_id", "clf_score"
+    )
+    if strata_col not in docs.columns:
+        raise ValueError(f"missing strata column {strata_col!r}")
+    scored = scored.join(
+        docs.select("doc_id", F.col(strata_col).alias("strata")), "doc_id"
+    )
+    q = F.lit(1.0 - keep_fraction)
+    thr = scored.agg(
+        (
+            F.percentile("clf_score", q)
+            if exact
+            else F.percentile_approx("clf_score", q, F.lit(10_000))
+        ).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("strata")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col("clf_score") >= F.col("threshold")).cast("long")
+            ).alias("n_kept"),
+            F.round(F.first("threshold"), 6).alias("threshold"),
+        )
+    )

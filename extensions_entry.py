@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
 from dask_mwu_spark.sources.loaders import load_table
+from dask_mwu_spark.operators import audit as au
 from dask_mwu_spark.operators import bloom as bl
 from dask_mwu_spark.operators import curation as cur
 from dask_mwu_spark.operators import dedup as dd
@@ -314,6 +315,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom-pruned semi join: result is EXACTLY the plain semi join
         # (false positives removed by the confirm join; the oracle replays
         # the plain join, and tests/test_bloom.py replays the bit table)
+        "cur_quality_calibrated": lambda s, d: cur.calibrated_quality_filter(
+            _docs(s, d), keep_fraction=0.5
+        ),
+        "lineitem_price_histogram": lambda s, d: au.value_histogram(
+            load_table(s, d, "lineitem"), "l_extendedprice", n_bins=20
+        ),
         "lineitem_bloom_semi": lambda s, d: bl.bloom_semi_join(
             load_table(s, d, "lineitem"),
             load_table(s, d, "orders").where(F.col("o_totalprice") >= 400000),
@@ -1160,6 +1167,51 @@ FROM documents d
 LEFT JOIN hist_hit h ON h.doc_id = d.doc_id
 LEFT JOIN batch_hit b ON b.doc_id = d.doc_id
 WHERE d.doc_id % 2 = 1
+""",
+        "cur_quality_calibrated": f"""
+WITH {_TOK_CTE},
+w(b, wt) AS (VALUES {",".join(f"({b},{wt})" for b, wt in enumerate(cur.clf_weights()))}),
+bs AS (
+  SELECT doc_id, {_MD5H.format(x='word')} % {cur.N_CLF_BUCKETS} AS b FROM tok
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt) AS BIGINT) AS wsum
+  FROM bs JOIN w USING (b) GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-({cur.CLF_BIAS} + CAST(wsum AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS clf_score
+  FROM agg
+),
+thr AS (SELECT quantile_cont(clf_score, 0.5) AS threshold FROM sc)
+SELECT d.source AS strata,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN s.clf_score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(ANY_VALUE(t.threshold), 6) AS threshold
+FROM sc s JOIN documents d USING (doc_id), thr t
+GROUP BY 1
+""",
+        "lineitem_price_histogram": """
+WITH rng AS (
+  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+  FROM lineitem
+),
+binned AS (
+  SELECT CASE WHEN r.lo = r.hi THEN 1
+              ELSE LEAST(20, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - r.lo) / (r.hi - r.lo) * 20) AS INT) + 1)
+         END AS bin,
+         r.lo AS lo0, r.hi AS hi0
+  FROM lineitem, rng r
+)
+SELECT bin,
+       ROUND(ANY_VALUE(lo0) + (bin - 1) * (ANY_VALUE(hi0) - ANY_VALUE(lo0)) / 20, 6) AS lo,
+       ROUND(CASE WHEN bin = 20 THEN ANY_VALUE(hi0)
+                  ELSE ANY_VALUE(lo0) + bin * (ANY_VALUE(hi0) - ANY_VALUE(lo0)) / 20 END, 6) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM binned
+GROUP BY bin
 """,
         "lineitem_bloom_semi": """
 SELECT l_returnflag,

@@ -48,3 +48,29 @@ def test_key_skew_profile_values_and_plan(spark):
     assert rows["hot"]["skew_vs_uniform"] == 2.4
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_value_histogram_bins(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.audit import value_histogram
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [0.0, 1.0, 2.5, 5.0, 7.5, 10.0, 10.0]})
+    )
+    hist = {r["bin"]: r.asDict() for r in value_histogram(df, "v", n_bins=4).collect()}
+    # range [0,10], width 2.5; max closes into the last bin
+    assert hist[1]["n_rows"] == 2      # 0.0, 1.0
+    assert hist[2]["n_rows"] == 1      # 2.5
+    assert hist[3]["n_rows"] == 1      # 5.0
+    assert hist[4]["n_rows"] == 3      # 7.5, 10.0, 10.0
+    assert hist[1]["lo"] == 0.0 and hist[4]["hi"] == 10.0
+    assert sum(h["n_rows"] for h in hist.values()) == 7
+
+
+def test_value_histogram_constant_column(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.audit import value_histogram
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [3.0] * 5}))
+    rows = value_histogram(df, "v", n_bins=10).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 1 and rows[0]["n_rows"] == 5

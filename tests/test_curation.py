@@ -226,3 +226,29 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     # sample of a subset stays inside the sample rank order: k smaller -> subset
     small = stratified_sample(_docs(spark, rows), k=3).toPandas()
     assert set(small.doc_id) <= set(a.doc_id)
+
+
+def test_calibrated_quality_filter_budget(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators.curation import calibrated_quality_filter
+    from dask_mwu_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = calibrated_quality_filter(docs, keep_fraction=0.5).collect()
+    n_total = sum(r["n_total"] for r in out)
+    n_kept = sum(r["n_kept"] for r in out)
+    # the global retention honors the budget (ties at the threshold kept,
+    # so >= but within one tie run of the target)
+    assert n_total == docs.count()
+    assert 0.5 <= n_kept / n_total <= 0.6
+    thresholds = {r["threshold"] for r in out}
+    assert len(thresholds) == 1  # one GLOBAL threshold, repeated per stratum
+
+    # approx path: same shape, threshold within sketch error of exact
+    approx = calibrated_quality_filter(
+        docs, keep_fraction=0.5, exact=False
+    ).collect()
+    t_exact = thresholds.pop()
+    t_approx = {r["threshold"] for r in approx}.pop()
+    assert abs(t_approx - t_exact) < 0.05
