@@ -287,7 +287,12 @@ def _q_mwu_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = feature_group_stats(obs_measure_from_events(spark, sf_dir))
+    # single-feature measure: partitionBy(feature) constant-folds to a
+    # GLOBAL window sort — the hot-feature shape.  Route through the
+    # bucketed two-phase rank (identical output, tools/scale_probe_rank.py)
+    st = feature_group_stats(
+        obs_measure_from_events(spark, sf_dir), n_value_buckets=32
+    )
     st = st.withColumn(
         "z",
         F.when(F.isnan("z") | F.col("z").isin(float("inf"), float("-inf")), None).otherwise(

@@ -86,3 +86,64 @@ def test_top_orders_plan_take_ordered_and_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
+    """Sweep EVERY queries() entry and reject the plan shapes that kill a
+    100 TB run: cartesian products, broadcast nested-loop joins, and
+    unpartitioned global window sorts.  A new query can only ship with one
+    of these by adding itself to the explicit waiver dict below."""
+    import __spark_entry__ as entrymod
+
+    import re
+
+    # windows that are provably bounded (post-limit heads etc.) may waive
+    # the global-sort check; nothing currently waives joins
+    waivers: dict[str, set[str]] = {
+        # build_vocab ranks ONLY the post-limit head (<= max_size rows)
+        "text_vocab_ids": {"global_window"},
+        "text_tokenize_ids": {"global_window"},
+        # vocab_topk/ngram_topk select via TakeOrderedAndProject (plan-
+        # asserted elsewhere) and then rank the <= k-row head — bounded
+        "text_vocab_topk": {"global_window"},
+        "text_ngram_topk": {"global_window"},
+        # brute-force ANN baselines: all-pairs BY DESIGN against a bounded
+        # broadcast query set (condition = self-pair exclusion only); the
+        # corpus-scale paths are sim_lsh_* / sim_ivf_* / sim_semantic_*
+        "sim_cosine_topk": {"nested_loop"},
+        "sim_quantized_topk": {"nested_loop"},
+    }
+    bad: list[str] = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        waived = waivers.get(name, set())
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        # BroadcastNestedLoopJoin as a plain Cross build is the idiomatic
+        # scalar/tiny-aggregate broadcast (totals, coeff tables, 1-row
+        # thresholds) — harmless.  A CONDITIONED BNLJ is an O(n*m)
+        # inequality join evaluated row-at-a-time: that one kills runs.
+        # a condition-less BNLJ ('... BuildRight, Inner' / ', Cross' with
+        # nothing after the join type) is a pure cross against a broadcast
+        # side — including equi-joins on a constant key that Catalyst
+        # constant-folds away.  A trailing condition expression means the
+        # engine is evaluating a predicate per row-pair: the O(n*m) killer.
+        for bnlj in re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan):
+            parts = [p.strip() for p in bnlj.split(",")]
+            conditioned = len(parts) > 2 and parts[2] != ""
+            if conditioned and "nested_loop" not in waived:
+                bad.append(f"{name}: conditioned BroadcastNestedLoopJoin ({bnlj[:80]})")
+                break
+        # a Window whose spec has an ORDER BY but an empty PARTITION BY
+        # funnels the whole input through one task
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = spec.split("specifiedwindowframe")[0]
+            if " ASC" in head or " DESC" in head:
+                cols_before_order = head.split(",")[0].strip()
+                if (
+                    cols_before_order.endswith(("ASC NULLS FIRST", "DESC NULLS LAST"))
+                    and "global_window" not in waived
+                ):
+                    bad.append(f"{name}: unpartitioned ordered window ({head[:60]})")
+                    break
+    assert not bad, "\n".join(sorted(set(bad)))
