@@ -40,6 +40,12 @@ BENCH_QUERIES = [
     "stream_windowed_agg",
     "stream_sessionize",
     "events_json_agg",
+    # round-3 headliners
+    "dedup_incremental",
+    "lineitem_bloom_semi",
+    "events_user_sequences",
+    "cur_curate",
+    "sim_semantic_dedup",
 ]
 
 
