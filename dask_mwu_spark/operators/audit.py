@@ -164,3 +164,31 @@ def value_histogram(
             "n_rows",
         )
     )
+
+
+def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pearson correlations for every column pair in one aggregation pass:
+    ``(col_a, col_b, corr)``, upper triangle only.
+
+    All C(k,2) ``corr`` aggregates evaluate in a SINGLE groupBy-less
+    aggregation over one scan — the multi-aggregate trick that makes a
+    k-column profile cost one pass instead of k² (each corr keeps O(1)
+    running state: n, Σx, Σy, Σxy, Σx², Σy²; all map-side combinable).
+    The wide 1-row result is unpivoted driver-free via stack().
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(columns)
+        for b in list(columns)[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6).alias(
+            f"{a}__{b}"
+        )
+        for a, b in pairs
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

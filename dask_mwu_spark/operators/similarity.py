@@ -592,3 +592,38 @@ def embedding_dup_pairs(emb: DataFrame, *, tau: float = 0.99) -> DataFrame:
         )
     )
     return pairs.where(F.col("cosine") >= tau)
+
+
+def dimension_stats(emb: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension statistics of a vector column —
+    ``(dim, n, mean, std, vmin, vmax)`` — the feature-scaling /
+    drift-monitoring primitive every embedding pipeline needs before
+    normalization, quantization (quantize_embeddings picks its scale from
+    exactly these), or index building.
+
+    posexplode → groupBy(dim): ONE shuffle whose key space is the vector
+    dimensionality (perfectly uniform, partial aggregation collapses each
+    map task to d rows).  Variance via the (n, Σx, Σx²) identity with the
+    same rounding on both engines; ``std`` is the population form
+    (sqrt(E[x²] − E[x]²)), floored at 0 against fp cancellation.
+    """
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode(as_double(F.col(vec_col))).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(x), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.avg(x * x) - F.avg(x) * F.avg(x),
+                    )
+                ),
+                6,
+            ).alias("std"),
+            F.min(x).alias("vmin"),
+            F.max(x).alias("vmax"),
+        )
+    )

@@ -330,6 +330,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom-pruned semi join: result is EXACTLY the plain semi join
         # (false positives removed by the confirm join; the oracle replays
         # the plain join, and tests/test_bloom.py replays the bit table)
+        "sim_dimension_stats": lambda s, d: sim.dimension_stats(_emb(s, d)),
+        "lineitem_correlations": lambda s, d: au.correlation_matrix(
+            load_table(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
         "cur_quality_calibrated": lambda s, d: cur.calibrated_quality_filter(
             _docs(s, d), keep_fraction=0.5
         ),
@@ -1182,6 +1187,35 @@ FROM documents d
 LEFT JOIN hist_hit h ON h.doc_id = d.doc_id
 LEFT JOIN batch_hit b ON b.doc_id = d.doc_id
 WHERE d.doc_id % 2 = 1
+""",
+        "sim_dimension_stats": """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), 6) AS mean,
+       ROUND(sqrt(GREATEST(0.0, AVG(x*x) - AVG(x)*AVG(x))), 6) AS std,
+       MIN(x) AS vmin, MAX(x) AS vmax
+FROM x GROUP BY dim
+""",
+        "lineitem_correlations": """
+WITH c AS (
+  SELECT corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)) AS a,
+         corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) AS b,
+         corr(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)) AS cc,
+         corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)) AS d,
+         corr(CAST(l_extendedprice AS DOUBLE), CAST(l_tax AS DOUBLE)) AS e,
+         corr(CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)) AS f
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(a, 6) AS corr FROM c
+UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(b, 6) FROM c
+UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(cc, 6) FROM c
+UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(d, 6) FROM c
+UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(e, 6) FROM c
+UNION ALL SELECT 'l_discount', 'l_tax', ROUND(f, 6) FROM c
 """,
         "cur_quality_calibrated": f"""
 WITH {_TOK_CTE},

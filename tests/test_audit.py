@@ -74,3 +74,28 @@ def test_value_histogram_constant_column(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [3.0] * 5}))
     rows = value_histogram(df, "v", n_bins=10).collect()
     assert len(rows) == 1 and rows[0]["bin"] == 1 and rows[0]["n_rows"] == 5
+
+
+def test_correlation_matrix_single_pass(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.audit import correlation_matrix
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [1.0, 2.0, 3.0, 4.0],
+                "b": [2.0, 4.0, 6.0, 8.0],     # perfectly correlated with a
+                "c": [4.0, 3.0, 2.0, 1.0],     # perfectly anti-correlated
+            }
+        )
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+    assert len(out) == 3  # upper triangle only
+    # one pass: a single aggregate node, no join, no shuffle beyond the agg
+    plan = correlation_matrix(df, ["a", "b", "c"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan

@@ -244,3 +244,23 @@ def test_quantized_topk_recall_vs_float(spark):
     e = {(r.q_id, r.vec_id) for r in exact.itertuples()}
     q = {(r.q_id, r.vec_id) for r in quant.itertuples()}
     assert len(e & q) / len(e) >= 0.8
+
+
+def test_dimension_stats_known_values(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.similarity import dimension_stats
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [[1.0, 10.0], [2.0, 10.0], [3.0, 10.0]],
+                "label": [0, 0, 0],
+            }
+        )
+    )
+    out = {r["dim"]: r.asDict() for r in dimension_stats(emb).collect()}
+    assert out[0]["mean"] == 2.0 and out[0]["vmin"] == 1.0 and out[0]["vmax"] == 3.0
+    assert abs(out[0]["std"] - 0.816497) < 1e-6  # population std of {1,2,3}
+    assert out[1]["std"] == 0.0 and out[1]["mean"] == 10.0
+    assert all(r["n"] == 3 for r in out.values())
