@@ -487,3 +487,67 @@ def calibrated_quality_filter(
             F.round(F.first("threshold"), 6).alias("threshold"),
         )
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    max_top_word_frac: float = 0.2,
+) -> DataFrame:
+    """Stage-by-stage loss accounting for the :func:`curate` pipeline —
+    the observability every production curation run ships with (what did
+    each knife cut?): ``(stage, n_in, n_out, drop_pct)`` for
+    raw → exact-dedup → quality → repetition → language-match.
+
+    Built as ONE flags table (per-doc booleans from the same derivations
+    ``curate`` joins on) and ONE aggregation of progressive-AND
+    conditional sums — no sequential filter/count jobs, so the whole
+    report costs a single pass regardless of stage count.  Stage counts
+    are definitionally consistent with ``curate``'s survivors (the last
+    funnel row equals its count).
+    """
+    from dask_mwu_spark.operators.dedup import _text_key
+
+    w = Window.partitionBy(_text_key(False)).orderBy("doc_id")
+    flags = (
+        docs.select("doc_id", "lang", "text")
+        .withColumn("_keep_dedup", F.row_number().over(w) == 1)
+        .join(quality_scores(docs).select("doc_id", "quality"), "doc_id")
+        .join(
+            repetition_signals(docs).select("doc_id", "top_word_frac"), "doc_id"
+        )
+        .join(lang_scores(docs).select("doc_id", "pred_lang"), "doc_id")
+    )
+    s1 = F.col("_keep_dedup")
+    s2 = s1 & (F.col("quality") >= min_quality)
+    s3 = s2 & (F.col("top_word_frac") <= max_top_word_frac)
+    s4 = s3 & (F.col("pred_lang") == F.col("lang"))
+    wide = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+    )
+    stages = [
+        ("1_exact_dedup", "n0", "n1"),
+        ("2_quality", "n1", "n2"),
+        ("3_repetition", "n2", "n3"),
+        ("4_lang_match", "n3", "n4"),
+    ]
+    stack = ", ".join(
+        f"'{name}', {a}, {b}" for name, a, b in stages
+    )
+    return wide.selectExpr(
+        f"stack({len(stages)}, {stack}) AS (stage, n_in, n_out)"
+    ).select(
+        "stage",
+        "n_in",
+        "n_out",
+        F.round(
+            (F.col("n_in") - F.col("n_out")).cast("double")
+            / F.greatest(F.col("n_in"), F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_pct"),
+    )

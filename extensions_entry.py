@@ -330,6 +330,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom-pruned semi join: result is EXACTLY the plain semi join
         # (false positives removed by the confirm join; the oracle replays
         # the plain join, and tests/test_bloom.py replays the bit table)
+        "cur_funnel": lambda s, d: cur.curation_funnel(_docs(s, d)),
         "sim_dimension_stats": lambda s, d: sim.dimension_stats(_emb(s, d)),
         "lineitem_correlations": lambda s, d: au.correlation_matrix(
             load_table(s, d, "lineitem"),
@@ -399,6 +400,45 @@ def extension_oracles() -> dict[str, str]:
     pred_chain = " ".join(
         f"WHEN score_{lang} = best THEN '{lang}'" for lang in tx.LANG_MARKERS
     )
+    # CTE block shared by the cur_curate and cur_funnel oracles: normalized
+    # exact-dedup survivors, quality, repetition, language prediction
+    curate_ctes = f"""norm AS (
+  SELECT doc_id, lang, source,
+         {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS nh
+  FROM documents
+),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+               + 0.3 * LEAST(1.0, 5.0 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(w) for w in tx.STOPWORDS)}))) AS DOUBLE) / len(string_split(text, ' '))))
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+  FROM documents
+),
+{_TOK_CTE.strip().lstrip()},
+wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY doc_id, word),
+rep AS (
+  SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+scores AS (
+  SELECT doc_id,
+         {langs_scores}
+  FROM documents
+),
+best AS (
+  SELECT *, GREATEST(score_en, score_fr, score_es, score_de) AS best FROM scores
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN best = 0 THEN 'unknown' {pred_chain} ELSE 'unknown' END AS pred_lang
+  FROM best
+)"""
     return {
         "text_stats": """
 SELECT doc_id,
@@ -958,43 +998,7 @@ SELECT ws.doc_id AS doc_id, CAST(ws.n_tokens AS BIGINT) AS n_tokens,
 FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
 """,
         "cur_curate": f"""
-WITH norm AS (
-  SELECT doc_id, lang, source,
-         {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS nh
-  FROM documents
-),
-keep AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) AS rn
-    FROM norm
-  ) WHERE rn = 1
-),
-qual AS (
-  SELECT doc_id,
-         ROUND(0.4 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
-               + 0.3 * LEAST(1.0, 5.0 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(w) for w in tx.STOPWORDS)}))) AS DOUBLE) / len(string_split(text, ' '))))
-               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
-  FROM documents
-),
-{_TOK_CTE.strip().lstrip()},
-wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY doc_id, word),
-rep AS (
-  SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_word_frac
-  FROM wc GROUP BY doc_id
-),
-scores AS (
-  SELECT doc_id,
-         {langs_scores}
-  FROM documents
-),
-best AS (
-  SELECT *, GREATEST(score_en, score_fr, score_es, score_de) AS best FROM scores
-),
-pred AS (
-  SELECT doc_id,
-         CASE WHEN best = 0 THEN 'unknown' {pred_chain} ELSE 'unknown' END AS pred_lang
-  FROM best
-)
+WITH {curate_ctes}
 SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(q.quality) AS min_quality, MAX(q.quality) AS max_quality
 FROM norm d
@@ -1004,6 +1008,35 @@ JOIN rep USING (doc_id)
 JOIN pred USING (doc_id)
 WHERE q.quality >= 0.5 AND rep.top_word_frac <= 0.2 AND pred.pred_lang = d.lang
 GROUP BY d.source
+""",
+        "cur_funnel": f"""
+WITH {curate_ctes},
+flags AS (
+  SELECT n.doc_id,
+         (k.doc_id IS NOT NULL) AS s1,
+         (k.doc_id IS NOT NULL AND q.quality >= 0.5) AS s2,
+         (k.doc_id IS NOT NULL AND q.quality >= 0.5 AND r.top_word_frac <= 0.2) AS s3,
+         (k.doc_id IS NOT NULL AND q.quality >= 0.5 AND r.top_word_frac <= 0.2
+          AND p.pred_lang = n.lang) AS s4
+  FROM norm n
+  LEFT JOIN keep k USING (doc_id)
+  JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id)
+  JOIN pred p USING (doc_id)
+),
+wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
+)
+SELECT '1_exact_dedup' AS stage, n0 AS n_in, n1 AS n_out,
+       ROUND(CAST(n0 - n1 AS DOUBLE) / GREATEST(n0, 1), 6) AS drop_pct FROM wide
+UNION ALL SELECT '2_quality', n1, n2, ROUND(CAST(n1 - n2 AS DOUBLE) / GREATEST(n1, 1), 6) FROM wide
+UNION ALL SELECT '3_repetition', n2, n3, ROUND(CAST(n2 - n3 AS DOUBLE) / GREATEST(n2, 1), 6) FROM wide
+UNION ALL SELECT '4_lang_match', n3, n4, ROUND(CAST(n3 - n4 AS DOUBLE) / GREATEST(n3, 1), 6) FROM wide
 """,
         "cur_pack_stats": """
 WITH t AS (

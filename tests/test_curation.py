@@ -252,3 +252,22 @@ def test_calibrated_quality_filter_budget(spark, sf_dir):
     t_exact = thresholds.pop()
     t_approx = {r["threshold"] for r in approx}.pop()
     assert abs(t_approx - t_exact) < 0.05
+
+
+def test_curation_funnel_consistent_with_curate(spark, sf_dir):
+    from dask_mwu_spark.operators.curation import curate, curation_funnel
+    from dask_mwu_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    funnel = {r["stage"]: r.asDict() for r in curation_funnel(docs).collect()}
+    assert list(funnel) == [
+        "1_exact_dedup", "2_quality", "3_repetition", "4_lang_match",
+    ]
+    # stages chain: n_out of stage k == n_in of stage k+1; monotone
+    stages = list(funnel.values())
+    for a, b in zip(stages, stages[1:]):
+        assert a["n_out"] == b["n_in"]
+        assert a["n_out"] <= a["n_in"]
+    assert stages[0]["n_in"] == docs.count()
+    # the funnel's terminal count equals the composed curate() survivors
+    assert stages[-1]["n_out"] == curate(docs).count()
