@@ -648,19 +648,32 @@ def incremental_dedup_flags(
     batch_bands = (
         minhash_band_keys(new_docs, n=n) if batch_bands is None else batch_bands
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # membership is a question about the KEY SET, so collapse the history
+    # index to distinct (band, band_key) before joining: a hot bucket (one
+    # viral template duplicated d times) would otherwise contribute
+    # |batch matches| x d intermediate rows — measured 3x end-to-end on a
+    # 10%-duplicated 1.6M-doc probe (tools/scale_probe_incremental.py).
+    # The distinct is map-side combinable and exactly as parallel as the
+    # index scan; a production index can store this key set directly.
     hist_hit = (
         batch_bands.join(
-            history_bands.select("band", "band_key"), on=["band", "band_key"]
+            history_bands.select("band", "band_key").distinct(),
+            on=["band", "band_key"],
         )
         .select("doc_id")
         .distinct()
         .withColumn("dup_of_history", F.lit(True))
     )
+    # "collides with a SMALLER batch doc_id" == "is not its bucket's
+    # minimum": one aggregation + join-back, never the d^2 self-join
+    # (the greedy first-seen-wins rule makes the min sufficient)
+    bucket_min = batch_bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("_min_doc")
+    )
     batch_hit = (
-        batch_bands.alias("x")
-        .join(batch_bands.alias("y"), on=["band", "band_key"])
-        .where(F.col("y.doc_id") < F.col("x.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_id"))
+        batch_bands.join(bucket_min, on=["band", "band_key"])
+        .where(F.col("doc_id") > F.col("_min_doc"))
+        .select("doc_id")
         .distinct()
         .withColumn("dup_in_batch", F.lit(True))
     )
