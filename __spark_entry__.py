@@ -899,14 +899,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg", "stream_sessionize", "events_asof_join",
         "events_interval_join", "events_rolling_window", "events_resample",
         "events_anomaly", "events_cohort", "events_funnel",
-        # dedup ladder
+        # dedup ladder (edit_sim variant covered by CORRECTNESS_FULL + pytest)
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_signatures",
         "dedup_minhash_lsh", "dedup_components", "dedup_simhash_pairs",
-        "dedup_verified", "dedup_edit_sim",
-        # similarity / ANN ladder
+        "dedup_verified", "dedup_incremental",
+        # similarity / ANN ladder (quantized variant likewise)
         "sim_cosine_topk", "sim_lsh_topk", "sim_lsh_multi_topk",
         "sim_ivf_topk", "sim_embedding_dup_pairs", "sim_semantic_dedup",
-        "sim_quantized_topk",
+        "lineitem_bloom_semi",
         # text analysis
         "text_stats", "text_quality", "text_tfidf", "text_vocab_topk",
         "text_fingerprints", "text_token_count",
