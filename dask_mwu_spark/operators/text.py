@@ -425,3 +425,67 @@ def winnow_fingerprints(
         F.min("fp").alias("min_fp"),
         (F.sum("fp") % F.lit(MERSENNE_P)).alias("fp_checksum"),
     )
+
+
+def heavy_hitters(docs: DataFrame, *, theta: float = 0.001) -> DataFrame:
+    """All words with corpus frequency >= theta * total_tokens, with EXACT
+    counts — found WITHOUT ever shuffling the full vocabulary:
+    ``(word, n_occurrences, frequency)``.
+
+    Two passes (the textbook bounded-memory heavy-hitters recipe):
+
+    1. Candidate generation: a mergeable Misra-Gries summary with
+       m = ceil(1/theta) counters per partition (``mapInPandas``, batched
+       merge form: fold each Arrow batch's value_counts into the counter
+       dict, and when it exceeds m counters subtract the (m+1)-th largest
+       weight from all and drop the non-positive).  Pigeonhole guarantee:
+       a word with global freq >= theta*n has freq >= theta*n_p in at
+       least one partition, and MG with 1/theta counters never evicts
+       such a word from that partition's summary — NO FALSE NEGATIVES,
+       regardless of how rows are partitioned.
+    2. Exact recount of the candidate set only: candidates (<= m per
+       partition — thousands of rows, not the vocabulary) broadcast-
+       semi-join the token stream, one groupBy over the filtered stream,
+       final filter >= theta*n.  False positives from pass 1 die here.
+
+    Output is therefore DETERMINISTIC (partitioning only affects which
+    extra candidates get recounted and discarded) and exactly equals the
+    full-shuffle ``GROUP BY word HAVING count >= theta*n`` — which is the
+    DuckDB oracle.  At 100 TB the full vocabulary (easily 1e9+ keys with
+    typos/URLs) never shuffles; state is m counters per task.
+    """
+    import math
+
+    import pandas as pd
+
+    m = int(math.ceil(1.0 / theta))
+    toks = tokens(docs).select("word")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > m:
+                kth = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    w: v - kth for w, v in counters.items() if v - kth > 0
+                }
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    cand = toks.mapInPandas(mg_partition, "word string").distinct()
+    totals = toks.agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        toks.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .where(F.col("n_occurrences") >= F.lit(theta) * F.col("_n"))
+        .select(
+            "word",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("_n"), 6).alias("frequency"),
+        )
+    )

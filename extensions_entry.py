@@ -331,6 +331,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (false positives removed by the confirm join; the oracle replays
         # the plain join, and tests/test_bloom.py replays the bit table)
         "cur_funnel": lambda s, d: cur.curation_funnel(_docs(s, d)),
+        "text_heavy_hitters": lambda s, d: tx.heavy_hitters(
+            _docs(s, d), theta=0.002
+        ),
         "sim_dimension_stats": lambda s, d: sim.dimension_stats(_emb(s, d)),
         "lineitem_correlations": lambda s, d: au.correlation_matrix(
             load_table(s, d, "lineitem"),
@@ -1220,6 +1223,15 @@ FROM documents d
 LEFT JOIN hist_hit h ON h.doc_id = d.doc_id
 LEFT JOIN batch_hit b ON b.doc_id = d.doc_id
 WHERE d.doc_id % 2 = 1
+""",
+        "text_heavy_hitters": f"""
+WITH {_TOK_CTE},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n), 6) AS frequency
+FROM tok, tot t
+GROUP BY word
+HAVING COUNT(*) >= 0.002 * ANY_VALUE(t.n)
 """,
         "sim_dimension_stats": """
 WITH x AS (

@@ -254,3 +254,45 @@ def test_vocab_and_tokenize_roundtrip(spark):
     )
     assert list(ids[ids.doc_id == 0].token_id) == [1, 0, 1, 2, 1, 0]
     assert list(ids[ids.doc_id == 1].token_id) == [0, 2, -1]  # zz -> OOV
+
+
+def test_heavy_hitters_equals_full_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators.text import heavy_hitters, tokens
+    from dask_mwu_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    theta = 0.005
+    got = {
+        (r["word"], r["n_occurrences"])
+        for r in heavy_hitters(docs, theta=theta).collect()
+    }
+    toks = tokens(docs)
+    n = toks.count()
+    want = {
+        (r["word"], r["cnt"])
+        for r in toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= theta * n)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
+    """Pass-1 candidates depend on partitioning; the final result must
+    not.  Run over adversarial layouts: many tiny partitions and one
+    giant partition."""
+    from dask_mwu_spark.operators.text import heavy_hitters
+    from dask_mwu_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = sorted(map(tuple, heavy_hitters(docs, theta=0.01).collect()))
+    many = sorted(
+        map(tuple, heavy_hitters(docs.repartition(64), theta=0.01).collect())
+    )
+    one = sorted(
+        map(tuple, heavy_hitters(docs.coalesce(1), theta=0.01).collect())
+    )
+    assert base == many == one and len(base) > 0
