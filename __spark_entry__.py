@@ -607,6 +607,14 @@ def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (operators/events.py path_ngrams): top 3-step event
+    paths, lead-window n-grams + TakeOrderedAndProject head."""
+    from dask_mwu_spark.operators.events import path_ngrams
+
+    return path_ngrams(load_table(spark, sf_dir, "events"), n=3, k=20)
+
+
 def _q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-model training-data construction (operators/events.py
     user_event_sequences): per-user ordered action strings, one shuffle."""
@@ -869,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_scd2": _q_scd2,
         "events_skew_profile": _q_skew_profile,
         "events_user_sequences": _q_user_sequences,
+        "events_path_ngrams": _q_path_ngrams,
     }
     try:
         from extensions_entry import extension_queries
@@ -1257,6 +1266,21 @@ SELECT key_value, n_rows,
 FROM counts, tot
 ORDER BY n_rows DESC, key_value
 LIMIT 5
+""",
+        "events_path_ngrams": """
+WITH g AS (
+  SELECT event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path
+LIMIT 20
 """,
         "events_user_sequences": """
 SELECT user_id,

@@ -213,3 +213,42 @@ def user_event_sequences(
             ).alias("seq"),
         )
     )
+
+
+def path_ngrams(
+    events: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common n-step user paths — the path-analysis staple
+    ("view>click>purchase happens 12k times"):
+    ``(path, n_occurrences)``, top-k by count.
+
+    lead() windows over each user's (ts, id)-ordered events build the
+    n-grams in place (same single window sort the sessionizer pays; the
+    user key is uniform), one map-side-combinable count per distinct path
+    (path cardinality <= |event types|^n — tiny), and the head is
+    ``orderBy().limit(k)`` = TakeOrderedAndProject.  No collect, no
+    global sort, no self-join.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    paths = (
+        events.select(
+            F.concat_ws(">", *parts).alias("path"),
+            F.lead(type_col, n - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return paths.orderBy(
+        F.col("n_occurrences").desc(), F.col("path")
+    ).limit(k)

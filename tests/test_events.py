@@ -175,3 +175,34 @@ def test_user_event_sequences_tiebreak_on_event_id(spark):
     )
     (row,) = user_event_sequences(ev).collect()
     assert row["seq"] == "first>second"
+
+
+def test_path_ngrams_counts(spark):
+    import pandas as pd
+    from dask_mwu_spark.operators.events import path_ngrams
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2, 2, 2],
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "ts": [10, 20, 30, 40, 10, 20, 30],
+                "event_type": ["a", "b", "c", "d", "a", "b", "c"],
+            }
+        )
+    )
+    out = {r["path"]: r["n_occurrences"] for r in path_ngrams(ev, n=3).collect()}
+    # user 1 contributes a>b>c and b>c>d; user 2 contributes a>b>c
+    assert out == {"a>b>c": 2, "b>c>d": 1}
+    # plan shape: the ordering must run over the AGGREGATED path table
+    # (cardinality <= |event types|^n), never the raw event stream — AQE
+    # picks TakeOrderedAndProject on file sources and a (tiny) global sort
+    # on local relations; both are fine, sorting raw events is not
+    df = path_ngrams(ev, n=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sort_pos = min(
+        (plan.find(m) for m in ("TakeOrderedAndProject", "Sort [n_occ")
+         if plan.find(m) >= 0),
+    )
+    assert sort_pos >= 0 and "HashAggregate" in plan[sort_pos:]
