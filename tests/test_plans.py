@@ -112,6 +112,9 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # corpus-scale paths are sim_lsh_* / sim_ivf_* / sim_semantic_*
         "sim_cosine_topk": {"nested_loop"},
         "sim_quantized_topk": {"nested_loop"},
+        # threshold filter folded into the 1-ROW totals broadcast cross
+        # (n_candidates x 1 'pairs' — a per-row filter in disguise)
+        "text_heavy_hitters": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():
