@@ -523,12 +523,14 @@ def curation_funnel(
     s2 = s1 & (F.col("quality") >= min_quality)
     s3 = s2 & (F.col("top_word_frac") <= max_top_word_frac)
     s4 = s3 & (F.col("pred_lang") == F.col("lang"))
+    # SUM over an empty frame is NULL, not 0 — coalesce so the empty-input
+    # report renders all-zero stages instead of NULLs
     wide = flags.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(s1.cast("long")).alias("n1"),
-        F.sum(s2.cast("long")).alias("n2"),
-        F.sum(s3.cast("long")).alias("n3"),
-        F.sum(s4.cast("long")).alias("n4"),
+        F.coalesce(F.sum(s1.cast("long")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(s2.cast("long")), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum(s3.cast("long")), F.lit(0)).alias("n3"),
+        F.coalesce(F.sum(s4.cast("long")), F.lit(0)).alias("n4"),
     )
     stages = [
         ("1_exact_dedup", "n0", "n1"),
