@@ -26,10 +26,14 @@ Design
   of ``1 << 63`` overflow.
 - k=5 positions per key from the universal-hash family over the md5 digest
   (independent (a,b) pairs).  False-positive rate ≈ (1 - e^(-kn/m))^k:
-  n=1e6 keys at the default m=2^20·63 ≈ 6.6e7 bits gives ~2e-6.
-- The bit table has at most m/63 rows (≈16k at the default) — broadcast
-  size ~256 KB; membership is k broadcast hash joins, all in the scan
-  stage, zero shuffle.
+  n=1e6 keys at the default m=2^20·63 ≈ 6.6e7 bits gives ~2e-6.  Past
+  ~1e7 keys the default saturates (FPR → 1 and the pre-join prunes
+  nothing — still exact, just wasted work): size ``m_bits ≈ 10·n`` or
+  more for the key count you expect.
+- The bit table has at most ceil(m/63) rows (2^20 at the default) but
+  never more than k·n distinct words, so the broadcast is ≤ 8 MB worst
+  case and far smaller for selective key sets; membership is k broadcast
+  hash joins, all in the scan stage, zero shuffle.
 """
 
 from __future__ import annotations
@@ -40,7 +44,10 @@ from dask_mwu_spark.functions.hashing import MINHASH_COEFFS, md5_long, universal
 
 BLOOM_K = 5
 WORD_BITS = 63
-DEFAULT_M_BITS = (1 << 20) * WORD_BITS // (1 << 6)  # 1_032_192 bits ≈ 16k words
+# 2^20 words · 63 bits ≈ 6.6e7 bits — the sizing the module docstring's FPR
+# math assumes (ADVICE r3: the old "// (1 << 6)" shrank this 64x, so 1e6
+# keys saturated the filter and the pre-join pruned nothing)
+DEFAULT_M_BITS = (1 << 20) * WORD_BITS
 BLOOM_COEFFS = MINHASH_COEFFS[:BLOOM_K]
 
 

@@ -92,12 +92,19 @@ def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     normalization point:
 
     - BIGINT: already epoch nanos — unchanged.
-    - TIMESTAMP / TIMESTAMP_NTZ: ``unix_micros(cast ts as timestamp) * 1000``.
-      ``unix_micros`` is exact integer math (no double rounding) and the
-      micros→nanos multiply stays well inside BIGINT range.  The NTZ→LTZ cast
-      interprets the naive value in the session timezone, so pin it to UTC to
-      match DuckDB's naive-as-UTC ``epoch_us`` bit-for-bit regardless of the
-      caller session's zone.
+    - TIMESTAMP (LTZ, parquet isAdjustedToUTC=true): ``unix_micros(ts)`` is
+      instant-based — it returns the stored int64 micros whatever the
+      session timezone.
+    - TIMESTAMP_NTZ: the naive value must be read as UTC wall time to match
+      DuckDB's naive-as-UTC ``epoch_us`` bit-for-bit.  Rebuild the instant
+      field-by-field with ``make_timestamp(..., 'UTC')`` — the zone is IN
+      the expression, so no session-conf dependence (the previous
+      implementation set ``spark.sql.session.timeZone=UTC`` as a load-time
+      side effect, silently changing timestamp semantics for every other
+      query in the session; ADVICE r3).  ``extract(second)`` is
+      DECIMAL(8,6): micros survive exactly, and ``unix_micros`` keeps the
+      whole path integer-exact.  Micros→nanos multiply stays well inside
+      BIGINT range either way.
 
     Scan-stage projection — no shuffle, no UDF, and parquet min/max stats on
     the raw column still prune row groups for pushed-down filters on other
@@ -106,11 +113,15 @@ def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     (dtype,) = [t for c, t in df.dtypes if c == "ts"]
     if dtype == "bigint":
         return df
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if dtype == "timestamp":
+        us = F.unix_micros(F.col("ts"))
+    else:
+        us = F.expr(
+            "unix_micros(make_timestamp(year(ts), month(ts), day(ts), "
+            "hour(ts), minute(ts), extract(second from ts), 'UTC'))"
+        )
     cols = [
-        (F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)).alias(c)
-        if c == "ts"
-        else F.col(c)
+        (us * F.lit(1000)).alias(c) if c == "ts" else F.col(c)
         for c in df.columns
     ]
     return df.select(*cols)

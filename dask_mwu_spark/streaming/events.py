@@ -483,10 +483,15 @@ def upsert_sink(
     latest-wins window -> write tmp -> atomic swap; same discipline as
     sources/cdc.apply_changelog, but the table persists each key's winning
     seq so a stale row arriving in a LATER batch still loses), and the
-    streaming layer adds only checkpointing + restart semantics.  foreachBatch may re-deliver a batch after a crash;
-    latest-seq-wins makes the merge IDEMPOTENT, which is exactly the
-    exactly-once recipe the Structured Streaming guide prescribes for
-    idempotent sinks.
+    streaming layer adds only checkpointing + restart semantics.  Deletes
+    are persisted as TOMBSTONES (``_op='D'`` rows keeping the delete's
+    seq) rather than dropped: if the deleted key vanished from storage, a
+    stale upsert (lower seq than the delete) redelivered or arriving in a
+    later batch would resurrect it.  Serve reads through
+    ``read_upsert_table`` which filters tombstones out.  foreachBatch may
+    re-deliver a batch after a crash; latest-seq-wins over the persisted
+    seq makes the merge IDEMPOTENT, which is exactly the exactly-once
+    recipe the Structured Streaming guide prescribes for idempotent sinks.
 
     Scale notes: each merge shuffles current ∪ batch once on the key —
     at a 100 TB table that's a rewrite per batch, which is why real
@@ -523,9 +528,13 @@ def upsert_sink(
             F.col("_seq").desc(),
             F.when(F.col("_op") == "D", 0).otherwise(1).asc(),
         )
+        # keep the per-key winner WHATEVER its op: a winning delete stays
+        # in the table as a tombstone so later/redelivered stale upserts
+        # compare against its seq and lose (ADVICE r3: dropping the key
+        # here allowed stale-after-delete resurrection)
         current = (
             merged.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) & (F.col("_op") == "U"))
+            .where(F.col("_rn") == 1)
             .drop("_rn")
         )
         tmp = f"{path}__tmp_batch{batch_id}"
@@ -540,3 +549,12 @@ def upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_upsert_table(spark, path: str) -> DataFrame:
+    """Current-state view of an ``upsert_sink`` table: the stored parquet
+    keeps delete tombstones (``_op='D'``) for stale-late-arrival
+    correctness; serving reads filter them out.  Tombstone filtering is a
+    scan-stage predicate (parquet dictionary/stats-prunable), so the live
+    view costs nothing extra at scale."""
+    return spark.read.parquet(path).where(F.col("_op") == "U")

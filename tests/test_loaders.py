@@ -58,6 +58,36 @@ def test_ts_normalized_to_epoch_nanos(spark, tmp_path, unit):
     assert [got[i] for i in (1, 2, 3)] == EXPECT_NS
 
 
+def test_ts_ntz_exact_under_non_utc_session(spark, tmp_path):
+    """The NTZ naive-as-UTC interpretation must hold whatever the session
+    timezone, and loading must NOT mutate the session timezone as a side
+    effect (ADVICE r3: the old implementation pinned
+    spark.sql.session.timeZone=UTC for the rest of the session)."""
+    ts_array = pa.array(TS.astype("datetime64[us]"), pa.timestamp("us"))
+    sf_dir = _write(tmp_path, "enc_tz", ts_array)
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, sf_dir, "events")
+        got = {r["event_id"]: r["ts"] for r in df.select("event_id", "ts").collect()}
+        assert [got[i] for i in (1, 2, 3)] == EXPECT_NS
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_ts_ltz_instant_based(spark, tmp_path):
+    """Parquet isAdjustedToUTC=true (read as TIMESTAMP LTZ): unix_micros is
+    instant-based, so the stored int64 round-trips bit-for-bit."""
+    ts_array = pa.array(TS.astype("datetime64[us]"), pa.timestamp("us", tz="UTC"))
+    sf_dir = _write(tmp_path, "enc_ltz", ts_array)
+    df = load_table(spark, sf_dir, "events")
+    (dtype,) = [t for c, t in df.dtypes if c == "ts"]
+    assert dtype == "bigint"
+    got = {r["event_id"]: r["ts"] for r in df.select("event_id", "ts").collect()}
+    assert [got[i] for i in (1, 2, 3)] == EXPECT_NS
+
+
 def test_ts_already_bigint_passthrough(spark, tmp_path):
     ts_array = pa.array(EXPECT_NS, pa.int64())
     sf_dir = _write(tmp_path, "enc_long", ts_array)

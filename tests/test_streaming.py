@@ -235,7 +235,7 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
     import pandas as pd
     from pyspark.sql import types as T
 
-    from dask_mwu_spark.streaming.events import upsert_sink
+    from dask_mwu_spark.streaming.events import read_upsert_table, upsert_sink
 
     schema = T.StructType(
         [
@@ -256,12 +256,18 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
         {"k": [1, 2, 3], "v": ["a2", "b0", None], "seq": [20, 5, 21],
          "op": ["U", "U", "D"]}
     )
+    # batch 3: stale upsert for the DELETED k=3 (seq 6 < the delete's 21)
+    # arriving in a later batch — must NOT resurrect the key (needs the
+    # tombstone; dropping deleted keys from storage fails this)
+    b3 = pd.DataFrame(
+        {"k": [3], "v": ["c0"], "seq": [6], "op": ["U"]}
+    )
     # the file stream lists the directory FLAT (no recursion): land each
     # changelog batch as a single part file directly in log_dir
     import glob
     import shutil
 
-    for i, frame in enumerate((b1, b2)):
+    for i, frame in enumerate((b1, b2, b3)):
         staging = str(tmp_path / f"stage{i}")
         spark.createDataFrame(frame, schema).coalesce(1).write.parquet(staging)
         (part,) = glob.glob(f"{staging}/part-*.parquet")
@@ -280,9 +286,13 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive
 
-    got = {r["k"]: (r["v"], r["_seq"]) for r in spark.read.parquet(table).collect()}
-    # k=1 newest wins; k=2 stale row must NOT overwrite; k=3 deleted
+    got = {r["k"]: (r["v"], r["_seq"]) for r in read_upsert_table(spark, table).collect()}
+    # k=1 newest wins; k=2 stale row must NOT overwrite; k=3 deleted and
+    # NOT resurrected by batch 3's stale upsert
     assert got == {1: ("a2", 20), 2: ("b1", 11)}
+    # the delete survives in storage as a tombstone carrying its seq
+    raw = {r["k"]: (r["_op"], r["_seq"]) for r in spark.read.parquet(table).collect()}
+    assert raw[3] == ("D", 21)
 
     # idempotency: re-deliver the whole log through a fresh checkpoint
     # against the SAME table (crash-redelivery shape); state must not change
@@ -292,5 +302,5 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt2"), trigger_available_now=True,
     )
     q2.awaitTermination(120)
-    got2 = {r["k"]: (r["v"], r["_seq"]) for r in spark.read.parquet(table).collect()}
+    got2 = {r["k"]: (r["v"], r["_seq"]) for r in read_upsert_table(spark, table).collect()}
     assert got2 == got
