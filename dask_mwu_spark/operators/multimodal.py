@@ -6,13 +6,15 @@ Stage-4 "multimodal columns" extension: media is carried as an opaque
 codec work (decode, resize planning, frame sampling, feature extraction)
 runs as Arrow-batched pandas functions over ``mapInPandas``.
 
-The actual codecs (PIL/libav/soundfile) are NOT in this container, so the
-decode step is a clearly-marked stub: ``decode_real`` raises
-``NotImplementedError``, and the default path uses a DETERMINISTIC FAKE
-decoder (md5-derived pseudo dimensions/checksums) so that the Spark-side
-plumbing — payload schema, Arrow batch shape, mapInPandas signatures,
-partitioning — is fully real and oracle-testable, while the codec itself is
-swappable (pass ``decoder=`` to use a real one on a cluster that has libs).
+Pixel/audio/video codecs (PIL/libav/soundfile) are NOT in this container.
+``decode_real`` parses real image METADATA (width/height/channels from PNG
+IHDR, JPEG SOFn, GIF logical-screen-descriptor header bytes) in pure
+Python; pixel decode and audio/video raise ``ValueError`` until a full
+codec is injected via ``decoder=``.  The default path uses a DETERMINISTIC
+FAKE decoder (md5-derived pseudo dimensions/checksums) so that the
+Spark-side plumbing — payload schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is oracle-testable on the synthetic text
+payloads, which are not real image bytes.
 
 Scale design: every operator here is per-row (zero shuffle) — mapInPandas is
 a scan-stage transform, so 100 TB of media partitions trivially by input
@@ -131,16 +133,83 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def decode_real(payload: bytes, media_type: str) -> dict[str, Any]:
-    """REAL codec stub — the image/audio libs are not in this container.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec §11.2.2: 0 gray, 2 RGB,
+# 3 palette-indexed, 4 gray+alpha, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers carry frame dims; 0xC4 (DHT), 0xC8 (JPG ext), 0xCC
+# (DAC) fall in the 0xC0-0xCF range but are NOT frame headers
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
 
-    On a cluster with PIL/av installed, replace ``fake_decode`` with a
-    function like this one filled in; the mapInPandas plumbing is unchanged.
+
+def decode_real(payload: bytes, media_type: str) -> dict[str, Any]:
+    """REAL image metadata decode in pure Python — no PIL needed.
+
+    Container headers are just bytes: PNG stores dims in the IHDR chunk
+    right after the 8-byte signature, GIF in the logical-screen descriptor
+    at offset 6, JPEG in the first SOFn marker segment.  This parses all
+    three, so on any cluster ``decode_media(media, decoder=decode_real)``
+    extracts real width/height/channels for image payloads with zero
+    dependencies.  PIXEL decode (and audio/video codecs) still needs
+    PIL/libav — not in this container — so non-image payloads raise
+    ``ValueError`` and a real deployment injects a full ``decoder=``
+    through the same seam.
     """
-    raise NotImplementedError(
-        "real media codecs (PIL/libav) are not available in this environment; "
-        "use fake_decode or inject decoder= on a cluster that has them"
-    )
+    if payload[:8] == PNG_SIG:
+        # signature(8) | chunk len(4 BE) | b'IHDR' | width(4 BE) |
+        # height(4 BE) | bit depth(1) | color type(1)
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: missing IHDR chunk")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25]
+        n_channels = _PNG_CHANNELS.get(color_type)
+        if n_channels is None:
+            raise ValueError(f"corrupt PNG: color type {color_type}")
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        # header(6) | logical screen width(2 LE) | height(2 LE)
+        if len(payload) < 10:
+            raise ValueError("corrupt GIF: truncated logical screen descriptor")
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        n_channels = 3  # palette entries are RGB triples
+    elif payload[:2] == b"\xff\xd8":
+        width = height = n_channels = None
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker == 0xDA:  # SOS: entropy-coded data, no SOF seen
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                # SOFn: len(2) | precision(1) | height(2 BE) | width(2 BE)
+                # | n_components(1)
+                if i + 10 > len(payload):
+                    raise ValueError("corrupt JPEG: truncated SOF segment")
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                n_channels = payload[i + 9]
+                break
+            i += 2 + seg_len
+        if width is None:
+            raise ValueError("corrupt JPEG: no SOF marker before SOS/EOF")
+    else:
+        raise ValueError(
+            "not a PNG/JPEG/GIF payload; pixel decode and audio/video need "
+            "real codecs (PIL/libav) — inject decoder= on a cluster that "
+            "has them"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": n_channels,
+        "checksum": _md5_60(payload),
+    }
 
 
 def fake_decode(payload: bytes, media_type: str) -> dict[str, Any]:

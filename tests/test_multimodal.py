@@ -63,9 +63,64 @@ def test_decode_duckdb_parity(media, sf_dir):
     assert got == want
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        mm.decode_real(b"\x89PNG", "image")
+# real container header bytes, built per the PNG/GIF/JPEG specs
+PNG_BYTES = (
+    mm.PNG_SIG
+    + (13).to_bytes(4, "big") + b"IHDR"
+    + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+    + bytes([8, 6])  # bit depth 8, color type 6 (RGBA)
+)
+GIF_BYTES = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+JPEG_BYTES = (
+    b"\xff\xd8"  # SOI
+    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)  # APP0
+    + b"\xff\xc0" + (17).to_bytes(2, "big")  # SOF0 (baseline)
+    + bytes([8]) + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+    + bytes([3]) + bytes(9)  # 3 components (YCbCr)
+)
+
+
+def test_real_decoder_parses_image_headers():
+    png = mm.decode_real(PNG_BYTES, "image")
+    assert (png["width"], png["height"], png["n_channels"]) == (640, 480, 4)
+    gif = mm.decode_real(GIF_BYTES, "image")
+    assert (gif["width"], gif["height"], gif["n_channels"]) == (320, 200, 3)
+    jpg = mm.decode_real(JPEG_BYTES, "image")
+    # SOF stores height(2) then width(2): these bytes encode a 640x480 frame
+    assert (jpg["width"], jpg["height"], jpg["n_channels"]) == (640, 480, 3)
+    # checksum convention matches the fake decoder's (md5-60)
+    assert png["checksum"] == int(hashlib.md5(PNG_BYTES).hexdigest()[:15], 16)
+
+
+def test_real_decoder_rejects_non_image_and_corrupt():
+    with pytest.raises(ValueError, match="not a PNG/JPEG/GIF"):
+        mm.decode_real(b"RIFF....WAVE", "audio")
+    with pytest.raises(ValueError, match="IHDR"):
+        mm.decode_real(mm.PNG_SIG + b"\x00\x00\x00\x0dIDAT" + bytes(10), "image")
+    with pytest.raises(ValueError, match="no SOF"):
+        mm.decode_real(b"\xff\xd8\xff\xda\x00\x02", "image")
+
+
+def test_real_decoder_through_map_in_pandas(spark):
+    """decode_media(decoder=decode_real) end-to-end: the same mapInPandas
+    plumbing the fake path uses, fed real container bytes."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(PNG_BYTES), (len(PNG_BYTES), "image")),
+            (2, "image", bytearray(GIF_BYTES), (len(GIF_BYTES), "image")),
+            (3, "image", bytearray(JPEG_BYTES), (len(JPEG_BYTES), "image")),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.n_channels, r.n_bytes)
+        for r in mm.decode_media(media, decoder=mm.decode_real).collect()
+    }
+    assert got == {
+        1: (640, 480, 4, len(PNG_BYTES)),
+        2: (320, 200, 3, len(GIF_BYTES)),
+        3: (640, 480, 3, len(JPEG_BYTES)),
+    }
 
 
 def test_resize_plan(media):
