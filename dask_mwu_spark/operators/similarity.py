@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from dask_mwu_spark.functions.hashing import md5_long
+
 N_PLANES = 8
 EMB_DIM = 64
 # deterministic pseudo-random hyperplane weights r(p, d) in [-0.5, 0.5) from
@@ -415,6 +417,7 @@ def semantic_dup_pairs(
     n_centroids: int = N_CENTROIDS,
     tau: float = 0.4,
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster the corpus (nearest
     centroid by cosine), then compare pairs ONLY within a cluster:
@@ -430,16 +433,43 @@ def semantic_dup_pairs(
     DuckDB oracle exact.
 
     Scale: assignment is the broadcast cross join from ``ivf_index`` (no
-    vector shuffle); the pair join shuffles once on cent_id, and a skewed
-    mega-cluster is AQE-splittable.  The assignment table is persisted —
-    it feeds both sides of the self-join.
+    vector shuffle); the pair join shuffles once on cent_id.  AQE can
+    split a skewed cluster's SHUFFLE READ, but not the O(n_c²) pair count
+    itself — one mega-cluster (boilerplate-dominated corpora put 30%+ of
+    vectors on one centroid) is a quadratic hot spot (VERDICT r3).
+    ``max_cluster_size`` bounds it: clusters over the cap are split into
+    ``ceil(n_c/cap)`` sub-buckets by a deterministic secondary hash of
+    vec_id, and pairs stay within a sub-bucket — pair count per cluster
+    drops from n_c² to ~n_c·cap, at the DOCUMENTED cost of losing
+    cross-bucket pairs (recall ≈ cap/n_c inside oversized clusters; a
+    planted-mega-cluster probe in tools/scale_probe_ann.py measures
+    both).  Under-cap clusters get n_sub=1, so results there are
+    IDENTICAL with or without the cap and the DuckDB oracle is unchanged.
+    Cluster sizes come from a ≤n_centroids-row broadcast — no extra
+    vector shuffle.  The assignment table is persisted — it feeds both
+    sides of the self-join.
     """
     idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    join_keys = ["cent_id"]
+    if max_cluster_size is not None:
+        sizes = idx.groupBy("cent_id").agg(F.count(F.lit(1)).alias("_n"))
+        n_sub = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("_n") / F.lit(max_cluster_size)).cast("long"),
+        )
+        idx = (
+            idx.join(F.broadcast(sizes), "cent_id")
+            .withColumn(
+                "_sub", F.pmod(md5_long(F.col("vec_id").cast("string")), n_sub)
+            )
+            .drop("_n")
+        )
+        join_keys = ["cent_id", "_sub"]
     pairs = (
         idx.alias("x")
-        .join(idx.alias("y"), on="cent_id")
+        .join(idx.alias("y"), on=join_keys)
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
@@ -461,6 +491,7 @@ def semantic_purge(
     n_centroids: int = N_CENTROIDS,
     tau: float = 0.4,
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Vectors surviving semantic dedup: connected components over the
     within-cluster pair graph, keep the smallest vec_id per component.
@@ -469,7 +500,11 @@ def semantic_purge(
     from dask_mwu_spark.operators.dedup import dup_components
 
     pairs = semantic_dup_pairs(
-        emb, n_centroids=n_centroids, tau=tau, centroids=centroids
+        emb,
+        n_centroids=n_centroids,
+        tau=tau,
+        centroids=centroids,
+        max_cluster_size=max_cluster_size,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = dup_components(pairs)
     drop = comp.where(F.col("doc_id") != F.col("component")).select(

@@ -200,6 +200,55 @@ def test_semantic_dup_pairs_within_cluster_only(spark):
         assert asg.loc[r.vec_a] == asg.loc[r.vec_b] == r.cent_id
 
 
+def test_semantic_dup_pairs_cap_identity_under_cap(spark):
+    """max_cluster_size larger than every cluster: results IDENTICAL to the
+    uncapped path (the cap only kicks in above the threshold)."""
+    from dask_mwu_spark.operators.similarity import semantic_dup_pairs
+
+    base = rng.normal(size=(40, 32))
+    base[25] = base[20] + 1e-4 * rng.normal(size=32)
+    emb = _emb(spark, base)
+    uncapped = semantic_dup_pairs(emb, n_centroids=4, tau=0.5).toPandas()
+    capped = semantic_dup_pairs(
+        emb, n_centroids=4, tau=0.5, max_cluster_size=1000
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cent_id", "cosine"]].values.tolist()))  # noqa: E731
+    assert key(capped) == key(uncapped) and len(uncapped) > 0
+
+
+def test_semantic_dup_pairs_cap_bounds_mega_cluster(spark):
+    """A planted mega-cluster (every vector near one direction -> one
+    centroid) must produce ~n*cap pairs under the cap instead of n^2/2,
+    and every surviving pair must still be intra-sub-bucket correct
+    (cosine recomputed exactly)."""
+    from dask_mwu_spark.operators.similarity import semantic_dup_pairs
+
+    n = 200
+    base = rng.normal(size=(n, 16)) * 0.01
+    base[:, 0] += 1.0  # everything points along dim 0 -> one cluster
+    emb = _emb(spark, base)
+    # inject orthogonal centroids so assignment provably collapses onto
+    # centroid 0 (the seeded defaults sample centroids from the same
+    # near-dim-0 cone and split the cluster by noise)
+    cents = spark.createDataFrame(
+        [(i, [1.0 if d == i else 0.0 for d in range(16)]) for i in range(4)],
+        "cent_id: long, embedding: array<double>",
+    )
+    uncapped = semantic_dup_pairs(emb, n_centroids=4, tau=-1.0, centroids=cents)
+    capped = semantic_dup_pairs(
+        emb, n_centroids=4, tau=-1.0, centroids=cents, max_cluster_size=25
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == n * (n - 1) // 2  # genuinely one mega-cluster
+    # ceil(200/25)=8 sub-buckets: expected pair count ~ 8 * C(25,2) = 2400;
+    # allow hash-imbalance headroom but require the quadratic blowup gone
+    assert n_cap < n_un * 0.25
+    # capped pairs are a subset of uncapped pairs (same scores)
+    cp = set(map(tuple, capped.toPandas()[["vec_a", "vec_b"]].values.tolist()))
+    up = set(map(tuple, uncapped.toPandas()[["vec_a", "vec_b"]].values.tolist()))
+    assert cp <= up
+
+
 def test_semantic_purge_keeps_min_per_component(spark):
     from dask_mwu_spark.operators.similarity import semantic_purge
 
