@@ -238,6 +238,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": lambda s, d: dd.dup_components(
             dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
         ),
+        # fixed-round mode: no per-round convergence count jobs.  LSH
+        # components are star-ish (diameter <= a few hops); hop+jump at
+        # least doubles distance per round, so 6 rounds cover diameter 32
+        "dedup_components_fixed": lambda s, d: dd.dup_components(
+            dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25), n_rounds=6
+        ),
         "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(
             _docs(s, d), max_hamming=4
@@ -694,6 +700,10 @@ scored AS (
 SELECT * FROM scored WHERE edit_sim >= 0.6
 """,
         "dedup_components": f"""
+WITH {_CC_CTE}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component FROM cc
+""",
+        "dedup_components_fixed": f"""
 WITH {_CC_CTE}
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component FROM cc
 """,
