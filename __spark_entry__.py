@@ -917,8 +917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot on the fixed-round variant instead (same oracle CTE)
         "dedup_exact", "dedup_minhash_lsh", "dedup_verified",
         "dedup_incremental", "dedup_components_fixed",
+        # text_tfidf got its exact row in r03; spend the slot on the new
+        # bounded-state exact-percentile path (oracle: quantile_cont)
         "sim_cosine_topk", "sim_ivf_topk", "sim_semantic_dedup",
-        "lineitem_bloom_semi", "text_tfidf", "cur_contamination",
+        "lineitem_bloom_semi", "cur_quality_exact_pctile", "cur_contamination",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

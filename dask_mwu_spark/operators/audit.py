@@ -166,6 +166,115 @@ def value_histogram(
     )
 
 
+def exact_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    *,
+    n_bins: int = 4096,
+    max_rounds: int = 8,
+) -> float | None:
+    """EXACT linear-interpolation quantile (DuckDB ``quantile_cont`` /
+    Spark ``percentile`` semantics) with BOUNDED per-node state — the
+    scale path for ``curation.calibrated_quality_filter(exact=True)``.
+
+    ``F.percentile`` is exact but accumulates a per-value hash map in a
+    single aggregation buffer — unbounded state on high-cardinality
+    columns (1e11 distinct doubles will not fit anywhere).  This computes
+    the same number via iterative histogram narrowing, the two-pass trick
+    from :func:`value_histogram` applied recursively:
+
+    1. one min/max/count pass;
+    2. per round: one n_bins-width histogram over the current range, then
+       narrow the range to the bins holding the target order statistics
+       (±1 bin of slack so float edge-binning can never exclude them).
+       Each round divides the candidate width by n_bins, so values
+       distinguishable at double precision separate within ~5 rounds;
+       massive ties collapse to a single candidate value and stop early;
+    3. one exact ``count(value < lo)`` pass to anchor the global rank
+       (immune to any binning drift), then a value-level groupBy WITHIN
+       the final range — its shuffle is bounded by the distinct values
+       left in a width/(n_bins^rounds) window (typically 1) — and the two
+       order statistics interpolate exactly.
+
+    Cost: (rounds + 3) scans, each a map-side-combinable aggregate with
+    n_bins-bounded output; driver holds only 1-row/n_bins-row results per
+    round (the same tiny-materialization discipline as
+    similarity.kmeans_centroids).  Returns a Python float (or None on an
+    empty/all-null column) for injection as a plan literal.
+    """
+    import math
+
+    c = F.col(col).cast("double")
+    n, lo, hi = df.agg(
+        F.count(c), F.min(c), F.max(c)
+    ).first()
+    if n == 0 or lo is None:
+        return None
+    p = q * (n - 1)
+    k0 = min(int(math.floor(p)), n - 1)
+    frac = p - k0
+    k1 = min(k0 + 1, n - 1) if frac > 0 else k0
+    for _ in range(max_rounds):
+        if lo == hi:
+            break
+        width = (hi - lo) / n_bins
+        if width <= 0 or not math.isfinite(width):
+            break
+        hist = dict(
+            df.where((c >= lo) & (c <= hi))
+            .groupBy(
+                F.least(
+                    F.lit(n_bins - 1), F.floor((c - lo) / F.lit(width))
+                ).cast("int").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        below = df.where(c < lo).count()
+        cum, b0, b1 = below, None, None
+        for b in range(n_bins):
+            cnt = hist.get(b, 0)
+            if b0 is None and cum + cnt > k0:
+                b0 = b
+            if b1 is None and cum + cnt > k1:
+                b1 = b
+                break
+            cum += cnt
+        if b0 is None:  # rank below this range: float drift — bail to final step
+            break
+        b1 = b1 if b1 is not None else n_bins - 1
+        new_lo = lo + max(0, b0 - 1) * width
+        new_hi = lo + min(n_bins, b1 + 2) * width if b1 < n_bins - 1 else hi
+        new_hi = min(new_hi, hi)
+        if new_lo <= lo and new_hi >= hi:
+            break  # no narrowing possible (ties span the range)
+        lo, hi = new_lo, new_hi
+        in_range = sum(
+            cnt for b, cnt in hist.items() if max(0, b0 - 1) <= b <= b1 + 1
+        )
+        if in_range <= n_bins:
+            break
+    below = df.where(c < lo).count()
+    from pyspark.sql import Window
+
+    vals = (
+        df.where((c >= lo) & (c <= hi))
+        .groupBy(c.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(Window.orderBy("v")))
+    )
+    picked = vals.where(F.lit(below) + F.col("cum") > k0).orderBy("v").limit(2).collect()
+    v0 = picked[0]["v"]
+    if k1 == k0 or frac == 0:
+        return float(v0)
+    v1 = v0 if below + picked[0]["cum"] > k1 else picked[1]["v"]
+    # Spark Percentile's interpolation form, (hi-pos)*v0 + (pos-lo)*v1 —
+    # v0 + frac*(v1-v0) is 1 ulp off on some inputs and this must equal
+    # F.percentile bit-for-bit
+    return float((k0 + 1 - p) * v0 + (p - k0) * v1)
+
+
 def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Pearson correlations for every column pair in one aggregation pass:
     ``(col_a, col_b, corr)``, upper triangle only.

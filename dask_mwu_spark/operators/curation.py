@@ -441,6 +441,7 @@ def calibrated_quality_filter(
     keep_fraction: float = 0.5,
     strata_col: str = "source",
     exact: bool = True,
+    method: str = "agg",
 ) -> DataFrame:
     """Percentile-calibrated quality filtering: instead of a fixed score
     cutoff (whose meaning drifts with every corpus and model), keep the
@@ -455,11 +456,17 @@ def calibrated_quality_filter(
 
     Scale: scoring is one token pass (classifier_score); the exact
     quantile is one ``percentile`` aggregation over the (doc-level, so
-    already small) score table; the 1-row threshold broadcasts back.  An
-    exact percentile at 1e11 docs is itself a sort — swap in
-    ``percentile_approx`` (t-digest, mergeable, bounded error) via
-    ``exact=False`` when the doc table stops being 'small'.
+    already small) score table; the 1-row threshold broadcasts back.
+    ``F.percentile`` is exact but single-buffer (per-value hash map in one
+    aggregation buffer) — at 1e11 docs pick one of the two scale paths:
+    ``exact=True, method="histogram"`` keeps the EXACT quantile with
+    bounded state (``audit.exact_quantile``: iterative histogram prune +
+    value-level recount in the candidate bin, same number bit-for-bit),
+    or ``exact=False`` accepts t-digest bounded error
+    (``percentile_approx``, mergeable sketch).
     """
+    if method not in ("agg", "histogram"):
+        raise ValueError(f"unknown method {method!r}: use 'agg' or 'histogram'")
     scored = classifier_score(docs).select(
         "doc_id", "clf_score"
     )
@@ -469,13 +476,22 @@ def calibrated_quality_filter(
         docs.select("doc_id", F.col(strata_col).alias("strata")), "doc_id"
     )
     q = F.lit(1.0 - keep_fraction)
-    thr = scored.agg(
-        (
-            F.percentile("clf_score", q)
-            if exact
-            else F.percentile_approx("clf_score", q, F.lit(10_000))
-        ).alias("threshold")
-    )
+    if exact and method == "histogram":
+        from dask_mwu_spark.operators.audit import exact_quantile
+
+        spark = docs.sparkSession
+        thr = spark.createDataFrame(
+            [(exact_quantile(scored, "clf_score", 1.0 - keep_fraction),)],
+            "threshold: double",
+        )
+    else:
+        thr = scored.agg(
+            (
+                F.percentile("clf_score", q)
+                if exact
+                else F.percentile_approx("clf_score", q, F.lit(10_000))
+            ).alias("threshold")
+        )
     return (
         scored.crossJoin(F.broadcast(thr))
         .groupBy("strata")

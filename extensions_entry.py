@@ -348,6 +348,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_quality_calibrated": lambda s, d: cur.calibrated_quality_filter(
             _docs(s, d), keep_fraction=0.5
         ),
+        # same numbers via the bounded-state distributed exact quantile
+        # (audit.exact_quantile histogram narrowing) instead of the
+        # single-buffer percentile aggregate — the 1e11-doc path
+        "cur_quality_exact_pctile": lambda s, d: cur.calibrated_quality_filter(
+            _docs(s, d), keep_fraction=0.5, method="histogram"
+        ),
         "lineitem_price_histogram": lambda s, d: au.value_histogram(
             load_table(s, d, "lineitem"), "l_extendedprice", n_bins=20
         ),
@@ -448,7 +454,7 @@ pred AS (
          CASE WHEN best = 0 THEN 'unknown' {pred_chain} ELSE 'unknown' END AS pred_lang
   FROM best
 )"""
-    return {
+    o = {
         "text_stats": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -1328,3 +1334,7 @@ WHERE l_orderkey IN (
 GROUP BY 1
 """,
     }
+    # the histogram-narrowed exact quantile must equal quantile_cont
+    # bit-for-bit, so the oracle is identical to cur_quality_calibrated's
+    o["cur_quality_exact_pctile"] = o["cur_quality_calibrated"]
+    return o

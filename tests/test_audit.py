@@ -99,3 +99,41 @@ def test_correlation_matrix_single_pass(spark):
     plan = correlation_matrix(df, ["a", "b", "c"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_exact_quantile_matches_percentile(spark):
+    """Histogram-narrowed exact quantile == F.percentile bit-for-bit across
+    distributions that stress the narrowing: uniform, heavy ties, extreme
+    skew, negatives, tiny n."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators.audit import exact_quantile
+
+    rng = np.random.default_rng(11)
+    cases = {
+        "uniform": rng.uniform(0, 1, 5000),
+        "ties": np.repeat([1.0, 2.0, 2.0, 3.0], 1000)[rng.permutation(4000)],
+        "one_value": np.full(777, 42.5),
+        "skew": np.exp(rng.normal(0, 5, 3000)),
+        "negatives": rng.normal(-1e6, 1e3, 2000),
+        "tiny": np.array([3.0, 1.0]),
+        "single": np.array([9.25]),
+    }
+    for name, arr in cases.items():
+        df = spark.createDataFrame([(float(x),) for x in arr], "v: double")
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            want = df.agg(F.percentile("v", F.lit(q))).first()[0]
+            got = exact_quantile(df, "v", q, n_bins=16, max_rounds=6)
+            assert got == want, (name, q, got, want)
+
+
+def test_exact_quantile_empty_and_null(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dask_mwu_spark.operators.audit import exact_quantile
+
+    empty = spark.createDataFrame([], "v: double")
+    assert exact_quantile(empty, "v", 0.5) is None
+    nulls = spark.createDataFrame([(None,), (None,)], "v: double")
+    assert exact_quantile(nulls, "v", 0.5) is None
