@@ -70,6 +70,20 @@ _MELT_LOG = "\n  UNION ALL ".join(
     for f in _FEATURES
 )
 
+# snapshot-diff digest over the non-key orders columns (cdc.snapshot_diff's
+# md5(concat_ws(\x01, coalesce(cast(c as string), \x00null)))).  Digests are
+# compared only WITHIN each engine (the query outputs status counts, never
+# digest values), so engine-specific string formatting is irrelevant — only
+# equality outcomes must agree, which they do for identical inputs.
+_DIFF_COLS = [
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+_DIFF_DIGEST = " || chr(1) || ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in _DIFF_COLS
+)
+
+
 # value-level rank table: c per (feature,value,grp), t per (feature,value),
 # inclusive running count -> scipy 'average' rank (engine: rank_values)
 def _rank_cte(melt: str) -> str:
@@ -597,6 +611,37 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (sources/cdc.py snapshot_diff): old = base
+    orders; new = re-price every 7th, drop every 11th, add a fresh
+    negative-key row per every 13th — so all four diff statuses appear.
+    Digests are computed before the single full-outer key join, so only
+    (key, 32-char md5) travels through the shuffle."""
+    from dask_mwu_spark.sources.cdc import snapshot_diff_summary
+
+    base = load_table(spark, sf_dir, "orders")
+    repriced = base.select(
+        *[
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1000
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in base.columns
+        ]
+    ).where(F.col("o_orderkey") % 11 != 0)
+    added = base.where(F.col("o_orderkey") % 13 == 0).select(
+        *[
+            (-F.col("o_orderkey")).alias("o_orderkey")
+            if c == "o_orderkey"
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
+    new = repriced.unionByName(added)
+    return snapshot_diff_summary(base, new, keys=["o_orderkey"])
+
+
 def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle pre-flight (operators/audit.py key_skew_profile): top-k
     heavy keys with share and skew factor, TakeOrderedAndProject plan."""
@@ -875,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": _q_resample,
         "events_anomaly": _q_anomaly,
         "orders_scd2": _q_scd2,
+        "orders_snapshot_diff": _q_snapshot_diff,
         "events_skew_profile": _q_skew_profile,
         "events_user_sequences": _q_user_sequences,
         "events_path_ngrams": _q_path_ngrams,
@@ -907,19 +953,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dimension_stats", "sim_quantized_topk", "sim_random_projection",
         "text_chunks", "text_heavy_hitters", "text_ngram_topk",
         "text_redact_pii", "text_tokenize_ids", "text_vocab_ids",
-        # --- core-regression sample (26) ---
-        "mwu_rank_ties", "mwu_rank_data", "mwu_z_score", "mwu_bh_adjust",
+        # --- new in round 4 (7): BM25, source overlap, substring-span
+        # dedup, token-balanced shards, weighted sample, snapshot diff ---
+        "text_bm25_topk", "text_source_overlap", "dedup_dup_spans",
+        "dedup_span_stats", "cur_token_shards", "cur_weighted_sample",
+        "orders_snapshot_diff",
+        # --- core-regression sample (19; the 7 swapped out for the new
+        # queries — mwu_rank_ties/rank_data/z_score/bh_adjust,
+        # events_funnel, dedup_exact, sim_cosine_topk — all have exact
+        # rows in CORRECTNESS_r03.json) ---
         "mwu_topk", "wilcoxon_core", "mwu_events_core", "mwu_full_pipeline",
         "stream_windowed_agg", "stream_sessionize", "events_asof_join",
         "events_interval_join", "events_resample", "events_anomaly",
-        "events_funnel",
         # dedup_components (adaptive) got its exact row in r03; spend the
         # slot on the fixed-round variant instead (same oracle CTE)
-        "dedup_exact", "dedup_minhash_lsh", "dedup_verified",
+        "dedup_minhash_lsh", "dedup_verified",
         "dedup_incremental", "dedup_components_fixed",
         # text_tfidf got its exact row in r03; spend the slot on the new
         # bounded-state exact-percentile path (oracle: quantile_cont)
-        "sim_cosine_topk", "sim_ivf_topk", "sim_semantic_dedup",
+        "sim_ivf_topk", "sim_semantic_dedup",
         "lineitem_bloom_semi", "cur_quality_exact_pctile", "cur_contamination",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
@@ -1213,6 +1265,28 @@ SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
 FROM r WHERE rn = 1 AND op = 'U'
 GROUP BY 1
+""",
+        "orders_snapshot_diff": f"""
+WITH newsnap AS (
+  SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                         ELSE o_totalprice END AS o_totalprice)
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT * REPLACE (-o_orderkey AS o_orderkey)
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+o AS (SELECT o_orderkey, md5({_DIFF_DIGEST}) AS h FROM orders),
+n AS (SELECT o_orderkey, md5({_DIFF_DIGEST}) AS h FROM newsnap),
+j AS (
+  SELECT o.h AS ho, n.h AS hn
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY 1
 """,
         "orders_scd2": """
 WITH base AS (

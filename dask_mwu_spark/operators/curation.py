@@ -569,3 +569,132 @@ def curation_funnel(
             6,
         ).alias("drop_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-balanced global shards (two-phase distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def token_shards(
+    docs: DataFrame,
+    *,
+    shard_tokens: int = 4096,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shard-order",
+) -> DataFrame:
+    """Assign every document a GLOBAL training shard so each shard holds
+    ~``shard_tokens`` whitespace tokens: documents are laid out in a
+    deterministic pseudo-random global order (md5 of the salted id — the
+    "global shuffle" step of a training-data job, retry/engine-stable
+    unlike rand()), the exclusive running token total locates each doc's
+    start offset, and ``shard = start // shard_tokens``.  Adds
+    ``n_tokens``, ``global_start``, ``shard``.
+
+    Scale design — the global cumulative sum WITHOUT a global sort: the
+    60-bit order key is range-split into ``n_buckets`` equal hash
+    intervals, so bucket id is a pure row expression AND bucket order ==
+    global order.  Phase 1 aggregates per-bucket token totals (tiny,
+    n_buckets rows), turns them into exclusive bucket prefixes with a
+    window over that tiny table, and broadcasts them back; phase 2 runs
+    the within-bucket exclusive cumsum as a per-bucket window.  No task
+    ever sorts more than ~1/n_buckets of the corpus (md5 keys are uniform
+    by construction — no skew), matching the two-phase pattern of
+    ``ranking.rank_values_bucketed``."""
+    h = md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    divisor = -((1 << 60) // -n_buckets)  # ceil -> bucket <= n_buckets - 1
+    with_key = docs.withColumn("_h", h).withColumn(
+        "_bucket", F.floor(F.col("_h") / F.lit(divisor))
+    ).withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+    totals = with_key.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_btotal")
+    )
+    wb = (
+        Window.orderBy("_bucket")  # <= n_buckets rows: tiny single-task sort
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btotal").over(wb), F.lit(0)).alias("_bprefix"),
+    )
+    wl = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_key.join(F.broadcast(prefixes), "_bucket")
+        .withColumn(
+            "global_start",
+            F.col("_bprefix") + F.sum("n_tokens").over(wl) - F.col("n_tokens"),
+        )
+        .withColumn(
+            "shard", F.floor(F.col("global_start") / F.lit(shard_tokens))
+        )
+        .drop("_h", "_bucket", "_bprefix")
+    )
+
+
+def token_shard_stats(
+    docs: DataFrame, *, shard_tokens: int = 4096, n_buckets: int = 64
+) -> DataFrame:
+    """Per-shard balance report over :func:`token_shards`: docs per shard
+    and tokens STARTING in each shard (sums to the corpus total; every
+    shard except the last covers >= shard_tokens - max_doc_tokens)."""
+    return (
+        token_shards(docs, shard_tokens=shard_tokens, n_buckets=n_buckets)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("global_start").alias("first_offset"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES keys)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    docs: DataFrame,
+    *,
+    k: int = 10,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Exact weighted sample of ``k`` rows WITHOUT replacement
+    (Efraimidis & Spirakis, IPL 2006): each row gets key = ln(u)/w with u
+    uniform in (0,1] and w its weight; the k largest keys are a
+    probability-proportional-to-size sample.  u derives from md5 of the
+    salted id, so the sample is deterministic — identical across engines,
+    retries, and partitionings (a rand()-based reservoir is none of
+    those).  ``key`` rounded to 6 (+0.0 so a rounded -0.0 normalizes to
+    0.0 — hash-compare-safe); rows with non-positive weight are excluded
+    (they have zero inclusion probability).
+
+    Scale: key is a pure row expression; selection is orderBy().limit(k)
+    = TakeOrderedAndProject (each task keeps its local k, driver merges) —
+    ZERO shuffles of the corpus, the minimum possible cost for an exact
+    global sample."""
+    u = (md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ).cast("double") + 1.0) / float(1 << 60)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    order = [F.col("key").desc(), F.col(id_col).asc()]
+    top = (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("key", F.round(key, 6) + F.lit(0.0))
+        .orderBy(*order)
+        .limit(k)
+    )
+    w = Window.orderBy(*order)  # k rows only — post-limit
+    return top.select(
+        id_col,
+        F.col(weight_col).alias("weight"),
+        "key",
+        F.row_number().over(w).alias("rank"),
+    )

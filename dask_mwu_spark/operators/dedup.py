@@ -709,3 +709,109 @@ def band_index_update(
     kept = flags.where(F.col("keep")).select("doc_id")
     kept_bands = bands.join(kept, "doc_id")
     return history_bands.unionByName(kept_bands)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(docs: DataFrame, *, n: int = 5) -> DataFrame:
+    """Maximal duplicated token spans per document, at word-``n``-gram
+    granularity — the substring-dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL'22), re-expressed
+    without a suffix array: a token position is *duplicated* when the
+    n-gram starting there occurs >= 2 times corpus-wide (other docs OR a
+    repeat inside the same doc), and duplicated n-grams whose token ranges
+    overlap or touch merge into maximal spans (gaps-and-islands with a
+    variable gap: a new island starts when the start-position gap exceeds
+    n-1, i.e. the previous gram's last token no longer reaches this one).
+
+    Returns (doc_id, span_start, span_end, n_grams, span_tokens): token
+    positions are 0-based inclusive, ``span_tokens = span_end - span_start
+    + 1`` counts tokens covered.  Merged spans are pairwise disjoint (the
+    next island's start lies strictly past the previous span_end) and have
+    no internal holes (within an island consecutive gram ranges overlap),
+    so per-doc sums of span_tokens are exact duplicated-token coverage.
+
+    Scale: n-gram occurrence counting is a uniform hash-keyed groupBy with
+    map-side partials (the corpus-wide df table, same shape as MinHash's
+    shingle table); the position stream then re-shuffles ONCE on doc_id
+    (uniform) for the per-doc island windows.  No self-join anywhere —
+    cost is linear in corpus tokens, which is what makes the n-gram
+    approximation scale where a distributed suffix array would not."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            md5_long(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead("word", n - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    occ = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_occ"))
+    dup_pos = (
+        grams.join(occ, "h").where(F.col("_occ") >= 2).select("doc_id", "pos")
+    )
+    # variable-gap islands: boundary when this duplicated start is more
+    # than n-1 past the previous one (gram ranges no longer overlap/touch);
+    # island id = running count of boundaries.  Both windows share ONE
+    # per-doc sort.
+    boundary = F.when(
+        F.col("pos") - F.lag("pos").over(w) > n - 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).alias("_island")
+    return (
+        dup_pos.select("doc_id", "pos", island)
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            "n_grams",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def span_dedup_stats(docs: DataFrame, *, n: int = 5) -> DataFrame:
+    """Per-doc duplicated-coverage summary over :func:`duplicated_spans`:
+    how much of each document is corpus-duplicated text (the filter signal
+    — docs above a dup_frac threshold get dropped or trimmed).  LEFT join
+    back to all docs so never-duplicated documents report 0.  ``dup_frac``
+    rounded to 6.
+
+    Scale: one doc_id-keyed LEFT join of the (already doc_id-partitioned)
+    span aggregate onto the doc-length projection — uniform key, AQE
+    coalesces the post-join partitions."""
+    spans = duplicated_spans(docs, n=n)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("max_span_tokens"),
+    )
+    lens = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return lens.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).alias("max_span_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -511,3 +511,130 @@ def mg_candidates(toks: DataFrame, m: int) -> DataFrame:
         yield pd.DataFrame({"word": list(counters.keys())})
 
     return toks.mapInPandas(mg_partition, "word string").distinct()
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a bag-of-words query
+    (Robertson/Spärck Jones probabilistic ranking, the Lucene/Elasticsearch
+    default scorer).  Per (doc, term):
+
+        idf  = ln((N - df + 0.5) / (df + 0.5) + 1)          (Lucene form,
+                                                             always >= 0)
+        s    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    and the doc score is the sum over query terms, folded in ascending
+    term order (sort_array + aggregate) so the float sum is evaluated in
+    the SAME order on every engine/partitioning — no sum-order
+    nondeterminism in the hash-compared column.  Rounded to 6.
+
+    Scale: the token stream is filtered to the query terms BEFORE the
+    (doc, term) aggregation, so the only full-corpus work is the scan +
+    doc-length expression (no shuffle of non-matching tokens); df and
+    avgdl are <= |query|-row / 1-row aggregates broadcast back.  Top-k is
+    orderBy().limit() = TakeOrderedAndProject — no global sort."""
+    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    # doc length from the raw text expression — no token shuffle needed
+    lens = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    avgdl = lens.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tokens(docs)
+        .where(F.array_contains(terms, F.col("word")))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("word", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["s"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    top = per_doc.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # k rows only — post-limit
+    return top.select(
+        "doc_id", "score", "n_terms_hit", F.row_number().over(w).alias("rank")
+    )
+
+
+def source_vocab_overlap(docs: DataFrame) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    corpus-composition diagnostic (which crawls/domains share wording, where
+    a mixture is redundant).  distinct (source, word) → self-join on word →
+    per-pair intersection counts → Jaccard vs the per-source vocabulary
+    sizes.  Rounded to 6.
+
+    Scale: the join key is ``word`` AFTER the per-source distinct, so each
+    word appears at most n_sources times — join fanout is bounded by
+    C(n_sources, 2) per word, never doc-count-squared; the distinct itself
+    is a uniform word-keyed shuffle with map-side partials.  The per-source
+    size table is tiny and broadcast."""
+    sv = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n_words"))
+    a, bb = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(bb, F.col("a.word") == F.col("b.word"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("n_words", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("n_words", "n_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -87,6 +87,43 @@ bands AS (
 )
 
 
+# duplicated-span pipeline (dedup.duplicated_spans, n=5): 0-based token
+# positions, md5-hashed 5-grams, corpus-wide occurrence >= 2, variable-gap
+# islands (new island when the start gap exceeds n-1 = 4)
+_SPAN_CTE = f"""
+WITH tok5 AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+graw AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram,
+         lead(word, 4) OVER w AS _last
+  FROM tok5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g5 AS (
+  SELECT doc_id, pos, {_MD5H.format(x='gram')} AS h
+  FROM graw WHERE _last IS NOT NULL
+),
+occ5 AS (SELECT h, COUNT(*) AS _occ FROM g5 GROUP BY h),
+dup5 AS (SELECT g5.doc_id, g5.pos FROM g5 JOIN occ5 USING (h) WHERE _occ >= 2),
+lg5 AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dup5
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM lg5
+)
+"""
+
+
 def _planes_sql() -> str:
     """Hyperplane weights as string-cast double literals (correctly-rounded
     parse -> bit-identical to the Spark plan's float literals)."""
@@ -337,6 +374,28 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (false positives removed by the confirm join; the oracle replays
         # the plain join, and tests/test_bloom.py replays the bit table)
         "cur_funnel": lambda s, d: cur.curation_funnel(_docs(s, d)),
+        # BM25 retrieval over a fixed bag-of-words query (terms chosen to
+        # hit the synthetic vocabulary); sorted-fold scoring sum so the
+        # float accumulation order matches the oracle bit-for-bit
+        "text_bm25_topk": lambda s, d: tx.bm25_topk(
+            _docs(s, d), ["the", "fast", "datos", "row"], k=10
+        ),
+        "text_source_overlap": lambda s, d: tx.source_vocab_overlap(
+            _docs(s, d)
+        ),
+        # substring-level dedup signal: maximal duplicated 5-gram spans
+        # and the per-doc coverage summary over them
+        "dedup_dup_spans": lambda s, d: dd.duplicated_spans(_docs(s, d), n=5),
+        "dedup_span_stats": lambda s, d: dd.span_dedup_stats(_docs(s, d), n=5),
+        # global token-balanced shards via the two-phase distributed
+        # prefix sum (n_buckets=16 keeps the sf0.01 oracle readable;
+        # production sets n_buckets >= cluster parallelism)
+        "cur_token_shards": lambda s, d: cur.token_shard_stats(
+            _docs(s, d), shard_tokens=2048, n_buckets=16
+        ),
+        "cur_weighted_sample": lambda s, d: cur.weighted_sample(
+            _docs(s, d), k=12
+        ),
         "text_heavy_hitters": lambda s, d: tx.heavy_hitters(
             _docs(s, d), theta=0.002
         ),
@@ -1332,6 +1391,118 @@ WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000
 )
 GROUP BY 1
+""",
+        "text_bm25_topk": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+g AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+      FROM lens),
+q(word) AS (VALUES ('datos'), ('fast'), ('row'), ('the')),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE word IN (SELECT word FROM q) GROUP BY 1, 2
+),
+df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY 1),
+s AS (
+  -- Lucene-form idf * BM25 tf saturation, k1=1.2 b=0.75
+  SELECT tf.doc_id, tf.word,
+         LN((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / g.avgdl)) AS s
+  FROM tf JOIN df USING (word) JOIN lens USING (doc_id) CROSS JOIN g
+),
+per AS (
+  -- fold in ascending word order: same float sum order as the engine's
+  -- sort_array + aggregate
+  SELECT doc_id,
+         ROUND(list_aggregate(list(s ORDER BY word), 'sum'), 6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM s GROUP BY doc_id
+),
+top AS (SELECT * FROM per ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, score, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM top
+""",
+        "text_source_overlap": """
+WITH sv AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words FROM sv GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common, sa.n_words AS n_a, sb.n_words AS n_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.src_a
+JOIN sizes sb ON sb.source = inter.src_b
+""",
+        "dedup_dup_spans": _SPAN_CTE + """
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+        "dedup_span_stats": _SPAN_CTE + """,
+spans AS (
+  SELECT doc_id, MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "cur_token_shards": f"""
+WITH base AS (
+  SELECT doc_id,
+         {_MD5H.format(x="'shard-order:' || CAST(doc_id AS VARCHAR)")} AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  -- single global window: fine at oracle scale, the engine's two-phase
+  -- bucketed form is plan-asserted in tests/test_curation.py
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS global_start
+  FROM base
+)
+SELECT CAST(global_start // 2048 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MIN(global_start) AS BIGINT) AS first_offset
+FROM cum GROUP BY 1
+""",
+        "cur_weighted_sample": f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         ROUND(LN(({_MD5H.format(x="'ws:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                  / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 6) + 0.0 AS key
+  FROM documents WHERE n_chars > 0
+),
+top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 12)
+SELECT doc_id, weight, key,
+       CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+FROM top
 """,
     }
     # the histogram-narrowed exact quantile must equal quantile_cont
