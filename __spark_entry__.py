@@ -642,6 +642,20 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_summary(base, new, keys=["o_orderkey"])
 
 
+def _q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event dedup (operators/events.window_dedup_events,
+    the batch twin of streaming/events.dedup_stream): first event per
+    (user, type) in each 5-minute bucket; integer `div` on epoch-nanos so
+    boundary rows bucket exactly (float division loses integer precision
+    past 2^53)."""
+    from dask_mwu_spark.operators.events import window_dedup_events
+
+    ev = load_table(spark, sf_dir, "events")
+    return window_dedup_events(ev).select(
+        "win", "user_id", "event_type", "event_id", "value"
+    )
+
+
 def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle pre-flight (operators/audit.py key_skew_profile): top-k
     heavy keys with share and skew factor, TakeOrderedAndProject plan."""
@@ -921,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _q_anomaly,
         "orders_scd2": _q_scd2,
         "orders_snapshot_diff": _q_snapshot_diff,
+        "events_window_dedup": _q_window_dedup,
         "events_skew_profile": _q_skew_profile,
         "events_user_sequences": _q_user_sequences,
         "events_path_ngrams": _q_path_ngrams,
@@ -953,25 +968,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dimension_stats", "sim_quantized_topk", "sim_random_projection",
         "text_chunks", "text_heavy_hitters", "text_ngram_topk",
         "text_redact_pii", "text_tokenize_ids", "text_vocab_ids",
-        # --- new in round 4 (7): BM25, source overlap, substring-span
-        # dedup, token-balanced shards, weighted sample, snapshot diff ---
+        # --- new in round 4 (11): BM25, source overlap, substring-span
+        # dedup, token-balanced shards, weighted sample, snapshot diff,
+        # n-gram novelty, mixture KL, per-source dup rate, window dedup ---
         "text_bm25_topk", "text_source_overlap", "dedup_dup_spans",
         "dedup_span_stats", "cur_token_shards", "cur_weighted_sample",
-        "orders_snapshot_diff",
-        # --- core-regression sample (19; the 7 swapped out for the new
+        "orders_snapshot_diff", "text_novelty", "cur_mixture_kl",
+        "dedup_rate_by_source", "events_window_dedup",
+        # --- core-regression sample (15; the 11 swapped out for the new
         # queries — mwu_rank_ties/rank_data/z_score/bh_adjust,
-        # events_funnel, dedup_exact, sim_cosine_topk — all have exact
-        # rows in CORRECTNESS_r03.json) ---
+        # events_funnel/resample/anomaly, dedup_exact, dedup_minhash_lsh,
+        # sim_cosine_topk, sim_ivf_topk — all have exact rows in
+        # CORRECTNESS_r03.json) ---
         "mwu_topk", "wilcoxon_core", "mwu_events_core", "mwu_full_pipeline",
         "stream_windowed_agg", "stream_sessionize", "events_asof_join",
-        "events_interval_join", "events_resample", "events_anomaly",
+        "events_interval_join",
         # dedup_components (adaptive) got its exact row in r03; spend the
         # slot on the fixed-round variant instead (same oracle CTE)
-        "dedup_minhash_lsh", "dedup_verified",
+        "dedup_verified",
         "dedup_incremental", "dedup_components_fixed",
         # text_tfidf got its exact row in r03; spend the slot on the new
         # bounded-state exact-percentile path (oracle: quantile_cont)
-        "sim_ivf_topk", "sim_semantic_dedup",
+        "sim_semantic_dedup",
         "lineitem_bloom_semi", "cur_quality_exact_pctile", "cur_contamination",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
@@ -1287,6 +1305,19 @@ SELECT CASE WHEN ho IS NULL THEN 'added'
             ELSE 'unchanged' END AS diff_status,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM j GROUP BY 1
+""",
+        "events_window_dedup": """
+WITH ranked AS (
+  SELECT epoch_ns(ts) // 300000000000 AS win, user_id, event_type,
+         event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, epoch_ns(ts) // 300000000000
+           ORDER BY epoch_ns(ts) ASC, event_id ASC
+         ) AS rn
+  FROM events
+)
+SELECT win, user_id, event_type, event_id, value
+FROM ranked WHERE rn = 1
 """,
         "orders_scd2": """
 WITH base AS (

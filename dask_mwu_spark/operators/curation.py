@@ -698,3 +698,57 @@ def weighted_sample(
         "key",
         F.row_number().over(w).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture divergence report
+# ---------------------------------------------------------------------------
+
+
+def mixture_kl(docs: DataFrame, target: dict[str, float]) -> DataFrame:
+    """Per-source divergence of the corpus's ACTUAL token mixture from a
+    TARGET mixture (the domain-reweighting diagnostic: is the pipeline
+    delivering the data recipe it was asked for).  For each source:
+    token count, actual share, target share, and the source's KL
+    contribution ``actual * ln(actual / target)`` — summing the column
+    gives KL(actual ‖ target).  Shares and KL terms rounded to 6.
+
+    ``target`` weights are normalized; sources absent from ``target`` get
+    a NULL target share and NULL kl term (flagging off-recipe data rather
+    than silently folding it in).
+
+    Scale: ONE corpus scan — per-doc token counts are a row expression,
+    the per-source sums a map-side-combinable groupBy on the (few-valued)
+    source key, and the grand total a broadcast 1-row aggregate.  The
+    target mixture rides as plan literals (no join)."""
+    total_w = sum(target.values())
+    share_expr = None
+    for src, wgt in target.items():
+        cond = F.col("source") == src
+        val = F.lit(wgt / total_w)
+        share_expr = (
+            F.when(cond, val) if share_expr is None else share_expr.when(cond, val)
+        )
+    share_expr = share_expr.otherwise(F.lit(None).cast("double"))
+    per_source = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("_nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("_total"))
+    actual = F.col("n_tokens").cast("double") / F.col("_total")
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn("target_share", share_expr)
+        .select(
+            "source",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round(
+                actual * F.log(actual / F.col("target_share")), 6
+            ).alias("kl_term"),
+        )
+    )

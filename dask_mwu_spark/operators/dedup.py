@@ -815,3 +815,30 @@ def span_dedup_stats(docs: DataFrame, *, n: int = 5) -> DataFrame:
             6,
         ).alias("dup_frac"),
     )
+
+
+def dedup_rate_by_source(docs: DataFrame, *, full_digest: bool = False) -> DataFrame:
+    """Per-source exact-duplication report: doc count, distinct normalized
+    texts, and the duplicate fraction — the per-crawl/per-domain health
+    metric a corpus dashboard leads with.  ``dup_frac`` rounded to 6.
+
+    Scale: countDistinct over (source, digest) — Spark plans it as two
+    cascaded aggregations (partial distinct on the composite key, then the
+    per-source count), both map-side combinable; the text itself collapses
+    to its digest in the scan stage, so only fixed-width hashes shuffle."""
+    return (
+        docs.select("source", _text_key(full_digest).alias("_k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_k").alias("n_uniq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_uniq",
+            F.round(
+                1.0 - F.col("n_uniq").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_frac"),
+        )
+    )

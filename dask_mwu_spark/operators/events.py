@@ -252,3 +252,34 @@ def path_ngrams(
     return paths.orderBy(
         F.col("n_occurrences").desc(), F.col("path")
     ).limit(k)
+
+
+def window_dedup_events(
+    events: DataFrame,
+    *,
+    window_ns: int = 300_000_000_000,  # 5 minutes
+    keys: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin of the streaming dedup (streaming/events.dedup_stream):
+    within each tumbling ``window_ns`` bucket, keep only the FIRST event
+    per key (earliest ts, ties broken by the id column) — the
+    at-least-once-delivery scrub every event pipeline runs.  Adds a
+    ``win`` column (integer bucket index, pure ns arithmetic — tz-free).
+
+    Scale: one shuffle keyed by (keys…, win) — uniform user-keyed traffic;
+    each window frame holds one key's events inside one bucket, bounded by
+    the duplicate horizon exactly like the stream's watermark state."""
+    # integer `div`, NOT float division: epoch-nanos (~1.7e18) exceed a
+    # double's 53-bit mantissa, so / then cast can mis-bucket boundary rows
+    win = F.expr(f"{ts_col} div {window_ns}L").alias("win")
+    w = Window.partitionBy(*keys, "win").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        events.withColumn("win", win)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -638,3 +638,45 @@ def source_vocab_overlap(docs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """Per-doc n-gram novelty vs the earlier corpus: the fraction of a
+    document's distinct n-grams whose corpus-wide FIRST occurrence (minimum
+    doc_id) is the document itself.  The data-valuation signal behind
+    "process in arrival order, keep what adds new content" curation: low
+    novelty == the doc restates text already ingested.
+
+    Output (doc_id, n_grams, n_novel, novelty_frac), novelty_frac rounded
+    to 6; documents shorter than ``n`` tokens report 0 grams / 0.0.
+
+    Scale: the distinct (doc, shingle) table aggregates to per-shingle
+    MIN(doc_id) (uniform shingle-keyed groupBy with map-side partials,
+    the MinHash table's shape) and joins back on shingle — each shingle
+    carries one first_doc row, so fanout is 1:1; the per-doc re-aggregate
+    shuffles on the uniform doc id.  Linear in corpus tokens."""
+    from dask_mwu_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n=n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.round(
+            F.coalesce(
+                F.col("n_novel").cast("double") / F.col("n_grams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("novelty_frac"),
+    )

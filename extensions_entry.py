@@ -396,6 +396,16 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_weighted_sample": lambda s, d: cur.weighted_sample(
             _docs(s, d), k=12
         ),
+        # n-gram novelty vs the earlier corpus (first-occurrence doc)
+        "text_novelty": lambda s, d: tx.ngram_novelty(_docs(s, d), n=3),
+        # actual vs target token mixture: deterministic non-uniform target
+        # over the 20 synthetic sources, weight proportional to i+1
+        "cur_mixture_kl": lambda s, d: cur.mixture_kl(
+            _docs(s, d), {f"src{i}": float(i + 1) for i in range(20)}
+        ),
+        "dedup_rate_by_source": lambda s, d: dd.dedup_rate_by_source(
+            _docs(s, d)
+        ),
         "text_heavy_hitters": lambda s, d: tx.heavy_hitters(
             _docs(s, d), theta=0.002
         ),
@@ -1503,6 +1513,49 @@ top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 12)
 SELECT doc_id, weight, key,
        CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
 FROM top
+""",
+        "text_novelty": "WITH " + _SHINGLE_CTE + """,
+first AS (
+  SELECT shingle, MIN(doc_id) AS _first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f._first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN first f USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(COALESCE(CAST(p.n_novel AS DOUBLE) / p.n_grams, 0.0), 6) AS novelty_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "cur_mixture_kl": f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tgt(source, target_share) AS (
+  VALUES {", ".join(f"('src{i}', {(i + 1) / 210.0!r})" for i in range(20))}
+),
+tot AS (SELECT SUM(n_tokens) AS _total FROM per_source)
+SELECT p.source, p.n_tokens,
+       ROUND(CAST(p.n_tokens AS DOUBLE) / t._total, 6) AS actual_share,
+       ROUND(g.target_share, 6) AS target_share,
+       ROUND(CAST(p.n_tokens AS DOUBLE) / t._total
+             * LN(CAST(p.n_tokens AS DOUBLE) / t._total / g.target_share), 6) AS kl_term
+FROM per_source p CROSS JOIN tot t LEFT JOIN tgt g USING (source)
+""",
+        "dedup_rate_by_source": f"""
+WITH keyed AS (
+  SELECT source,
+         {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS k
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_uniq,
+       ROUND(1.0 - CAST(COUNT(DISTINCT k) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM keyed GROUP BY source
 """,
     }
     # the histogram-narrowed exact quantile must equal quantile_cont

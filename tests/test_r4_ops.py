@@ -336,3 +336,147 @@ def test_snapshot_diff_digest_before_join_plan(spark):
     above = plan[:join_pos]
     assert "_h_old" in plan and "_h_new" in plan
     assert "a#" not in above and "b#" not in above
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_first_occurrence_order(spark):
+    from dask_mwu_spark.operators.text import ngram_novelty
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d", "en", "s", 1),  # grams abc, bcd — both novel
+            (2, "a b c x", "en", "s", 1),  # abc seen (doc 1), abx novel... grams: abc, bcx
+            (3, "a b c d", "en", "s", 1),  # all grams first seen earlier
+            (4, "xx yy", "en", "s", 1),  # too short: 0 grams
+        ],
+    )
+    got = ngram_novelty(docs, n=3).toPandas().set_index("doc_id")
+    assert (got.loc[1].n_grams, got.loc[1].n_novel) == (2, 2)
+    assert got.loc[1].novelty_frac == 1.0
+    assert (got.loc[2].n_grams, got.loc[2].n_novel) == (2, 1)  # abc old, bcx new
+    assert got.loc[2].novelty_frac == 0.5
+    assert (got.loc[3].n_grams, got.loc[3].n_novel) == (2, 0)
+    assert got.loc[3].novelty_frac == 0.0
+    assert (got.loc[4].n_grams, got.loc[4].novelty_frac) == (0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# mixture KL
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_kl_hand_math(spark):
+    from dask_mwu_spark.operators.curation import mixture_kl
+
+    docs = _docs(
+        spark,
+        [
+            (1, "w w w", "en", "a", 1),  # 3 tokens
+            (2, "w", "en", "b", 1),  # 1 token
+        ],
+    )
+    got = mixture_kl(docs, {"a": 1.0, "b": 1.0}).toPandas().set_index("source")
+    assert got.loc["a"].n_tokens == 3
+    assert got.loc["a"].actual_share == 0.75
+    assert got.loc["a"].target_share == 0.5
+    assert got.loc["a"].kl_term == round(0.75 * math.log(0.75 / 0.5), 6)
+    assert got.loc["b"].kl_term == round(0.25 * math.log(0.25 / 0.5), 6)
+    # KL(actual || target) >= 0 summed
+    assert got.kl_term.sum() > 0
+
+
+def test_mixture_kl_off_recipe_source_is_null(spark):
+    from dask_mwu_spark.operators.curation import mixture_kl
+
+    docs = _docs(
+        spark, [(1, "w", "en", "a", 1), (2, "w", "en", "rogue", 1)]
+    )
+    got = mixture_kl(docs, {"a": 1.0}).toPandas().set_index("source")
+    assert pd.isna(got.loc["rogue"].target_share)
+    assert pd.isna(got.loc["rogue"].kl_term)
+    assert got.loc["a"].target_share == 1.0
+
+
+# ---------------------------------------------------------------------------
+# per-source dup rate
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_rate_by_source(spark):
+    from dask_mwu_spark.operators.dedup import dedup_rate_by_source
+
+    docs = _docs(
+        spark,
+        [
+            (1, "same text", "en", "a", 1),
+            (2, "Same   TEXT", "en", "a", 1),  # normalizes equal
+            (3, "other", "en", "a", 1),
+            (4, "unique", "en", "b", 1),
+        ],
+    )
+    got = dedup_rate_by_source(docs).toPandas().set_index("source")
+    assert (got.loc["a"].n_docs, got.loc["a"].n_uniq) == (3, 2)
+    assert got.loc["a"].dup_frac == round(1 - 2 / 3, 6)
+    assert got.loc["b"].dup_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# windowed event dedup
+# ---------------------------------------------------------------------------
+
+
+def test_window_dedup_keeps_first_per_window(spark):
+    from dask_mwu_spark.operators.events import window_dedup_events
+
+    W = 300_000_000_000  # 5 min in ns
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, 10 * W + 5, 1, "click", 1.0),  # window 10, first
+        (2, 10 * W + 9, 1, "click", 2.0),  # dup in same window -> dropped
+        (3, 11 * W, 1, "click", 3.0),  # next window -> kept
+        (4, 10 * W + 9, 1, "view", 4.0),  # different type -> kept
+        (5, 10 * W + 5, 2, "click", 5.0),  # different user -> kept
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    )
+    got = window_dedup_events(ev).toPandas()
+    assert sorted(got.event_id) == [1, 3, 4, 5]
+    assert set(got[got.event_id.isin([1, 4])].win) == {10}
+
+
+def test_window_dedup_tie_breaks_by_event_id(spark):
+    from dask_mwu_spark.operators.events import window_dedup_events
+
+    rows = [(9, 1000, 1, "x", 0.0), (2, 1000, 1, "x", 0.0)]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    )
+    got = window_dedup_events(ev, window_ns=10_000).toPandas()
+    assert list(got.event_id) == [2]
+
+
+def test_window_dedup_exact_at_nanosecond_magnitudes(spark):
+    """Epoch-nanos exceed double's 53-bit mantissa: integer `div` must
+    bucket exactly where float division would collapse adjacent windows."""
+    from dask_mwu_spark.operators.events import window_dedup_events
+
+    W = 300_000_000_000
+    base = 1_700_000_000_000_000_000  # ~2023 in ns: > 2^60
+    lo = (base // W) * W  # exact window start near `base`
+    rows = [
+        (1, lo - 1, 1, "x", 0.0),  # last ns of previous window
+        (2, lo, 1, "x", 0.0),  # first ns of this window
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    )
+    got = window_dedup_events(ev).toPandas()
+    # both survive: they are in adjacent windows despite being 1 ns apart
+    assert sorted(got.event_id) == [1, 2]
+    assert got.win.nunique() == 2
