@@ -55,13 +55,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warmup: full-pipeline run pays one-time JVM + Arrow + codegen cost
-    # (mwu_full exercises the erfc pandas_udf and top-k window paths too,
-    # so every timed query runs against warmed codegen)
-    qs["mwu_full_pipeline"](spark, sf_dir).collect()
-
+    # warmup: ONE untimed pass of every benched query.  A single
+    # mwu_full_pipeline warmup (rounds 1-3) left most queries' first timed
+    # rep paying their own whole-stage-codegen compilation, and JIT
+    # convergence proved machine-dependent: on the round-4 container
+    # wilcoxon_core measured 7.1 / 5.6 / 4.5 / 3.7s on consecutive runs, so
+    # the median-of-3 reported compilation, not throughput (steady state
+    # matches round 3).  Per-query warmup makes the timed reps measure what
+    # the docstring promises — steady-state execution — at the cost of one
+    # extra pass (~40s).
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     samples: dict[str, list[float]] = {q: [] for q in BENCH_QUERIES if q in qs}
+    for name in samples:
+        qs[name](spark, sf_dir).collect()
     # round-robin the repetitions (A B C A B C ...) rather than back-to-back
     # (A A A B B B ...) so cache warmth is comparable across queries
     for _ in range(n_runs):
