@@ -23,6 +23,22 @@ from dask_mwu_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# round-4 operators: not in the bench headline set, but their plan shapes
+# are review evidence like everything else
+R4_EXTRAS = [
+    "text_bm25_topk",
+    "text_source_overlap",
+    "dedup_dup_spans",
+    "dedup_span_stats",
+    "cur_token_shards",
+    "cur_weighted_sample",
+    "orders_snapshot_diff",
+    "text_novelty",
+    "cur_mixture_kl",
+    "dedup_rate_by_source",
+    "events_window_dedup",
+]
+
 
 def formatted_plan(df) -> str:
     buf = io.StringIO()
@@ -57,7 +73,7 @@ def plan_summary(plan: str) -> str:
 
 
 def main() -> None:
-    names = sys.argv[1:] or BENCH_QUERIES
+    names = sys.argv[1:] or (BENCH_QUERIES + R4_EXTRAS)
     spark = get_spark("plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
