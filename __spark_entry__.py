@@ -974,14 +974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk", "text_source_overlap", "dedup_dup_spans",
         "dedup_span_stats", "cur_token_shards", "cur_weighted_sample",
         "orders_snapshot_diff", "text_novelty", "cur_mixture_kl",
-        "dedup_rate_by_source", "events_window_dedup",
-        # --- core-regression sample (15; the 11 swapped out for the new
+        "dedup_rate_by_source", "events_window_dedup", "dedup_trim_spans",
+        # --- core-regression sample (14; the 12 swapped out for the new
         # queries — mwu_rank_ties/rank_data/z_score/bh_adjust,
-        # events_funnel/resample/anomaly, dedup_exact, dedup_minhash_lsh,
-        # sim_cosine_topk, sim_ivf_topk — all have exact rows in
-        # CORRECTNESS_r03.json) ---
+        # events_funnel/resample/anomaly/asof_join, dedup_exact,
+        # dedup_minhash_lsh, sim_cosine_topk, sim_ivf_topk — all have
+        # exact rows in CORRECTNESS_r03.json) ---
         "mwu_topk", "wilcoxon_core", "mwu_events_core", "mwu_full_pipeline",
-        "stream_windowed_agg", "stream_sessionize", "events_asof_join",
+        "stream_windowed_agg", "stream_sessionize",
         "events_interval_join",
         # dedup_components (adaptive) got its exact row in r03; spend the
         # slot on the fixed-round variant instead (same oracle CTE)

@@ -842,3 +842,60 @@ def dedup_rate_by_source(docs: DataFrame, *, full_digest: bool = False) -> DataF
             ).alias("dup_frac"),
         )
     )
+
+
+def trim_duplicated_spans(docs: DataFrame, *, n: int = 5) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated spans REMOVED —
+    the trim policy of Lee et al. ACL'22 (cutting the duplicated substring
+    instead of dropping the whole document keeps the unique remainder).
+    Returns (doc_id, clean_text, n_tokens, n_removed); ``clean_text`` is
+    the surviving tokens re-joined in order (empty string when the doc is
+    entirely duplicated).
+
+    Spans from :func:`duplicated_spans` are pairwise disjoint, so each
+    token matches at most one span and removed counts are exact.
+
+    Scale: the token→span assignment is a doc_id equi-join with a range
+    predicate on top — per-doc span lists are small, the join key is the
+    uniform doc id, and no nested-loop join appears; the rebuild is one
+    collect_list per doc (bounded by doc length) sorted in-memory per row,
+    not a window."""
+    spans = duplicated_spans(docs, n=n).select(
+        "doc_id", "span_start", "span_end"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    marked = toks.join(
+        spans,
+        on=[
+            toks["doc_id"] == spans["doc_id"],
+            F.col("pos") >= F.col("span_start"),
+            F.col("pos") <= F.col("span_end"),
+        ],
+        how="left",
+    ).select(toks["doc_id"], "pos", "word", "span_start")
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("span_start").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("span_start").isNull(),
+                                F.struct("pos", "word"),
+                            )
+                        )
+                    ),
+                    lambda x: x["word"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return rebuilt.select("doc_id", "clean_text", "n_tokens", "n_removed")

@@ -406,6 +406,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": lambda s, d: dd.dedup_rate_by_source(
             _docs(s, d)
         ),
+        # span-trim transform (Lee et al. trim policy over dedup_dup_spans)
+        "dedup_trim_spans": lambda s, d: dd.trim_duplicated_spans(
+            _docs(s, d), n=5
+        ),
         "text_heavy_hitters": lambda s, d: tx.heavy_hitters(
             _docs(s, d), theta=0.002
         ),
@@ -1479,6 +1483,23 @@ SELECT d.doc_id,
        ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
              / len(string_split(d.text, ' ')), 6) AS dup_frac
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "dedup_trim_spans": _SPAN_CTE + """,
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+marked AS (
+  SELECT t.doc_id, t.pos, t.word, s.span_start
+  FROM tok5 t LEFT JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN span_start IS NULL THEN word END, ' '
+                           ORDER BY pos), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN span_start IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
 """,
         "cur_token_shards": f"""
 WITH base AS (

@@ -115,6 +115,17 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # threshold filter folded into the 1-ROW totals broadcast cross
         # (n_candidates x 1 'pairs' — a per-row filter in disguise)
         "text_heavy_hitters": {"nested_loop"},
+        # round-4 bounded windows:
+        # bm25/weighted_sample rank ONLY the post-limit head (<= k rows,
+        # selected via TakeOrderedAndProject — plan-asserted in
+        # test_r4_ops/test_plans)
+        "text_bm25_topk": {"global_window"},
+        "cur_weighted_sample": {"global_window"},
+        # token_shards' unpartitioned window is the exclusive bucket-prefix
+        # sum over the <= n_buckets-row TOTALS table (the corpus-side
+        # cumsum window is partitioned by _bucket; equivalence to the
+        # single-window form is pytest-locked)
+        "cur_token_shards": {"global_window"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

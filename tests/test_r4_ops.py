@@ -480,3 +480,46 @@ def test_window_dedup_exact_at_nanosecond_magnitudes(spark):
     # both survive: they are in adjacent windows despite being 1 ns apart
     assert sorted(got.event_id) == [1, 2]
     assert got.win.nunique() == 2
+
+
+# ---------------------------------------------------------------------------
+# span trimming
+# ---------------------------------------------------------------------------
+
+
+def test_trim_duplicated_spans_removes_exact_runs(spark):
+    from dask_mwu_spark.operators.dedup import trim_duplicated_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e x1 y1 z1", "en", "s", 1),  # [0,4] duplicated
+            (2, "p2 q2 a b c d e r2", "en", "s", 1),  # [2,6] duplicated
+            (3, "clean doc three stays whole", "en", "s", 1),
+            (4, "a b c d e", "en", "s", 1),  # fully duplicated -> empty
+        ],
+    )
+    got = trim_duplicated_spans(docs, n=3).toPandas().set_index("doc_id")
+    assert got.loc[1].clean_text == "x1 y1 z1"
+    assert got.loc[1].n_removed == 5 and got.loc[1].n_tokens == 8
+    assert got.loc[2].clean_text == "p2 q2 r2"
+    assert got.loc[3].clean_text == "clean doc three stays whole"
+    assert got.loc[3].n_removed == 0
+    assert got.loc[4].clean_text == "" and got.loc[4].n_removed == 5
+
+
+def test_trim_preserves_token_order_across_spans(spark):
+    from dask_mwu_spark.operators.dedup import trim_duplicated_spans
+
+    # two disjoint duplicated spans inside one doc; remainder keeps order
+    docs = _docs(
+        spark,
+        [
+            (1, "k1 a b c k2 k3 x y z k4", "en", "s", 1),
+            (2, "a b c only2 two2 here2", "en", "s", 1),
+            (3, "x y z only3 three3 here3", "en", "s", 1),
+        ],
+    )
+    got = trim_duplicated_spans(docs, n=3).toPandas().set_index("doc_id")
+    assert got.loc[1].clean_text == "k1 k2 k3 k4"
+    assert got.loc[1].n_removed == 6

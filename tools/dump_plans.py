@@ -37,6 +37,7 @@ R4_EXTRAS = [
     "cur_mixture_kl",
     "dedup_rate_by_source",
     "events_window_dedup",
+    "dedup_trim_spans",
 ]
 
 
