@@ -975,22 +975,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats", "cur_token_shards", "cur_weighted_sample",
         "orders_snapshot_diff", "text_novelty", "cur_mixture_kl",
         "dedup_rate_by_source", "events_window_dedup", "dedup_trim_spans",
-        # --- core-regression sample (14; the 12 swapped out for the new
-        # queries — mwu_rank_ties/rank_data/z_score/bh_adjust,
-        # events_funnel/resample/anomaly/asof_join, dedup_exact,
-        # dedup_minhash_lsh, sim_cosine_topk, sim_ivf_topk — all have
-        # exact rows in CORRECTNESS_r03.json) ---
-        "mwu_topk", "wilcoxon_core", "mwu_events_core", "mwu_full_pipeline",
-        "stream_windowed_agg", "stream_sessionize",
-        "events_interval_join",
+        # --- new in round 4b (8): distribution drift, privacy audit,
+        # corpus power-law fit, weighted sparse near-dup, SNM blocking,
+        # rolling distinct users, type co-occurrence, source entropy ---
+        "events_psi_drift", "customer_k_anonymity", "text_zipf_fit",
+        "dedup_tfidf_cosine", "dedup_sorted_neighborhood",
+        "events_rolling_dau", "events_cooccurrence", "text_source_entropy",
+        # --- core-regression sample (6; everything swapped out — the
+        # rank/z/BH ladder, the events family, the stream twins, the
+        # dedup/ANN ladders (dedup_exact/minhash_lsh/verified/incremental,
+        # sim_cosine/ivf/semantic), cur_contamination — has an exact row
+        # in CORRECTNESS_r03.json or earlier) ---
+        "mwu_topk", "wilcoxon_core", "mwu_full_pipeline",
         # dedup_components (adaptive) got its exact row in r03; spend the
-        # slot on the fixed-round variant instead (same oracle CTE)
-        "dedup_verified",
-        "dedup_incremental", "dedup_components_fixed",
-        # text_tfidf got its exact row in r03; spend the slot on the new
-        # bounded-state exact-percentile path (oracle: quantile_cont)
-        "sim_semantic_dedup",
-        "lineitem_bloom_semi", "cur_quality_exact_pctile", "cur_contamination",
+        # slot on the fixed-round variant (same oracle CTE); likewise
+        # cur_quality_exact_pctile is the never-driver-checked twin of
+        # r03-attested cur_quality_calibrated
+        "dedup_components_fixed",
+        "lineitem_bloom_semi", "cur_quality_exact_pctile",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

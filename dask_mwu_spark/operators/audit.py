@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -300,4 +300,97 @@ def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    *,
+    breaks: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard model/feature drift monitor (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 action).
+
+    Bins come from EXPLICIT ``breaks`` passed as plan literals: bin 1 is
+    ``(-inf, breaks[0]]``, bin i is ``(breaks[i-2], breaks[i-1]]``, bin
+    len(breaks)+1 is ``(breaks[-1], inf)``.  Fixed edges (rather than
+    quantiles of side A) keep the two sides completely independent — each
+    is ONE map-side-combinable groupBy on its own scan, no synchronization
+    pass, so A can be last month's 100 TB partition and B today's.
+
+    Per bin: ``psi = (fa - fb) * ln(fa / fb)`` with ``eps`` substituted
+    for empty-bin fractions (the standard smoothing so a vanished bin
+    contributes a large-but-finite term).  Fractions and psi are computed
+    from exact BIGINT counts in single expressions — no float
+    accumulation, so the values are engine- and partitioning-exact.
+    Output: (bin, n_a, n_b, frac_a, frac_b, psi), rounded to 6; sum(psi)
+    downstream is the headline index.
+    """
+    bs = [float(x) for x in breaks]
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        c = F.col(col).cast("double")
+        e = F.lit(1)
+        for x in bs:
+            e = e + F.when(c > F.lit(x), 1).otherwise(0)
+        return df.select(e.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    a = binned(df_a, "n_a")
+    b = binned(df_b, "n_b")
+    # <= len(breaks)+1 rows per side: the join and the total-count windows
+    # run on a bin-bounded table, not the data.
+    j = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = Window.partitionBy()
+    fa = F.col("n_a").cast("double") / F.sum("n_a").over(tot)
+    fb = F.col("n_b").cast("double") / F.sum("n_b").over(tot)
+    fa_s = F.greatest(fa, F.lit(eps))
+    fb_s = F.greatest(fb, F.lit(eps))
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(fa, 6).alias("frac_a"),
+        F.round(fb, 6).alias("frac_b"),
+        F.round((fa_s - fb_s) * F.log(fa_s / fb_s), 6).alias("psi"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], *, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: one summary
+    row ``(n_rows, n_groups, min_group_size, n_violating_groups,
+    n_violating_rows, k_anonymous)`` where a violating group has fewer
+    than ``k`` rows sharing the same quasi-identifier combination (the
+    re-identification risk gate run before releasing a derived dataset).
+
+    Scale: ONE groupBy on the quasi-identifier tuple (map-side partial
+    counts) followed by a 1-row aggregate over the group-size table —
+    never materializes row-level output, so it is safe on any width of
+    table; NULL combinations group together like any other value.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    viol = F.col("_n") < k
+    return sizes.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group_size"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0)).alias("n_violating_rows"),
+        (F.min("_n") >= k).cast("long").alias("k_anonymous"),
     )

@@ -899,3 +899,181 @@ def trim_duplicated_spans(docs: DataFrame, *, n: int = 5) -> DataFrame:
         )
     )
     return rebuilt.select("doc_id", "clean_text", "n_tokens", "n_removed")
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.3, max_df: int = 200
+) -> DataFrame:
+    """Weighted lexical near-dup pairs: cosine similarity over tf-idf
+    n-gram-shingle vectors via an inverted-index join (the classic sparse
+    similarity join — complements the SET-based ``ngram_jaccard_pairs``
+    and the embedding paths by weighting rare shared shingles above
+    boilerplate and by counting repeats instead of collapsing them).
+
+    Semantics: the vector space is the word ``n``-gram shingles with
+    document frequency <= ``max_df`` (the standard stop-shingle/df prune
+    — dropped terms are exactly the lowest-idf, least-discriminative
+    ones); weights are ``tf * ln(n_docs / df)``; norms are over the SAME
+    pruned space, so cosine is well-defined and engine-reproducible.
+    Emits (doc_a, doc_b, n_common_terms, cosine) for cosine >= threshold,
+    doc_a < doc_b, rounded to 6.
+
+    Scale: per-shingle fanout in the self-join is bounded by C(df, 2) <=
+    C(max_df, 2) — no all-pairs anywhere; the pair-score shuffle is keyed
+    on (doc_a, doc_b), uniform by construction.  Shingle tf is built with
+    lead() windows over the exploded token table (token-linear, no
+    per-row arrays).  Per-doc norms and per-pair dots fold their float
+    sums in ascending shingle order (sort_array + aggregate), so results
+    are identical on any engine or partitioning — the same
+    order-free-sum discipline as ``text.bm25_topk``.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(lw) for i in range(1, n)]
+    tf = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("term"),
+            F.lead("word", n - 1).over(lw).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # a doc whose surviving terms ALL have df == n_docs has idf 0
+    # everywhere -> zero norm -> cosine undefined; such docs carry no
+    # discriminative signal, so they leave the vector space (also keeps
+    # the division ANSI-safe)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("term", (F.col("w") * F.col("w")).alias("ww"))
+                    )
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["ww"],
+            )
+        ).alias("norm")
+    ).where(F.col("norm") > 0)
+    pairs = (
+        w.alias("a")
+        .join(w.alias("b"), "term")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common_terms"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("term", (F.col("a.w") * F.col("b.w")).alias("p"))
+                    )
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["p"],
+            ).alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common_terms",
+            F.round(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, *, window: int = 3) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez/Stolfo SNM,
+    the classic record-linkage blocking method): order the corpus by the
+    normalized text key and emit every pair within ``window`` positions,
+    with the exact normalized-key match flag.  Complements hash blocking
+    (LSH/SimHash): SNM catches near-dups whose PREFIX agrees (truncated
+    or appended-suffix variants) that whole-document hashing splits
+    across buckets.
+
+    Scale — NO global window sort: the global rank is computed in two
+    phases like ``cur.token_shards``: (1) bucket rows by the 2-char
+    prefix of the sort key (prefix buckets are contiguous under the sort
+    order, so per-bucket ranks + bucket offsets compose to the exact
+    global rank); (2) rank inside each bucket with a partitioned window;
+    (3) bucket offsets come from a bucket-count table that is tiny (<=
+    alphabet^2 rows) and joined broadcast.  Neighbor pairing is an
+    EQUI-join on ``rank_b = rank_a + delta`` with delta exploded from
+    1..window — uniform integer key, no range/nested-loop join, and
+    cross-bucket neighbors work because ranks are globally continuous.
+    """
+    key = normalize_text(F.col("text"))
+    keyed = docs.select("doc_id", key.alias("_key")).select(
+        "doc_id", "_key", F.substring("_key", 1, 2).alias("_bkt")
+    )
+    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # bucket-count table only: <= |prefix alphabet|^2 rows
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    rank_w = Window.partitionBy("_bkt").orderBy("_key", "doc_id")
+    ranked = (
+        keyed.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "doc_id",
+            "_key",
+            (F.col("_off") + F.row_number().over(rank_w)).alias("rank"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_key").alias("_key_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window + 1)])
+        ).alias("_delta"),
+    ).select(
+        "doc_a", "_key_a", "rank_a", (F.col("rank_a") + F.col("_delta")).alias("rank")
+    )
+    return probes.join(ranked, "rank").select(
+        "doc_a",
+        F.col("doc_id").alias("doc_b"),
+        "rank_a",
+        F.col("rank").alias("rank_b"),
+        (F.col("_key_a") == F.col("_key")).cast("long").alias("same_norm"),
+    )

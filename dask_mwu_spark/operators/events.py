@@ -283,3 +283,112 @@ def window_dedup_events(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct active users (the product
+    "rolling WAU/DAU" metric): for every observed day d, the count of
+    distinct users with at least one event in [d-window_days+1, d].
+
+    Sliding-window DISTINCT does not decompose into per-day partials
+    (distinct is not sum-mergeable), so the classic scalable formulation
+    is contribution expansion: collapse to distinct (user, day) FIRST —
+    the big shrink, one map-side-combinable aggregation — then explode
+    each of those rows into the <= ``window_days`` window-end days it
+    contributes to and count distinct users per window end.  Fanout is
+    bounded by window_days on the ALREADY-deduplicated table, day keys
+    are uniform, and no per-user event ordering is ever needed.  Window
+    ends with no real events in range are absent (they'd need a day
+    spine); ends are clipped to the observed [min_day, max_day] so every
+    emitted row is a fully-formed calendar day.  Day indexing is integer
+    division on the epoch-nanos BIGINT — timezone-free.
+    """
+    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a double's 2^53
+    # exact-integer range, so float division mis-buckets day boundaries
+    days = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.expr(f"{ts_col} div {NS_PER_DAY}L").alias("day"),
+        )
+        .distinct()
+    )
+    rng = days.agg(
+        F.min("day").alias("_min_day"), F.max("day").alias("_max_day")
+    )
+    offs = F.array(*[F.lit(i) for i in range(window_days)])
+    return (
+        days.select("user", "day", F.explode(offs).alias("_off"))
+        .select("user", (F.col("day") + F.col("_off")).alias("window_end"))
+        .crossJoin(F.broadcast(rng))
+        .where(
+            (F.col("window_end") >= F.col("_min_day"))
+            & (F.col("window_end") <= F.col("_max_day"))
+        )
+        .groupBy("window_end")
+        .agg(F.countDistinct("user").alias("n_active_users"))
+    )
+
+
+def event_type_cooccurrence(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-type co-occurrence with lift (basket analysis over the user
+    dimension): for every unordered type pair, how many users did both,
+    and the lift ``n_both * n_users / (n_a * n_b)`` (>1 = the types
+    attract, <1 = they repel).
+
+    Scale: collapse to distinct (user, type) first — the event volume
+    never self-joins; the pair join fans each user out by C(t, 2) where
+    t <= |type vocabulary| (tiny by construction), and per-type /
+    per-pair counts are map-side-combinable.  Lift is a single division
+    of exact BIGINT counts, rounded to 6.
+    """
+    ut = events.select(
+        F.col(user_col).alias("user"), F.col(type_col).alias("etype")
+    ).distinct()
+    n_users = ut.select(
+        F.countDistinct("user").alias("n_users")
+    )
+    per_type = ut.groupBy("etype").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user")
+        .where(F.col("a.etype") < F.col("b.etype"))
+        .groupBy(
+            F.col("a.etype").alias("type_a"), F.col("b.etype").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_type.select(
+        F.col("etype").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("etype").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

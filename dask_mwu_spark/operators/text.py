@@ -680,3 +680,130 @@ def ngram_novelty(docs: DataFrame, *, n: int = 3) -> DataFrame:
             6,
         ).alias("novelty_frac"),
     )
+
+
+def zipf_fit(docs: DataFrame, *, top_v: int = 100) -> DataFrame:
+    """Least-squares fit of Zipf's law over the ``top_v`` most frequent
+    words: slope/intercept of ``ln(freq) ~ ln(rank)`` (a healthy natural
+    corpus sits near slope -1; templated or machine-generated text bends
+    the curve — a cheap whole-corpus health metric).
+
+    Scale: word counts are ONE map-side-combinable groupBy; the head is
+    ``orderBy().limit(top_v)`` = TakeOrderedAndProject (per-partition
+    top-v heaps merged on the driver — the vocabulary never sorts
+    globally).  Ranking and the regression run on the <= top_v-row head:
+    the four regression sums (Sx, Sy, Sxx, Sxy) are folded in ascending
+    rank order via sort_array + aggregate so every float sum is evaluated
+    in the SAME order on any engine or partitioning, then the closed-form
+    slope/intercept is a deterministic scalar expression.  Output: ONE
+    row (n_terms, slope, intercept), rounded to 6.
+    """
+    counts = (
+        tokens(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    order = [F.col("freq").desc(), F.col("word").asc()]
+    head = counts.orderBy(*order).limit(top_v)
+    w = Window.orderBy(*order)  # post-limit: <= top_v rows, not a scale sort
+    pts = head.select(
+        F.row_number().over(w).alias("rank"), F.col("freq").cast("double")
+    ).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log("freq").alias("y"),
+    )
+
+    def fold(expr_name: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("rank", F.col(expr_name).alias("v")))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = pts.select(
+        "rank",
+        "x",
+        "y",
+        (F.col("x") * F.col("x")).alias("xx"),
+        (F.col("x") * F.col("y")).alias("xy"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xx").alias("sxx"),
+        fold("xy").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+def source_entropy(docs: DataFrame, *, n_buckets: int = 256) -> DataFrame:
+    """Per-source Shannon entropy (nats) of the token distribution —
+    the corpus-diversity metric behind mixture design: low entropy flags
+    templated/boilerplate sources, and the entropy gap between sources
+    feeds sampling weights.  Uses the identity
+    ``H = ln(n_tokens) - Σ cnt·ln(cnt) / n_tokens`` so everything derives
+    from exact integer counts plus one float sum.
+
+    That float sum is made engine- and partitioning-exact by a TWO-LEVEL
+    deterministic fold: per-word terms are folded in ascending word order
+    WITHIN md5-hash buckets (each collect_list holds only ~|vocab|/
+    n_buckets entries — bounded state, unlike a single per-source vocab
+    list, which is the naive formulation's OOM at a 10^7-word vocab),
+    then the per-bucket partials are folded in ascending bucket order.
+    Same result on any engine; memory per aggregation buffer bounded by
+    the bucket width.
+    """
+    # inline explode keeping source — scan-stage flatMap, no doc_id join
+    counts = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bucketed = counts.withColumn(
+        "bucket", md5_long(F.col("word")) % F.lit(n_buckets)
+    )
+    partial = bucketed.groupBy("source", "bucket").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "word",
+                        (
+                            F.col("cnt").cast("double")
+                            * F.log(F.col("cnt").cast("double"))
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["t"],
+        ).alias("s"),
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return partial.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum("v").alias("n_vocab"),
+        F.round(
+            F.log(F.sum("n").cast("double"))
+            - F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bucket", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["s"],
+            )
+            / F.sum("n"),
+            6,
+        ).alias("entropy"),
+    )

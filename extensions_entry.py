@@ -20,6 +20,7 @@ from dask_mwu_spark.operators import audit as au
 from dask_mwu_spark.operators import bloom as bl
 from dask_mwu_spark.operators import curation as cur
 from dask_mwu_spark.operators import dedup as dd
+from dask_mwu_spark.operators import events as ev
 from dask_mwu_spark.operators import graph as gr
 from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import similarity as sim
@@ -440,6 +441,38 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
+        ),
+        # distribution drift between two snapshots (even vs odd event ids
+        # stand in for last-month vs this-month partitions)
+        "events_psi_drift": lambda s, d: au.psi_drift(
+            load_table(s, d, "events").where(F.col("event_id") % 2 == 0),
+            load_table(s, d, "events").where(F.col("event_id") % 2 == 1),
+            "value",
+            breaks=[20.0, 40.0, 60.0, 80.0, 120.0, 200.0, 300.0],
+        ),
+        "customer_k_anonymity": lambda s, d: au.k_anonymity(
+            load_table(s, d, "customer"), ["c_mktsegment", "c_nationkey"], k=8
+        ),
+        "text_zipf_fit": lambda s, d: tx.zipf_fit(_docs(s, d), top_v=100),
+        # weighted sparse near-dup: tf-idf cosine over 3-gram shingles
+        "dedup_tfidf_cosine": lambda s, d: dd.tfidf_cosine_pairs(
+            _docs(s, d), n=3, threshold=0.2, max_df=200
+        ),
+        # sorted-neighborhood blocking (SNM) candidates, window=2
+        "dedup_sorted_neighborhood": lambda s, d: dd.sorted_neighborhood_pairs(
+            _docs(s, d), window=2
+        ),
+        # rolling 7-day distinct active users (contribution expansion)
+        "events_rolling_dau": lambda s, d: ev.rolling_distinct_users(
+            load_table(s, d, "events"), window_days=7
+        ),
+        # event-type co-occurrence + lift over the user dimension
+        "events_cooccurrence": lambda s, d: ev.event_type_cooccurrence(
+            load_table(s, d, "events")
+        ),
+        # per-source token-distribution entropy (two-level exact fold)
+        "text_source_entropy": lambda s, d: tx.source_entropy(
+            _docs(s, d), n_buckets=256
         ),
     }
 
@@ -1577,6 +1610,193 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT k) AS BIGINT) AS n_uniq,
        ROUND(1.0 - CAST(COUNT(DISTINCT k) AS DOUBLE) / COUNT(*), 6) AS dup_frac
 FROM keyed GROUP BY source
+""",
+        "events_psi_drift": """
+WITH binned AS (
+  SELECT event_id % 2 AS side,
+         1 + (CASE WHEN value > 20.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 40.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 60.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 80.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 120.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 200.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 300.0 THEN 1 ELSE 0 END) AS bin
+  FROM events
+),
+ga AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_a FROM binned WHERE side = 0 GROUP BY 1),
+gb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b FROM binned WHERE side = 1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(ga.bin, gb.bin) AS bin,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ga FULL OUTER JOIN gb ON ga.bin = gb.bin
+),
+f AS (
+  SELECT bin, n_a, n_b,
+         CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS fa,
+         CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS fb
+  FROM j
+)
+SELECT bin, n_a, n_b, ROUND(fa, 6) AS frac_a, ROUND(fb, 6) AS frac_b,
+       ROUND((GREATEST(fa, 1e-6) - GREATEST(fb, 1e-6))
+             * LN(GREATEST(fa, 1e-6) / GREATEST(fb, 1e-6)), 6) AS psi
+FROM f
+""",
+        "customer_k_anonymity": """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN n < 8 THEN n ELSE 0 END) AS BIGINT) AS n_violating_rows,
+       CAST(CASE WHEN MIN(n) >= 8 THEN 1 ELSE 0 END AS BIGINT) AS k_anonymous
+FROM g
+""",
+        "text_zipf_fit": """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+h AS (SELECT word, freq FROM c ORDER BY freq DESC, word ASC LIMIT 100),
+r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rnk,
+         CAST(freq AS DOUBLE) AS freq
+  FROM h
+),
+p AS (SELECT rnk, LN(CAST(rnk AS DOUBLE)) AS x, LN(freq) AS y FROM r),
+s AS (
+  -- fold each regression sum in ascending rank order: same float-sum
+  -- order as the engine's sort_array + aggregate
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         list_aggregate(list(x ORDER BY rnk), 'sum') AS sx,
+         list_aggregate(list(y ORDER BY rnk), 'sum') AS sy,
+         list_aggregate(list(x * x ORDER BY rnk), 'sum') AS sxx,
+         list_aggregate(list(x * y ORDER BY rnk), 'sum') AS sxy
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+""",
+        "dedup_tfidf_cosine": f"""
+WITH {_TOK_CTE},
+sh_raw AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS term,
+         lead(word, 2) OVER w AS _last
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM sh_raw WHERE _last IS NOT NULL GROUP BY 1, 2
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+dfr AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY 1 HAVING COUNT(*) <= 200
+),
+wt AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * LN(CAST(nd.n_docs AS DOUBLE) / dfr.df) AS w
+  FROM tf JOIN dfr USING (term) CROSS JOIN nd
+),
+norms AS (
+  -- fold in ascending term order: same float-sum order as the engine;
+  -- zero-norm docs (all-idf-0) leave the vector space like the engine's
+  SELECT * FROM (
+    SELECT doc_id, SQRT(list_aggregate(list(w * w ORDER BY term), 'sum')) AS norm
+    FROM wt GROUP BY 1
+  ) WHERE norm > 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common_terms,
+         list_aggregate(list(a.w * b.w ORDER BY a.term), 'sum') AS dot
+  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common_terms,
+       ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+FROM pairs
+JOIN norms na ON na.doc_id = pairs.doc_a
+JOIN norms nb ON nb.doc_id = pairs.doc_b
+WHERE ROUND(dot / (na.norm * nb.norm), 6) >= 0.2
+""",
+        "dedup_sorted_neighborhood": """
+WITH k AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, key,
+         CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS BIGINT) AS rnk
+  FROM k
+),
+d AS (SELECT unnest([1, 2]) AS delta)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.rnk AS rank_a, b.rnk AS rank_b,
+       CAST(CASE WHEN a.key = b.key THEN 1 ELSE 0 END AS BIGINT) AS same_norm
+FROM r a CROSS JOIN d JOIN r b ON b.rnk = a.rnk + d.delta
+""",
+        "events_rolling_dau": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+),
+rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+o AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off),
+e AS (SELECT user_id, day + off AS window_end FROM d CROSS JOIN o)
+SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM e CROSS JOIN rng
+WHERE window_end >= rng.mn AND window_end <= rng.mx
+GROUP BY 1
+""",
+        "events_cooccurrence": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, na.n_t AS n_a, nb.n_t AS n_b,
+       ROUND(CAST(n_both AS DOUBLE) * nu.n_users / (na.n_t * nb.n_t), 6)
+         AS lift
+FROM pr
+JOIN pt na ON na.event_type = pr.type_a
+JOIN pt nb ON nb.event_type = pr.type_b
+CROSS JOIN nu
+""",
+        "text_source_entropy": f"""
+WITH c AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+cnts AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+cb AS (
+  SELECT source, word, cnt,
+         {_MD5H.format(x="word")} % 256 AS bucket
+  FROM cnts
+),
+p AS (
+  -- level 1: fold cnt*ln(cnt) in ascending word order within each bucket
+  SELECT source, bucket,
+         list_aggregate(
+           list(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE)) ORDER BY word),
+           'sum') AS s,
+         CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+  FROM cb GROUP BY 1, 2
+)
+-- level 2: fold bucket partials in ascending bucket order
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(v) AS BIGINT) AS n_vocab,
+       ROUND(LN(CAST(SUM(n) AS DOUBLE))
+             - list_aggregate(list(s ORDER BY bucket), 'sum') / SUM(n), 6)
+         AS entropy
+FROM p GROUP BY source
 """,
     }
     # the histogram-narrowed exact quantile must equal quantile_cont

@@ -1,0 +1,378 @@
+"""Round-4b operator semantics: PSI drift, k-anonymity audit, Zipf fit,
+tf-idf shingle cosine pairs, sorted-neighborhood blocking — hand-built
+inputs with hand-computed expectations."""
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.operators.audit import k_anonymity, psi_drift
+from dask_mwu_spark.operators.dedup import (
+    sorted_neighborhood_pairs,
+    tfidf_cosine_pairs,
+)
+from dask_mwu_spark.operators.text import zipf_fit
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    a = spark.createDataFrame(pd.DataFrame({"v": [1.0, 5.0, 15.0, 25.0]}))
+    out = psi_drift(a, a, "v", breaks=[10.0, 20.0]).toPandas()
+    assert (out["psi"] == 0.0).all()
+    assert (out["frac_a"] == out["frac_b"]).all()
+
+
+def test_psi_hand_computed_shift(spark):
+    # A: 3 rows in bin1, 1 in bin2; B: 1 in bin1, 3 in bin2
+    a = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0, 3.0, 15.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"v": [1.0, 15.0, 16.0, 17.0]}))
+    out = (
+        psi_drift(a, b, "v", breaks=[10.0])
+        .toPandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    expect_bin1 = (0.75 - 0.25) * math.log(0.75 / 0.25)
+    expect_bin2 = (0.25 - 0.75) * math.log(0.25 / 0.75)
+    assert abs(out.loc[1, "psi"] - round(expect_bin1, 6)) < 1e-9
+    assert abs(out.loc[2, "psi"] - round(expect_bin2, 6)) < 1e-9
+    assert out.loc[1, "n_a"] == 3 and out.loc[1, "n_b"] == 1
+
+
+def test_psi_vanished_bin_uses_eps(spark):
+    # B has no rows above 10: fb -> eps smoothing, psi finite and large
+    a = spark.createDataFrame(pd.DataFrame({"v": [1.0, 15.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0]}))
+    out = psi_drift(a, b, "v", breaks=[10.0]).toPandas().set_index("bin")
+    assert out.loc[2, "n_b"] == 0
+    psi2 = out.loc[2, "psi"]
+    assert math.isfinite(psi2) and psi2 > 1.0  # 0.5 * ln(0.5 / 1e-6) ~ 6.6
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_summary(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "seg": ["a"] * 5 + ["b"] * 2 + ["c"] * 1,
+                "nat": [1] * 5 + [2] * 2 + [3] * 1,
+            }
+        )
+    )
+    out = k_anonymity(df, ["seg", "nat"], k=3).toPandas().iloc[0]
+    assert out["n_rows"] == 8
+    assert out["n_groups"] == 3
+    assert out["min_group_size"] == 1
+    assert out["n_violating_groups"] == 2  # sizes 2 and 1
+    assert out["n_violating_rows"] == 3
+    assert out["k_anonymous"] == 0
+
+
+def test_k_anonymity_pass(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"seg": ["a"] * 4 + ["b"] * 3, "nat": [1] * 4 + [2] * 3})
+    )
+    out = k_anonymity(df, ["seg", "nat"], k=3).toPandas().iloc[0]
+    assert out["k_anonymous"] == 1 and out["n_violating_groups"] == 0
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_numpy_closed_form(spark):
+    # one doc whose word frequencies are an exact geometric sequence;
+    # verify slope/intercept against the identical closed form in numpy
+    import numpy as np
+
+    freqs = {"w%d" % i: 2 ** (8 - i) for i in range(8)}  # 256 .. 2
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    docs = _docs(spark, [(1, text, "en", "s", len(text))])
+    out = zipf_fit(docs, top_v=8).toPandas().iloc[0]
+    assert out["n_terms"] == 8
+    order = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, 9, dtype=float))
+    y = np.log(np.array([f for _, f in order], dtype=float))
+    n = 8.0
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert abs(out["slope"] - round(slope, 6)) < 1e-6
+    assert abs(out["intercept"] - round(intercept, 6)) < 1e-6
+
+
+def test_zipf_fit_pure_power_law_slope(spark):
+    # freq(r) = 1024 / r exactly for r = 1, 2, 4, 8, ... -> slope == -1
+    freqs = {"w%d" % i: 1024 // (2**i) for i in range(6)}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    docs = _docs(spark, [(1, text, "en", "s", len(text))])
+    out = zipf_fit(docs, top_v=6).toPandas().iloc[0]
+    # ln-freq is exactly linear in ln-rank over the sampled ranks only if
+    # ranks are 1..6 (they are: row_number), with freq = 1024 * 2^-(r-1):
+    # y = ln(2048) - r ln 2, linear in r, NOT in ln r -> don't assert -1;
+    # instead assert monotone fit quality: slope negative, intercept > 0
+    assert out["slope"] < 0 and out["intercept"] > 0
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [
+            (1, t, "en", "s", len(t)),
+            (2, t, "en", "s", len(t)),
+            (3, "one two three four five six", "en", "s", 27),
+        ],
+    )
+    out = tfidf_cosine_pairs(docs, n=3, threshold=0.1, max_df=10).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert abs(row["cosine"] - 1.0) < 1e-9
+    assert row["n_common_terms"] == 4  # 6 tokens -> 4 shingles
+
+
+def test_tfidf_repeated_shingle_weights_tf(spark):
+    # doc1 repeats the shared run twice -> tf weighting drops cosine below
+    # 1 but keeps it high; the set-based jaccard would also be < 1, but
+    # here we check the tf*idf math directly
+    shared = "a b c"
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " x " + shared, "en", "s", 11),
+            (2, shared, "en", "s", 5),
+        ],
+    )
+    # with 2 docs every shared shingle has df == n_docs -> idf 0 -> both
+    # docs drop out of the vector space (zero norm): no pairs, no 0/0
+    out = tfidf_cosine_pairs(docs, n=3, threshold=0.0, max_df=10).toPandas()
+    assert len(out) == 0
+    docs3 = _docs(
+        spark,
+        [
+            (1, shared + " x " + shared, "en", "s", 11),
+            (2, shared, "en", "s", 5),
+            (3, "p q r s t u", "en", "s", 11),
+        ],
+    )
+    out3 = tfidf_cosine_pairs(docs3, n=3, threshold=0.0, max_df=10).toPandas()
+    pair12 = out3[(out3.doc_a == 1) & (out3.doc_b == 2)]
+    assert len(pair12) == 1
+    assert 0.0 < pair12.iloc[0]["cosine"] <= 1.0
+
+
+def test_tfidf_max_df_prunes_stop_shingles(spark):
+    t = "s1 s2 s3 s4"
+    docs = _docs(
+        spark,
+        [(i, t, "en", "s", len(t)) for i in range(1, 5)]
+        + [(9, "u1 u2 u3 u4", "en", "s", 11)],
+    )
+    # every shared shingle has df=4 > max_df=3 -> no vector space left
+    out = tfidf_cosine_pairs(docs, n=3, threshold=0.0, max_df=3).toPandas()
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_snm_pair_structure(spark):
+    texts = ["aaa 1", "aab 2", "aac 3", "zzz 9"]
+    docs = _docs(
+        spark, [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    )
+    out = (
+        sorted_neighborhood_pairs(docs, window=2)
+        .toPandas()
+        .sort_values(["rank_a", "rank_b"])
+        .reset_index(drop=True)
+    )
+    # n=4, w=2 -> pairs = w*n - w(w+1)/2 = 8 - 3 = 5
+    assert len(out) == 5
+    assert out["rank_b"].sub(out["rank_a"]).between(1, 2).all()
+    # keys sort aaa < aab < aac < zzz, doc ids follow text order here
+    first = out.iloc[0]
+    assert (first["doc_a"], first["doc_b"]) == (1, 2)
+
+
+def test_snm_rank_is_global_and_contiguous(spark):
+    # 26 docs spread across many 2-char prefix buckets: ranks must be the
+    # exact global 1..26 despite the bucketed two-phase computation
+    import string
+
+    texts = [c * 3 for c in string.ascii_lowercase]
+    docs = _docs(
+        spark, [(i + 1, t, "en", "s", 3) for i, t in enumerate(texts)]
+    )
+    out = sorted_neighborhood_pairs(docs, window=1).toPandas()
+    assert len(out) == 25
+    assert sorted(out["rank_a"]) == list(range(1, 26))
+    assert (out["rank_b"] - out["rank_a"] == 1).all()
+    assert (out["same_norm"] == 0).all()
+
+
+def test_snm_normalized_key_match_flag(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "Hello  World", "en", "s", 12),
+            (2, "hello world", "en", "s", 11),
+            (3, "other text", "en", "s", 10),
+        ],
+    )
+    out = sorted_neighborhood_pairs(docs, window=2).toPandas()
+    m = out[(out.doc_a == 1) & (out.doc_b == 2) | (out.doc_a == 2) & (out.doc_b == 1)]
+    assert len(m) == 1 and m.iloc[0]["same_norm"] == 1
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_users
+# ---------------------------------------------------------------------------
+
+NS_DAY = 86_400_000_000_000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    )
+
+
+def test_rolling_dau_hand_computed(spark):
+    from dask_mwu_spark.operators.events import rolling_distinct_users
+
+    # user 1 on days 0 and 2; user 2 on day 3 (of a 0..3 day range)
+    rows = [(1, 0 * NS_DAY + 5), (1, 2 * NS_DAY + 5), (2, 3 * NS_DAY + 5)]
+    out = (
+        rolling_distinct_users(_events(spark, rows), window_days=2)
+        .toPandas()
+        .set_index("window_end")["n_active_users"]
+        .sort_index()
+    )
+    # window [d-1, d]: d0 -> {1}, d1 -> {1}, d2 -> {1}, d3 -> {1, 2}
+    assert out.to_dict() == {0: 1, 1: 1, 2: 1, 3: 2}
+
+
+def test_rolling_dau_clips_to_observed_range(spark):
+    from dask_mwu_spark.operators.events import rolling_distinct_users
+
+    rows = [(1, 0), (2, 0)]
+    out = rolling_distinct_users(_events(spark, rows), window_days=7).toPandas()
+    # one observed day: only window_end == 0 survives the clip
+    assert len(out) == 1 and out.iloc[0]["window_end"] == 0
+    assert out.iloc[0]["n_active_users"] == 2
+
+
+def test_rolling_dau_day_boundary_integer_div(spark):
+    from dask_mwu_spark.operators.events import rolling_distinct_users
+
+    # one nanosecond before midnight vs exactly midnight: different days
+    rows = [(1, 2 * NS_DAY - 1), (2, 2 * NS_DAY)]
+    out = (
+        rolling_distinct_users(_events(spark, rows), window_days=1)
+        .toPandas()
+        .set_index("window_end")["n_active_users"]
+    )
+    assert out.to_dict() == {1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# event_type_cooccurrence
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_counts_and_lift(spark):
+    from dask_mwu_spark.operators.events import event_type_cooccurrence
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type"])
+    )
+    out = event_type_cooccurrence(df).toPandas()
+    ab = out[(out.type_a == "a") & (out.type_b == "b")].iloc[0]
+    assert ab["n_both"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    # lift = 2 * 4 / (3 * 2) = 1.333333
+    assert abs(ab["lift"] - round(8 / 6, 6)) < 1e-9
+    # "c" never co-occurs: no (a, c) or (b, c) rows
+    assert len(out) == 1
+
+
+def test_cooccurrence_dedups_repeat_events(spark):
+    from dask_mwu_spark.operators.events import event_type_cooccurrence
+
+    rows = [(1, "a")] * 5 + [(1, "b")] * 3
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type"])
+    )
+    out = event_type_cooccurrence(df).toPandas()
+    assert out.iloc[0]["n_both"] == 1  # distinct (user, type) first
+
+
+# ---------------------------------------------------------------------------
+# source_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_source_entropy_uniform_and_skewed(spark):
+    from dask_mwu_spark.operators.text import source_entropy
+
+    docs = _docs(
+        spark,
+        [
+            # 4 equally frequent words -> H = ln 4
+            (1, "a b c d", "en", "uni", 7),
+            # all-same word -> H = 0
+            (2, "x x x x", "en", "const", 7),
+        ],
+    )
+    out = source_entropy(docs).toPandas().set_index("source")
+    assert abs(out.loc["uni", "entropy"] - round(math.log(4), 6)) < 1e-9
+    assert out.loc["const", "entropy"] == 0.0
+    assert out.loc["uni", "n_vocab"] == 4 and out.loc["uni", "n_tokens"] == 4
+
+
+def test_source_entropy_bucket_count_invariant(spark):
+    from dask_mwu_spark.operators.text import source_entropy
+
+    docs = _docs(
+        spark,
+        [(i, "w%d x y z common token %d" % (i % 7, i % 3), "en", "s", 20)
+         for i in range(1, 40)],
+    )
+    a = source_entropy(docs, n_buckets=2).toPandas()
+    b = source_entropy(docs, n_buckets=256).toPandas()
+    # the two-level fold must give the same rounded entropy for any
+    # bucket count (deterministic summation, not approximation)
+    assert a.sort_values("source").reset_index(drop=True).equals(
+        b.sort_values("source").reset_index(drop=True)
+    )
