@@ -981,12 +981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift", "customer_k_anonymity", "text_zipf_fit",
         "dedup_tfidf_cosine", "dedup_sorted_neighborhood",
         "events_rolling_dau", "events_cooccurrence", "text_source_entropy",
-        # --- core-regression sample (6; everything swapped out — the
-        # rank/z/BH ladder, the events family, the stream twins, the
-        # dedup/ANN ladders (dedup_exact/minhash_lsh/verified/incremental,
-        # sim_cosine/ivf/semantic), cur_contamination — has an exact row
-        # in CORRECTNESS_r03.json or earlier) ---
-        "mwu_topk", "wilcoxon_core", "mwu_full_pipeline",
+        "graph_pagerank",
+        # --- core-regression sample (5; everything swapped out — the
+        # rank/z/BH ladder, mwu_topk, the events family, the stream
+        # twins, the dedup/ANN ladders (dedup_exact/minhash_lsh/verified/
+        # incremental, sim_cosine/ivf/semantic), cur_contamination — has
+        # an exact row in CORRECTNESS_r03.json or earlier) ---
+        "wilcoxon_core", "mwu_full_pipeline",
         # dedup_components (adaptive) got its exact row in r03; spend the
         # slot on the fixed-round variant (same oracle CTE); likewise
         # cur_quality_exact_pctile is the never-driver-checked twin of

@@ -122,3 +122,118 @@ def graph_stats(
         "n_nodes", "n_edges", "n_wedges", "n_triangles",
         clustering.alias("clustering"),
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    *,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """PageRank over the undirected pair graph (each canonical edge walks
+    both ways), fixed-round power iteration — the link-analysis centrality
+    that ranks canonical documents inside big dup clusters and hub
+    detection in citation/co-occurrence graphs.
+
+    Update: ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + D/N)`` where D
+    is the total rank of dangling (out-degree-0) nodes — zero here by
+    construction (undirected edges), but computed anyway so the operator
+    is correct for directed inputs via ``directed_edges=``-style reuse.
+
+    Determinism/scale design:
+    - FIXED n_iter rounds (like ``dup_components(n_rounds=)``): no driver
+      convergence checks or per-round count jobs.  Each iteration's rank
+      table is ``localCheckpoint``-ed (a narrow (node, rank) pair, same
+      lineage-truncation discipline as ``dedup.dup_components``): the
+      update references rank twice (neighbor contributions AND the
+      dangling total), and without truncation Catalyst re-expands that
+      shared subtree per reference — 2^n_iter logical-plan copies by the
+      last round, which stalls in ANALYSIS, not execution.  (The DuckDB
+      oracle needs the same treatment: ``AS MATERIALIZED`` per round,
+      since plain CTEs inline per reference.)
+    - Per-node contribution sums fold in ascending neighbor order
+      (sort_array + aggregate), so the float result is engine- and
+      partitioning-exact — which is what lets an ITERATIVE algorithm
+      carry an exact SQL oracle instead of the usual rows-only waiver.
+      The collect_list per node is bounded by in-degree; for 1e6-degree
+      hubs switch to the two-level md5-bucket fold used by
+      ``text.source_entropy`` (same identity, bounded buffers).
+    - The dangling total D folds in ascending node order; N and D are
+      1-row aggregates broadcast back, never a driver round-trip.
+    Output: (node, rank) with rank rounded to 6; Σ rank ≈ 1.
+    """
+    edges = canonical_edges(pairs, src=src, dst=dst)
+    directed = edges.select(
+        F.col("u").alias("e_src"), F.col("v").alias("e_dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("e_src"), F.col("u").alias("e_dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out_deg = directed.groupBy("e_src").agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    nodes = directed.select(F.col("e_src").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    rank = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(n_iter):
+        rank = rank.localCheckpoint()
+        contribs = (
+            directed.join(
+                rank.select(F.col("node").alias("e_src"), "rank"), "e_src"
+            )
+            .join(F.broadcast(out_deg), "e_src")
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "e_src",
+                                (F.col("rank") / F.col("out_deg")).alias("c"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc + s["c"],
+                ).alias("s")
+            )
+        )
+        dangling = (
+            rank.join(
+                out_deg.select(F.col("e_src").alias("node"), "out_deg"),
+                "node",
+                "left_anti",
+            )
+            .agg(
+                F.coalesce(
+                    F.aggregate(
+                        F.sort_array(F.collect_list(F.struct("node", "rank"))),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, s: acc + s["rank"],
+                    ),
+                    F.lit(0.0),
+                ).alias("dangling")
+            )
+        )
+        rank = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dangling") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", F.round("rank", 6).alias("rank"))

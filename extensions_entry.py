@@ -143,6 +143,80 @@ def _rp_planes_sql(k: int = 16) -> str:
     return f"rp(j, w) AS (VALUES {','.join(rows)})"
 
 
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-round PageRank over the LSH dup graph — one CTE block
+    per iteration, float literals emitted with repr() so the DuckDB doubles
+    are bit-identical to the engine's plan literals (1 - 0.85 !=
+    0.15 exactly in binary)."""
+    blocks = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        # AS MATERIALIZED on every r{i}: DuckDB inlines plain CTEs per
+        # reference, and r(i-1) is referenced by BOTH c(i) and d(i) —
+        # without materialization the oracle re-evaluates the whole LSH
+        # pipeline 2^n_iter times (same blowup the engine avoids by
+        # persisting each iteration's rank table)
+        blocks.append(f""",
+c{i} AS (
+  SELECT e.e_dst AS node,
+         list_aggregate(list(r.rank / od.out_deg ORDER BY e.e_src), 'sum') AS s
+  FROM directed e
+  JOIN {prev} r ON r.node = e.e_src
+  JOIN out_deg od ON od.e_src = e.e_src
+  GROUP BY e.e_dst
+),
+d{i} AS (
+  SELECT COALESCE(list_aggregate(list(r.rank ORDER BY r.node), 'sum'), 0.0)
+           AS dangling
+  FROM {prev} r LEFT JOIN out_deg od ON od.e_src = r.node
+  WHERE od.e_src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         {(1.0 - damping)!r} / nn.n_nodes
+           + {damping!r} * (COALESCE(c{i}.s, 0.0)
+                            + d{i}.dangling / nn.n_nodes) AS rank
+  FROM nodes n
+  LEFT JOIN c{i} ON c{i}.node = n.node
+  CROSS JOIN nn CROSS JOIN d{i}
+)""")
+        prev = f"r{i}"
+    return (
+        f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+canon AS (
+  SELECT DISTINCT doc_a AS u, doc_b AS v FROM est WHERE est_jaccard >= 0.25
+),
+directed AS MATERIALIZED (
+  SELECT u AS e_src, v AS e_dst FROM canon
+  UNION ALL
+  SELECT v AS e_src, u AS e_dst FROM canon
+),
+out_deg AS MATERIALIZED (SELECT e_src, CAST(COUNT(*) AS BIGINT) AS out_deg
+            FROM directed GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT e_src AS node FROM directed),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n_nodes AS rank FROM nodes CROSS JOIN nn)"""
+        + "".join(blocks)
+        + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}
+"""
+    )
+
+
 def _multi_planes_sql(n_tables: int = 4) -> str:
     rows = []
     for t in range(n_tables):
@@ -473,6 +547,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source token-distribution entropy (two-level exact fold)
         "text_source_entropy": lambda s, d: tx.source_entropy(
             _docs(s, d), n_buckets=256
+        ),
+        # fixed-round PageRank over the LSH dup graph (iterative algorithm
+        # with an EXACT oracle: neighbor-order-folded float sums)
+        "graph_pagerank": lambda s, d: gr.pagerank(
+            dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25), n_iter=5
         ),
     }
 
@@ -1798,6 +1877,7 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
          AS entropy
 FROM p GROUP BY source
 """,
+        "graph_pagerank": _pagerank_sql(n_iter=5, damping=0.85),
     }
     # the histogram-narrowed exact quantile must equal quantile_cont
     # bit-for-bit, so the oracle is identical to cur_quality_calibrated's

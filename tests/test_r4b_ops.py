@@ -376,3 +376,50 @@ def test_source_entropy_bucket_count_invariant(spark):
     assert a.sort_values("source").reset_index(drop=True).equals(
         b.sort_values("source").reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    )
+
+
+def test_pagerank_symmetric_graphs(spark):
+    from dask_mwu_spark.operators.graph import pagerank
+
+    # single edge: both nodes stay at 1/2; triangle: all at 1/3
+    out = pagerank(_pairs(spark, [(1, 2)]), n_iter=4).toPandas()
+    assert sorted(out["rank"]) == [0.5, 0.5]
+    out3 = pagerank(
+        _pairs(spark, [(1, 2), (2, 3), (1, 3)]), n_iter=4
+    ).toPandas()
+    assert all(abs(r - round(1 / 3, 6)) < 1e-6 for r in out3["rank"])
+
+
+def test_pagerank_star_matches_numpy_recursion(spark):
+    from dask_mwu_spark.operators.graph import pagerank
+
+    # star: center 0 connected to leaves 1..4 — replicate the exact
+    # recursion in floats and compare after rounding
+    edges = [(0, i) for i in range(1, 5)]
+    out = (
+        pagerank(_pairs(spark, edges), n_iter=5)
+        .toPandas()
+        .set_index("node")["rank"]
+    )
+    n, d = 5, 0.85
+    rc = rl = 1.0 / n  # center, leaf
+    for _ in range(5):
+        # center receives each leaf's rank (deg 1); leaves receive rc/4
+        rc_new = (1 - d) / n + d * (rl + rl + rl + rl)
+        rl_new = (1 - d) / n + d * (rc / 4)
+        rc, rl = rc_new, rl_new
+    assert abs(out.loc[0] - round(rc, 6)) < 1e-9
+    for i in range(1, 5):
+        assert abs(out.loc[i] - round(rl, 6)) < 1e-9
+    assert abs(out.sum() - 1.0) < 1e-4
