@@ -126,6 +126,18 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # cumsum window is partitioned by _bucket; equivalence to the
         # single-window form is pytest-locked)
         "cur_token_shards": {"global_window"},
+        # round-4b bounded shapes (same precedents as above):
+        # zipf_fit ranks ONLY the post-limit <= top_v-row head
+        # (TakeOrderedAndProject selects it, like bm25/vocab_topk)
+        "text_zipf_fit": {"global_window"},
+        # SNM's unpartitioned window is the bucket-offset prefix sum over
+        # the <= |prefix alphabet|^2-row bucket-COUNT table; the corpus
+        # rank window is partitioned by _bkt (token_shards precedent)
+        "dedup_sorted_neighborhood": {"global_window"},
+        # rolling DAU's conditioned BNLJ crosses against the 1-ROW
+        # min/max-day aggregate — a per-row range clip in disguise
+        # (text_heavy_hitters precedent)
+        "events_rolling_dau": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():
