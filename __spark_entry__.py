@@ -962,9 +962,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified through round 3 (24) ---
         "cur_funnel", "cur_pack_stats", "cur_quality_calibrated",
         "cur_repetition", "cur_sample_mixture", "cur_stratified",
-        "dedup_edit_sim", "dedup_purge", "events_path_ngrams",
+        # (dedup_edit_sim and orders_scd2 rotated out for round 4c: the
+        # round-3 judge re-ran both against the oracle — exact — so the
+        # slots go to the never-checked-anywhere round-4c queries)
+        "dedup_purge", "events_path_ngrams",
         "events_skew_profile", "events_user_sequences", "graph_dup_stats",
-        "lineitem_correlations", "lineitem_price_histogram", "orders_scd2",
+        "lineitem_correlations", "lineitem_price_histogram",
         "sim_dimension_stats", "sim_quantized_topk", "sim_random_projection",
         "text_chunks", "text_heavy_hitters", "text_ngram_topk",
         "text_redact_pii", "text_tokenize_ids", "text_vocab_ids",
@@ -982,18 +985,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfidf_cosine", "dedup_sorted_neighborhood",
         "events_rolling_dau", "events_cooccurrence", "text_source_entropy",
         "graph_pagerank",
-        # --- core-regression sample (5; everything swapped out — the
-        # rank/z/BH ladder, mwu_topk, the events family, the stream
-        # twins, the dedup/ANN ladders (dedup_exact/minhash_lsh/verified/
-        # incremental, sim_cosine/ivf/semantic), cur_contamination — has
-        # an exact row in CORRECTNESS_r03.json or earlier) ---
-        "wilcoxon_core", "mwu_full_pipeline",
+        # --- new in round 4c (5): bigram-LM perplexity proxy, shingle
+        # containment, cross-table reconciliation, MAD outlier audit,
+        # driver-attested salted join ---
+        "text_lm_score", "dedup_containment", "audit_orders_reconcile",
+        "events_mad_outliers", "events_salted_join",
         # dedup_components (adaptive) got its exact row in r03; spend the
         # slot on the fixed-round variant (same oracle CTE); likewise
         # cur_quality_exact_pctile is the never-driver-checked twin of
-        # r03-attested cur_quality_calibrated
-        "dedup_components_fixed",
-        "lineitem_bloom_semi", "cur_quality_exact_pctile",
+        # r03-attested cur_quality_calibrated.  The former core-regression
+        # sample (wilcoxon_core, mwu_full_pipeline, lineitem_bloom_semi)
+        # rotated out to make room: each already has a driver row
+        # (CORRECTNESS_r03.json) and wilcoxon_core is additionally
+        # smoke-checked every round via entry().
+        "dedup_components_fixed", "cur_quality_exact_pctile",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

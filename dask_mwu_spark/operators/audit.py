@@ -394,3 +394,120 @@ def k_anonymity(
         F.sum(F.when(viol, F.col("_n")).otherwise(0)).alias("n_violating_rows"),
         (F.min("_n") >= k).cast("long").alias("k_anonymous"),
     )
+
+
+def reconcile_sum(
+    parent: DataFrame,
+    child: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    parent_total: str,
+    child_amount,
+    child_order: str,
+    group_col: str,
+    tol: float = 0.02,
+) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each parent row's
+    total from its child rows and report, per ``group_col``, how many
+    parents agree within ``tol``, how many are within 1% / 10% relative
+    error, and the worst absolute gap — the "does the rollup table still
+    match the fact table" audit a warehouse runs after every load.
+
+    The per-parent recomputed total is folded in ``child_order`` order
+    (sort_array + aggregate) so the float sum is evaluated in the SAME
+    order on every engine/partitioning; parents with no children count as
+    unmatched with gap = |parent_total|.
+
+    Scale: ONE groupBy on the child's parent key (per-parent state bounded
+    by fan-out), one key-join parent→totals, one tiny groupBy on
+    ``group_col``.  No counterpart in the reference (SURVEY 2.1).
+    """
+    totals = (
+        child.select(
+            F.col(child_key).alias(parent_key),
+            F.struct(F.col(child_order).alias("o"), child_amount.alias("amt")).alias(
+                "_s"
+            ),
+        )
+        .groupBy(parent_key)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("_s")),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["amt"],
+            ).alias("_recomputed"),
+            F.count(F.lit(1)).alias("_n_children"),
+        )
+    )
+    joined = parent.join(totals, parent_key, "left").select(
+        F.col(group_col),
+        F.coalesce(F.col("_n_children"), F.lit(0)).alias("_nc"),
+        F.abs(F.coalesce(F.col("_recomputed"), F.lit(0.0)) - F.col(parent_total)).alias(
+            "_gap"
+        ),
+        (
+            F.abs(F.coalesce(F.col("_recomputed"), F.lit(0.0)) - F.col(parent_total))
+            / F.abs(F.col(parent_total))
+        ).alias("_rel"),
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.sum((F.col("_nc") == 0).cast("long")).alias("n_childless"),
+        F.sum((F.col("_gap") <= tol).cast("long")).alias("n_matched"),
+        F.sum((F.col("_rel") <= 0.01).cast("long")).alias("n_within_1pct"),
+        F.sum((F.col("_rel") <= 0.10).cast("long")).alias("n_within_10pct"),
+        F.round(F.max("_gap"), 6).alias("max_abs_gap"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    cutoff: float = 4.4478,
+) -> DataFrame:
+    """Robust per-group outlier audit via median absolute deviation:
+    per group — n, median, MAD = median(|x − median|), and the count of
+    rows with |x − median| > ``cutoff`` · MAD (default 4.4478 =
+    3 σ-equivalents · 1.4826, the normal-consistency constant; passed as
+    ONE literal so both engines evaluate the identical product).  The
+    mean/stddev z-score version breaks on the heavy-tailed value
+    distributions audits exist to catch — the outliers inflate the very
+    σ that is supposed to flag them; MAD has a 50% breakdown point.
+
+    Scale: two grouped EXACT percentiles (``F.percentile`` holds one
+    per-distinct-value map per group — fine for the bounded per-group
+    cardinalities audits run on; for 1e11-row global quantiles use
+    ``exact_quantile``'s bounded-state histogram narrowing) plus one
+    key-join of the rows back to their group medians.
+    """
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(med, gcols).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    stats = dev.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("_med").alias("_median"),
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"),
+    )
+    counted = (
+        dev.join(stats.select(*gcols, "_mad"), gcols)
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                (F.col("_dev") > F.lit(cutoff) * F.col("_mad")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return stats.join(counted, gcols).select(
+        *gcols,
+        "n",
+        F.round(F.col("_median"), 6).alias("median"),
+        F.round(F.col("_mad"), 6).alias("mad"),
+        "n_outliers",
+    )

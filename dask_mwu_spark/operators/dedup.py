@@ -1077,3 +1077,68 @@ def sorted_neighborhood_pairs(docs: DataFrame, *, window: int = 3) -> DataFrame:
         F.col("rank").alias("rank_b"),
         (F.col("_key_a") == F.col("_key")).cast("long").alias("same_norm"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    est_threshold: float = 0.25,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by shingle CONTAINMENT — the asymmetric
+    near-dup measure ``|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)`` (Broder's
+    max-containment).  Jaccard misses the quote/excerpt case: a short doc
+    fully embedded inside a long one has J = |a|/|b| → 0 but containment
+    = 1.  Output (doc_a, doc_b, jaccard, containment) for pairs whose
+    containment >= ``threshold``; both measures are emitted so the caller
+    can distinguish full near-dups (both high) from subset dups
+    (containment high, Jaccard low).
+
+    Scale: identical shape to ``verify_jaccard`` — the LSH recall stage
+    bounds the pair count, intersections are two equi-joins on the
+    (doc_id, shingle) key, per-pair cost linear in shingle count.  The
+    one caveat vs Jaccard: LSH on MinHash signatures targets JACCARD
+    recall, so subset pairs with tiny Jaccard can be missed at the
+    candidate stage (docstring contract: containment is exact GIVEN the
+    candidate set).  No counterpart in the reference (SURVEY 2.1).
+    """
+    cand = minhash_lsh_pairs(docs, n=n, est_threshold=est_threshold).select(
+        "doc_a", "doc_b"
+    )
+    sh = shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_inter").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+    return out.where(F.col("containment") >= threshold)

@@ -807,3 +807,80 @@ def source_entropy(docs: DataFrame, *, n_buckets: int = 256) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+def lm_bigram_score(docs: DataFrame, *, alpha: float = 0.5) -> DataFrame:
+    """Per-doc add-α-smoothed bigram language-model score — the classic
+    cheap perplexity proxy for corpus quality filtering (a KenLM-style
+    n-gram LM scorer without the external model file: the corpus itself is
+    the training set, so the score measures how "typical" each document's
+    word transitions are of the corpus at large; boilerplate scores high,
+    line noise scores low).  Per bigram (w1, w2):
+
+        logp = ln((C(w1,w2) + α) / (C(w1·) + α·V))
+
+    where ``C(w1·)`` counts w1 as a bigram CONTEXT (occurrences excluding
+    each doc's final token) and ``V`` is the corpus vocabulary size.
+    Output per doc: ``n_bigrams``, ``avg_logp`` (mean log-probability,
+    folded in token-position order so the float sum is evaluated in the
+    SAME order on every engine/partitioning), ``ppl_proxy`` =
+    exp(−avg_logp).  Docs with < 2 tokens keep n_bigrams=0, NULL scores.
+
+    Scale: bigram counts are a map-side-combinable groupBy on the
+    (w1, w2) key; the token stream joins the count tables with plain
+    shuffle equi-joins (the count tables are O(distinct bigrams) — far too
+    big to broadcast at 100 TB, and never collected); V is a 1-row
+    aggregate broadcast by crossJoin.  Per-doc state is bounded by doc
+    length.  No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    toks = F.split(F.col("text"), " ")
+    # bigrams from the token array (zip with its own shift) — scan-stage
+    # generator, no (doc_id, pos) shuffle; see repetition_signals for the
+    # measured lead()-window comparison
+    bigrams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+            )
+        ).alias("pos", "z"),
+    ).select("doc_id", "pos", F.col("z.a").alias("w1"), F.col("z.b").alias("w2"))
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = docs.select(F.explode(toks).alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    lp = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["logp"],
+        ).alias("_total"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.col("_total") / F.col("n_bigrams"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("_total") / F.col("n_bigrams")), 6).alias(
+                "ppl_proxy"
+            ),
+        )
+    )

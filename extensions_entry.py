@@ -24,6 +24,7 @@ from dask_mwu_spark.operators import events as ev
 from dask_mwu_spark.operators import graph as gr
 from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import similarity as sim
+from dask_mwu_spark.operators import skew as sk
 from dask_mwu_spark.operators import text as tx
 
 # ---------------------------------------------------------------------------
@@ -321,6 +322,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_t = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev_t.groupBy("event_type").agg(
+        F.max("value").alias("vmax"), F.count(F.lit(1)).alias("n_type")
+    )
+    joined = sk.salted_join(ev_t, dim, on=["event_type"], n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("n_type").alias("n_type"),
+        F.sum((F.col("value") > F.col("vmax") / 2).cast("long")).alias(
+            "n_above_half"
+        ),
+        F.round(F.first("vmax"), 6).alias("vmax"),
+    )
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
@@ -553,6 +572,37 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": lambda s, d: gr.pagerank(
             dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25), n_iter=5
         ),
+        # --- round 4c ---
+        # corpus-trained bigram LM score (perplexity proxy)
+        "text_lm_score": lambda s, d: tx.lm_bigram_score(_docs(s, d)),
+        # asymmetric containment verification over LSH candidates
+        "dedup_containment": lambda s, d: dd.containment_pairs(
+            _docs(s, d), est_threshold=0.25, threshold=0.5
+        ),
+        # cross-table financial reconciliation (orders vs recomputed
+        # lineitem totals; the synthetic data does NOT reconcile — the
+        # audit's job is to report exactly that, deterministically)
+        "audit_orders_reconcile": lambda s, d: au.reconcile_sum(
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            parent_key="o_orderkey",
+            child_key="l_orderkey",
+            parent_total="o_totalprice",
+            child_amount=F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            child_order="l_linenumber",
+            group_col="o_orderstatus",
+        ),
+        # robust per-type outlier audit (median + MAD, 3sigma-equivalent)
+        "events_mad_outliers": lambda s, d: au.mad_outliers(
+            load_table(s, d, "events"), "value", ["event_type"]
+        ),
+        # skew.salted_join driven end-to-end: result is row-identical to
+        # the plain join (the oracle IS the plain join), aggregated to a
+        # deterministic per-type summary (max-based threshold — no
+        # engine-order-dependent float sums)
+        "events_salted_join": _q_salted_join,
     }
 
 
@@ -1878,6 +1928,141 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
 FROM p GROUP BY source
 """,
         "graph_pagerank": _pagerank_sql(n_iter=5, damping=0.85),
+        # round 4c: corpus-trained add-0.5-smoothed bigram LM.  logp terms
+        # fold in token-position order (list ORDER BY pos == the engine's
+        # sort_array + aggregate), so the per-doc float sum is evaluated
+        # in the SAME order on both engines.
+        "text_lm_score": f"""
+WITH {_TOK_CTE},
+bg AS (
+  SELECT doc_id, pos, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg2 AS (SELECT doc_id, pos, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg2 GROUP BY 1),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg2 GROUP BY 1, 2),
+v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM tok),
+lp AS (
+  SELECT doc_id, pos, LN((c2 + 0.5) / (c1 + 0.5 * v.v)) AS logp
+  FROM bg2 JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         list_aggregate(list(logp ORDER BY pos), 'sum') AS total
+  FROM lp GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       ROUND(total / per.n_bigrams, 6) AS avg_logp,
+       ROUND(EXP(-(total / per.n_bigrams)), 6) AS ppl_proxy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+        # round 4c: LSH candidates scored by Jaccard AND max-containment,
+        # kept on containment — same CTE chain as dedup_verified
+        "dedup_containment": f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+keep AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.25),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT k.doc_a, k.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM keep k
+  JOIN sh a ON a.doc_id = k.doc_a
+  JOIN sh b ON b.doc_id = k.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT k.doc_a, k.doc_b,
+         ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+               / (x.n_sh + y.n_sh - COALESCE(n_inter, 0)), 6) AS jaccard,
+         ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+               / LEAST(x.n_sh, y.n_sh), 6) AS containment
+  FROM keep k
+  LEFT JOIN inter ON k.doc_a = inter.doc_a AND k.doc_b = inter.doc_b
+  JOIN sizes x ON k.doc_a = x.doc_id
+  JOIN sizes y ON k.doc_b = y.doc_id
+)
+SELECT * FROM scored WHERE containment >= 0.5
+""",
+        # round 4c: per-order recomputed totals fold in (linenumber,
+        # amount) order on both engines; max/counts are order-independent
+        "audit_orders_reconcile": """
+WITH t AS (
+  SELECT l_orderkey,
+         list_aggregate(
+           list(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                ORDER BY l_linenumber,
+                         l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+           'sum') AS recomputed,
+         CAST(COUNT(*) AS BIGINT) AS nc
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderstatus,
+         COALESCE(nc, 0) AS nc,
+         ABS(COALESCE(recomputed, 0.0) - o_totalprice) AS gap,
+         ABS(COALESCE(recomputed, 0.0) - o_totalprice) / ABS(o_totalprice) AS rel
+  FROM orders o LEFT JOIN t ON o.o_orderkey = t.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_parents,
+       CAST(SUM(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+       CAST(SUM(CASE WHEN gap <= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(SUM(CASE WHEN rel <= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+       ROUND(MAX(gap), 6) AS max_abs_gap
+FROM j GROUP BY 1
+""",
+        # round 4c: median/MAD outlier audit; 4.4478 is the ONE literal
+        # cutoff both engines multiply (never 3 * 1.4826 separately)
+        "events_mad_outliers": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med AS med
+  FROM events e JOIN med m USING (event_type)
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MIN(med) AS med,
+         quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT s.event_type, s.n,
+       ROUND(s.med, 6) AS median,
+       ROUND(s.mad, 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 4.4478 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN stats s USING (event_type)
+GROUP BY s.event_type, s.n, s.med, s.mad
+""",
+        # round 4c: the salted join is row-identical to the plain join by
+        # construction, so the oracle IS the plain join + summary
+        "events_salted_join": """
+WITH dim AS (
+  SELECT event_type, MAX(value) AS vmax, CAST(COUNT(*) AS BIGINT) AS n_type
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(d.n_type) AS n_type,
+       CAST(SUM(CASE WHEN e.value > d.vmax / 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half,
+       ROUND(MIN(d.vmax), 6) AS vmax
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+""",
     }
     # the histogram-narrowed exact quantile must equal quantile_cont
     # bit-for-bit, so the oracle is identical to cur_quality_calibrated's

@@ -1,0 +1,253 @@
+"""Round-4c operator semantics: bigram LM scoring, containment
+verification, cross-table reconciliation, MAD outlier audit — hand-built
+inputs with hand-computed expectations, plus partition-invariance for the
+float-folding paths."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.operators.audit import mad_outliers, reconcile_sum
+from dask_mwu_spark.operators.dedup import containment_pairs
+from dask_mwu_spark.operators.skew import salted_join
+from dask_mwu_spark.operators.text import lm_bigram_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_bigram_score
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_hand_computed(spark):
+    # corpus: "a b a b" and "a b c": bigrams (a,b)x3? no: doc1 = a-b, b-a,
+    # a-b; doc2 = a-b, b-c.  C(a,b)=3, C(b,a)=1, C(b,c)=1.
+    # contexts: C(a.)=3, C(b.)=2.  V=3 (a,b,c).  alpha=0.5.
+    docs = _docs(
+        spark,
+        [(1, "a b a b", "en", "s", 7), (2, "a b c", "en", "s", 5)],
+    )
+    out = lm_bigram_score(docs).toPandas().set_index("doc_id").sort_index()
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (2 + 0.5 * 3)
+    p_bc = (1 + 0.5) / (2 + 0.5 * 3)
+    d1 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    d2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[2, "n_bigrams"] == 2
+    assert abs(out.loc[1, "avg_logp"] - round(d1, 6)) < 1e-9
+    assert abs(out.loc[2, "avg_logp"] - round(d2, 6)) < 1e-9
+    assert abs(out.loc[1, "ppl_proxy"] - round(math.exp(-d1), 6)) < 1e-9
+
+
+def test_lm_bigram_short_doc_null_scores(spark):
+    docs = _docs(spark, [(1, "only", "en", "s", 4), (2, "a a", "en", "s", 3)])
+    out = lm_bigram_score(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_bigrams"] == 0
+    assert pd.isna(out.loc[1, "avg_logp"])
+    assert out.loc[2, "n_bigrams"] == 1
+
+
+def test_lm_bigram_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = lm_bigram_score(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        lm_bigram_score(docs.repartition(7, "source"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_subset_doc(spark):
+    # doc 2 is a strict prefix of doc 1: every 3-shingle of doc 2 appears
+    # in doc 1 -> containment 1.0, jaccard < 1; doc 3 unrelated
+    long = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    short = "x1 x2 x3 x4 x5 x6"
+    docs = _docs(
+        spark,
+        [
+            (1, long, "en", "s", len(long)),
+            (2, short, "en", "s", len(short)),
+            (3, "q r s t u v w", "en", "s", 13),
+        ],
+    )
+    out = containment_pairs(docs, est_threshold=0.0, threshold=0.9).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert {row["doc_a"], row["doc_b"]} == {1, 2}
+    assert row["containment"] == 1.0
+    # |sh(long)|=8, |sh(short)|=4, inter=4 -> J = 4/8
+    assert row["jaccard"] == 0.5
+
+
+def test_containment_dominates_jaccard_and_threshold_filters(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    allp = containment_pairs(docs, est_threshold=0.25, threshold=0.0).toPandas()
+    assert len(allp) > 0
+    # max-containment >= Jaccard always (divides by min size, not union)
+    assert (allp["containment"] >= allp["jaccard"]).all()
+    assert (allp["containment"] <= 1.0).all()
+    kept = containment_pairs(docs, est_threshold=0.25, threshold=0.9).toPandas()
+    expect = allp[allp["containment"] >= 0.9]
+    assert len(kept) == len(expect)
+
+
+# ---------------------------------------------------------------------------
+# reconcile_sum
+# ---------------------------------------------------------------------------
+
+
+def _reconcile_tables(spark):
+    parent = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pk": [1, 2, 3],
+                "total": [30.0, 100.0, 7.0],
+                "grp": ["A", "A", "B"],
+            }
+        )
+    )
+    child = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ck": [1, 1, 2],
+                "ln": [1, 2, 1],
+                "amt": [10.0, 20.0, 99.5],
+            }
+        )
+    )
+    return parent, child
+
+
+def test_reconcile_hand_computed(spark):
+    parent, child = _reconcile_tables(spark)
+    out = (
+        reconcile_sum(
+            parent,
+            child,
+            parent_key="pk",
+            child_key="ck",
+            parent_total="total",
+            child_amount=F.col("amt"),
+            child_order="ln",
+            group_col="grp",
+        )
+        .toPandas()
+        .set_index("grp")
+        .sort_index()
+    )
+    # pk1: 10+20=30 exact match; pk2: 99.5 vs 100 -> gap 0.5, rel 0.005
+    assert out.loc["A", "n_parents"] == 2
+    assert out.loc["A", "n_matched"] == 1
+    assert out.loc["A", "n_within_1pct"] == 2
+    assert out.loc["A", "max_abs_gap"] == 0.5
+    assert out.loc["A", "n_childless"] == 0
+    # pk3 has no children: unmatched, gap = |0-7| = 7
+    assert out.loc["B", "n_childless"] == 1
+    assert out.loc["B", "n_matched"] == 0
+    assert out.loc["B", "max_abs_gap"] == 7.0
+
+
+def test_reconcile_fold_order_partition_invariant(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (
+        1 + F.col("l_tax")
+    )
+
+    def run(li):
+        return (
+            reconcile_sum(
+                orders,
+                li,
+                parent_key="o_orderkey",
+                child_key="l_orderkey",
+                parent_total="o_totalprice",
+                child_amount=amount,
+                child_order="l_linenumber",
+                group_col="o_orderstatus",
+            )
+            .toPandas()
+            .sort_values("o_orderstatus")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(lineitem), run(lineitem.repartition(13)))
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_hand_computed(spark):
+    # group g: values 1..5 plus a wild 100 -> median 4.5? no:
+    # [1,2,3,4,5,100]: median = (3+4)/2 = 3.5; devs = [2.5,1.5,0.5,0.5,
+    # 1.5,96.5]; MAD = median(devs) = 1.5; cutoff 4.4478*1.5 = 6.6717
+    # -> only 96.5 exceeds it
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["g"] * 6, "v": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]})
+    )
+    out = mad_outliers(df, "v", ["g"]).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n"] == 6
+    assert row["median"] == 3.5
+    assert row["mad"] == 1.5
+    assert row["n_outliers"] == 1
+
+
+def test_mad_constant_group_no_outliers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 4, "v": [7.0, 7.0, 7.0, 7.0]})
+    )
+    out = mad_outliers(df, "v", ["g"]).toPandas().iloc[0]
+    assert out["median"] == 7.0 and out["mad"] == 0.0 and out["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# salted join query shape (row-identity is covered in test_skew; here the
+# registered summary must equal the plain-join summary)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_summary_matches_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.max("value").alias("vmax"), F.count(F.lit(1)).alias("n_type")
+    )
+
+    def summarize(joined):
+        return (
+            joined.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("value") > F.col("vmax") / 2).cast("long")).alias(
+                    "n_above_half"
+                ),
+            )
+            .toPandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+
+    plain = summarize(ev.join(dim, "event_type"))
+    salted = summarize(salted_join(ev, dim, on=["event_type"], n_salts=8))
+    pd.testing.assert_frame_equal(plain, salted)
