@@ -511,3 +511,48 @@ def mad_outliers(
         F.round(F.col("_mad"), 6).alias("mad"),
         "n_outliers",
     )
+
+
+def benford_profile(
+    df: DataFrame, col: str, *, cents_scale: int = 100
+) -> DataFrame:
+    """Benford first-digit audit of a positive money-like column:
+    ``(digit, n, freq, expected_freq, chi2_term)`` for digits 1-9, where
+    expected_freq is Benford's law log10(1 + 1/d) and chi2_term the
+    per-digit Pearson contribution ``(n − N·e)² / (N·e)`` — the classic
+    fabricated-data / synthetic-fill detector (hand-typed or generated
+    amounts drift from the log-uniform leading-digit law).
+
+    The leading digit is extracted from the value as EXACT integer cents
+    (``round(v · cents_scale)`` → BIGINT → first character), never from
+    float log10 arithmetic: ``floor(log10(v))`` puts values like 1000.0
+    on a ulp knife-edge where engines can disagree by a whole digit,
+    while integer→string is bit-identical everywhere.  Scaling by a
+    power of 10 does not change the leading significant digit.
+
+    Scale: ONE scan, one 9-key groupBy with map-side partials, totals as
+    a 1-row broadcast.  No counterpart in the reference (SURVEY 2.1).
+    """
+    c = F.col(col).cast("double")
+    cents = F.round(c * F.lit(cents_scale)).cast("long")
+    pos = df.where(c.isNotNull()).select(cents.alias("_cents")).where(
+        F.col("_cents") > 0
+    )
+    counts = pos.groupBy(
+        F.substring(F.col("_cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    e = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_total"), 6).alias("freq"),
+        F.round(e, 6).alias("expected_freq"),
+        F.round(
+            F.pow(F.col("n") - F.col("_total") * e, F.lit(2.0))
+            / (F.col("_total") * e),
+            6,
+        ).alias("chi2_term"),
+    )

@@ -1142,3 +1142,54 @@ def containment_pairs(
         )
     )
     return out.where(F.col("containment") >= threshold)
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    est_threshold: float = 0.25,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Recall/precision of the MinHash-LSH candidate generator against the
+    exact shingle-Jaccard ground truth — the tuning harness every LSH
+    deployment needs before trusting its band/row configuration on a real
+    corpus (est_threshold and the 16-sample signature both trade recall
+    for cost; this measures what was actually traded).  ONE summary row:
+    ``(n_truth, n_candidates, n_hit, recall, precision)`` where truth =
+    pairs with exact Jaccard >= ``threshold`` (df-capped like
+    ``ngram_jaccard_pairs``; the cap bounds the truth join and is part of
+    the reported definition) and candidates = LSH pairs at
+    ``est_threshold``.
+
+    Scale: both pair tables are bounded (truth by the df cap, candidates
+    by LSH), the comparison is one full-outer equi-join on the pair key +
+    a 1-row aggregate; ratios are single divisions of exact BIGINTs.  Run
+    it on a sampled partition of the real corpus, not the full 100 TB —
+    the measurement transfers; the df-capped truth join does not.
+    """
+    truth = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_df=max_df
+    ).select("doc_a", "doc_b", F.lit(1).alias("_t"))
+    cand = minhash_lsh_pairs(docs, n=n, est_threshold=est_threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("_c")
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum("_t").cast("long").alias("n_truth"),
+        F.sum("_c").cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+        ).alias("precision"),
+    )

@@ -392,3 +392,59 @@ def event_type_cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    ``(from_type, to_type, n_transitions, n_from, p)`` where ``p`` is the
+    row-normalized transition probability n_transitions / n_from — the
+    behavioral model behind next-action prediction baselines, funnel
+    leak detection (mass flowing to an unexpected to_type), and sequence
+    sanity checks on training data.  All counts are exact BIGINTs and
+    ``p`` is one division, so the result is engine- and
+    partitioning-deterministic with no float folding needed.
+
+    Scale: ONE shuffle on the (uniform) user key for the lead() window —
+    per-user state is that user's event count, same shape as
+    ``path_ngrams``; the transition table is bounded by |type vocab|²,
+    so the two count aggregations and the normalizing join are
+    negligible.  Project before calling if events carries wide payloads.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn(
+            "to_type",
+            F.lead("from_type").over(
+                Window.partitionBy("_u").orderBy("_ts", "_id")
+            ),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+        ).alias("p"),
+    )

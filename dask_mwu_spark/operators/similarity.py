@@ -662,3 +662,49 @@ def dimension_stats(emb: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
             F.max(x).alias("vmax"),
         )
     )
+
+
+def ann_recall_eval(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Per-query recall@k of the LSH ANN path against the exact
+    brute-force ground truth: ``(q_id, n_truth, n_approx, n_hit,
+    recall)``.  The evaluation harness for ANN parameter tuning
+    (n_planes/table count): run on a sample, read the recall, decide the
+    bucket budget — instead of discovering recall loss in production.
+
+    Scale: the ground truth side is the brute-force cross join — bounded
+    by ``n_queries`` (broadcast), so the harness costs one corpus scan
+    per side; the comparison itself is an equi-join of two <=
+    n_queries*k-row heads.  Queries whose LSH bucket holds fewer than k
+    neighbors report n_approx < k (empty buckets report 0 via the left
+    join), which is exactly the signal the harness exists to surface.
+    """
+    truth = cosine_topk(emb, n_queries=n_queries, k=k).select("q_id", "vec_id")
+    approx = lsh_cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "q_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    per_q = (
+        truth.join(approx.select("q_id", "vec_id", "_hit"), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_hit"
+            ),
+        )
+    )
+    napp = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        per_q.join(napp, "q_id", "left")
+        .na.fill({"n_approx": 0})
+        .select(
+            "q_id",
+            "n_truth",
+            F.col("n_approx").cast("long").alias("n_approx"),
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )

@@ -603,6 +603,30 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic per-type summary (max-based threshold — no
         # engine-order-dependent float sums)
         "events_salted_join": _q_salted_join,
+        # LSH candidate-generator recall/precision vs exact-Jaccard truth
+        "dedup_lsh_recall": lambda s, d: dd.lsh_recall_eval(
+            _docs(s, d), est_threshold=0.25, threshold=0.5, max_df=100
+        ),
+        # ANN recall@k harness: LSH bucket path vs brute-force truth
+        "sim_ann_recall": lambda s, d: sim.ann_recall_eval(_emb(s, d)),
+        # skew.two_phase_agg driven end-to-end (order-independent
+        # aggregates only: max/min/count — the mergeable set)
+        "events_two_phase_agg": lambda s, d: sk.two_phase_agg(
+            load_table(s, d, "events").select(
+                "event_type", "value", "event_id", "user_id"
+            ),
+            ["event_type"],
+            {"value": "max", "event_id": "count", "user_id": "min"},
+        ),
+        # first-order Markov transition matrix (exact integer counts,
+        # row-normalized probabilities = one division)
+        "events_markov": lambda s, d: ev.markov_transitions(
+            load_table(s, d, "events")
+        ),
+        # Benford leading-digit audit (exact integer-cents digits)
+        "lineitem_benford": lambda s, d: au.benford_profile(
+            load_table(s, d, "lineitem"), "l_extendedprice"
+        ),
     }
 
 
@@ -2067,4 +2091,92 @@ GROUP BY 1
     # the histogram-narrowed exact quantile must equal quantile_cont
     # bit-for-bit, so the oracle is identical to cur_quality_calibrated's
     o["cur_quality_exact_pctile"] = o["cur_quality_calibrated"]
+    # round 4c evaluation harnesses: the oracles COMPOSE the already-
+    # verified truth/candidate oracles as nested subqueries, so the
+    # comparison itself is the only new SQL under test
+    o["dedup_lsh_recall"] = f"""
+WITH truth AS ({o["dedup_ngram_jaccard"]}),
+cand AS ({o["dedup_minhash_lsh"]}),
+j AS (
+  SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+         COALESCE(t.doc_b, c.doc_b) AS doc_b,
+         CASE WHEN t.doc_a IS NOT NULL THEN 1 END AS _t,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS _c
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(_t) AS BIGINT) AS n_truth,
+       CAST(SUM(_c) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN _t IS NOT NULL AND _c IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN _t IS NOT NULL AND _c IS NOT NULL THEN 1 END) AS DOUBLE)
+             / SUM(_t), 6) AS recall,
+       ROUND(CAST(SUM(CASE WHEN _t IS NOT NULL AND _c IS NOT NULL THEN 1 END) AS DOUBLE)
+             / SUM(_c), 6) AS precision
+FROM j
+"""
+    o["sim_ann_recall"] = f"""
+WITH truth AS ({o["sim_cosine_topk"]}),
+approx AS ({o["sim_lsh_topk"]}),
+per_q AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+),
+napp AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1)
+SELECT p.q_id, p.n_truth, COALESCE(n.n_approx, 0) AS n_approx, p.n_hit,
+       ROUND(CAST(p.n_hit AS DOUBLE) / p.n_truth, 6) AS recall
+FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
+"""
+    o["events_two_phase_agg"] = """
+SELECT event_type,
+       MAX(value) AS max_value,
+       CAST(COUNT(event_id) AS BIGINT) AS count_event_id,
+       MIN(user_id) AS min_user_id
+FROM events GROUP BY 1
+"""
+    # first-order Markov transitions: lead() over the (ts, event_id)
+    # per-user order, exact BIGINT counts, p = one division
+    o["events_markov"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS to_type
+  FROM ev
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (
+  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+  FROM c GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
+       ROUND(CAST(c.n_transitions AS DOUBLE) / t.n_from, 6) AS p
+FROM c JOIN t USING (from_type)
+"""
+    # Benford: digits from EXACT integer cents (float log10 digit
+    # extraction sits on ulp knife-edges at powers of 10)
+    o["lineitem_benford"] = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+p AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM v WHERE cents > 0
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS freq,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected_freq,
+       ROUND(POW(n - total * LOG10(1.0 + 1.0 / digit), 2)
+             / (total * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_term
+FROM c CROSS JOIN t
+"""
     return o

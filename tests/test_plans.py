@@ -112,6 +112,9 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # corpus-scale paths are sim_lsh_* / sim_ivf_* / sim_semantic_*
         "sim_cosine_topk": {"nested_loop"},
         "sim_quantized_topk": {"nested_loop"},
+        # ann_recall_eval's ground-truth side IS the brute-force baseline
+        # (that is the point of the harness); the approx side is bucketed
+        "sim_ann_recall": {"nested_loop"},
         # threshold filter folded into the 1-ROW totals broadcast cross
         # (n_candidates x 1 'pairs' — a per-row filter in disguise)
         "text_heavy_hitters": {"nested_loop"},

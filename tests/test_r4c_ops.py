@@ -251,3 +251,121 @@ def test_salted_join_summary_matches_plain(spark, sf_dir):
     plain = summarize(ev.join(dim, "event_type"))
     salted = summarize(salted_join(ev, dim, on=["event_type"], n_salts=8))
     pd.testing.assert_frame_equal(plain, salted)
+
+
+# ---------------------------------------------------------------------------
+# evaluation harnesses
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_recall_on_exact_dups(spark):
+    # five identical docs + noise: truth = C(5,2)=10 pairs at J=1.0, and
+    # identical MinHash signatures make every one an LSH candidate
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [(i, base, "en", "s", len(base)) for i in range(5)]
+    rows += [(10 + i, f"u{i} v{i} x{i} y{i} z{i} q{i}", "en", "s", 20) for i in range(5)]
+    from dask_mwu_spark.operators.dedup import lsh_recall_eval
+
+    out = lsh_recall_eval(_docs(spark, rows)).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_truth"] == 10
+    assert row["n_hit"] == 10
+    assert row["recall"] == 1.0
+
+
+def test_lsh_recall_bounds_on_corpus(spark, sf_dir):
+    from dask_mwu_spark.operators.dedup import lsh_recall_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = lsh_recall_eval(docs).toPandas().iloc[0]
+    assert row["n_hit"] <= row["n_truth"]
+    assert row["n_hit"] <= row["n_candidates"]
+    assert 0.0 <= row["recall"] <= 1.0
+    assert 0.0 <= row["precision"] <= 1.0
+
+
+def test_ann_recall_shape_and_bounds(spark, sf_dir):
+    from dask_mwu_spark.operators.similarity import ann_recall_eval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_recall_eval(emb, n_queries=10, k=5).toPandas()
+    assert len(out) == 10
+    assert (out["n_truth"] == 5).all()
+    assert (out["n_hit"] <= out["n_truth"]).all()
+    assert (out["n_hit"] <= out["n_approx"]).all()
+    assert ((out["recall"] >= 0.0) & (out["recall"] <= 1.0)).all()
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions
+# ---------------------------------------------------------------------------
+
+
+def test_markov_hand_computed(spark):
+    from dask_mwu_spark.operators.events import markov_transitions
+
+    # user 1: A(t1) -> B(t2) -> A(t3); user 2: A(t1) -> B(t2)
+    # transitions: A->B x2, B->A x1; n_from: A=2, B=1
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": [10, 20, 30, 10, 20],
+            "event_type": ["A", "B", "A", "A", "B"],
+        }
+    )
+    out = (
+        markov_transitions(spark.createDataFrame(rows))
+        .toPandas()
+        .set_index(["from_type", "to_type"])
+        .sort_index()
+    )
+    assert out.loc[("A", "B"), "n_transitions"] == 2
+    assert out.loc[("A", "B"), "n_from"] == 2
+    assert out.loc[("A", "B"), "p"] == 1.0
+    assert out.loc[("B", "A"), "n_transitions"] == 1
+    assert out.loc[("B", "A"), "p"] == 1.0
+    assert len(out) == 2
+
+
+def test_markov_rows_sum_to_one(spark, sf_dir):
+    from dask_mwu_spark.operators.events import markov_transitions
+    from dask_mwu_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = markov_transitions(ev).toPandas()
+    sums = out.groupby("from_type")["n_transitions"].sum()
+    totals = out.groupby("from_type")["n_from"].first()
+    assert (sums == totals).all()
+
+
+# ---------------------------------------------------------------------------
+# benford_profile
+# ---------------------------------------------------------------------------
+
+
+def test_benford_hand_computed(spark):
+    from dask_mwu_spark.operators.audit import benford_profile
+
+    # cents: 123, 1999, 205, 0 (dropped), -5 (dropped), null (dropped)
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.23, 19.99, 2.05, 0.0, -0.05, None]})
+    )
+    out = benford_profile(df, "v").toPandas().set_index("digit").sort_index()
+    assert out["n"].sum() == 3
+    assert out.loc[1, "n"] == 2  # 123, 1999
+    assert out.loc[2, "n"] == 1  # 205
+    assert abs(out.loc[1, "expected_freq"] - round(math.log10(2.0), 6)) < 1e-9
+    assert abs(out.loc[1, "freq"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_benford_power_of_ten_boundary(spark):
+    from dask_mwu_spark.operators.audit import benford_profile
+
+    # exactly 10.00 and 100.00: float-log10 digit extraction can land on
+    # 9 or 1 depending on the engine's ulp; integer cents cannot
+    df = spark.createDataFrame(pd.DataFrame({"v": [10.0, 100.0, 1000.0]}))
+    out = benford_profile(df, "v").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["digit"] == 1 and out.iloc[0]["n"] == 3

@@ -38,6 +38,29 @@ R4_EXTRAS = [
     "dedup_rate_by_source",
     "events_window_dedup",
     "dedup_trim_spans",
+    # round 4b
+    "events_psi_drift",
+    "customer_k_anonymity",
+    "text_zipf_fit",
+    "dedup_tfidf_cosine",
+    "dedup_sorted_neighborhood",
+    "events_rolling_dau",
+    "events_cooccurrence",
+    "text_source_entropy",
+    "graph_pagerank",
+    "dedup_components_fixed",
+    "cur_quality_exact_pctile",
+    # round 4c
+    "text_lm_score",
+    "dedup_containment",
+    "audit_orders_reconcile",
+    "events_mad_outliers",
+    "events_salted_join",
+    "dedup_lsh_recall",
+    "sim_ann_recall",
+    "events_two_phase_agg",
+    "events_markov",
+    "lineitem_benford",
 ]
 
 
