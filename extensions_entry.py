@@ -23,6 +23,7 @@ from dask_mwu_spark.operators import dedup as dd
 from dask_mwu_spark.operators import events as ev
 from dask_mwu_spark.operators import graph as gr
 from dask_mwu_spark.operators import multimodal as mm
+from dask_mwu_spark.operators import rfm
 from dask_mwu_spark.operators import similarity as sim
 from dask_mwu_spark.operators import skew as sk
 from dask_mwu_spark.operators import text as tx
@@ -627,6 +628,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": lambda s, d: au.benford_profile(
             load_table(s, d, "lineitem"), "l_extendedprice"
         ),
+        # RFM customer segmentation (fold-exact monetary, quartile scores)
+        "customer_rfm": lambda s, d: rfm.rfm_scores(load_table(s, d, "orders")),
     }
 
 
@@ -2178,5 +2181,49 @@ SELECT digit, n,
        ROUND(POW(n - total * LOG10(1.0 + 1.0 / digit), 2)
              / (total * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_term
 FROM c CROSS JOIN t
+"""
+    # RFM: monetary folds in (date, key) order; quartile thresholds via
+    # quantile_cont (same interpolation as Spark percentile); scores are
+    # strict-greater integer comparisons
+    o["customer_rfm"] = """
+WITH per AS (
+  SELECT o_custkey AS customer,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         list_aggregate(
+           list(CAST(o_totalprice AS DOUBLE)
+                ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           'sum') AS monetary
+  FROM orders GROUP BY 1
+),
+g AS (SELECT MAX(last_d) AS gmax FROM per),
+m AS (
+  SELECT customer,
+         CAST(gmax - last_d AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN g
+),
+q AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r0,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r1,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r2,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f0,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f1,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f2,
+         quantile_cont(monetary, 0.25) AS m0,
+         quantile_cont(monetary, 0.5)  AS m1,
+         quantile_cont(monetary, 0.75) AS m2
+  FROM m
+)
+SELECT customer, recency_days, frequency, ROUND(monetary, 6) AS monetary,
+       CAST(1 + (CAST(recency_days AS DOUBLE) > r0)::INT
+              + (CAST(recency_days AS DOUBLE) > r1)::INT
+              + (CAST(recency_days AS DOUBLE) > r2)::INT AS INT) AS r_score,
+       CAST(1 + (CAST(frequency AS DOUBLE) > f0)::INT
+              + (CAST(frequency AS DOUBLE) > f1)::INT
+              + (CAST(frequency AS DOUBLE) > f2)::INT AS INT) AS f_score,
+       CAST(1 + (monetary > m0)::INT + (monetary > m1)::INT
+              + (monetary > m2)::INT AS INT) AS m_score
+FROM m CROSS JOIN q
 """
     return o

@@ -369,3 +369,55 @@ def test_benford_power_of_ten_boundary(spark):
     out = benford_profile(df, "v").toPandas()
     assert len(out) == 1
     assert out.iloc[0]["digit"] == 1 and out.iloc[0]["n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# rfm_scores
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_hand_computed(spark):
+    from dask_mwu_spark.operators.rfm import rfm_scores
+
+    # 4 customers; last order dates 0/1/2/3 days before the global max
+    rows = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2, 3, 4],
+            "o_orderkey": [10, 11, 20, 30, 40],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-04", "2024-01-01", "2024-01-03", "2024-01-02", "2024-01-01"]
+            ),
+            "o_totalprice": [100.0, 50.0, 10.0, 20.0, 30.0],
+        }
+    )
+    out = (
+        rfm_scores(spark.createDataFrame(rows))
+        .toPandas()
+        .set_index("customer")
+        .sort_index()
+    )
+    assert out.loc[1, "recency_days"] == 0
+    assert out.loc[4, "recency_days"] == 3
+    assert out.loc[1, "frequency"] == 2
+    assert out.loc[1, "monetary"] == 150.0
+    # customer 1 has the max of everything except recency -> m/f scores 4
+    assert out.loc[1, "m_score"] == 4
+    assert out.loc[1, "f_score"] == 4
+    assert out.loc[1, "r_score"] == 1
+    # scores stay in 1..4
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 4).all()
+
+
+def test_rfm_partition_invariant(spark, sf_dir):
+    from dask_mwu_spark.operators.rfm import rfm_scores
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = rfm_scores(orders).toPandas().sort_values("customer").reset_index(drop=True)
+    b = (
+        rfm_scores(orders.repartition(11))
+        .toPandas()
+        .sort_values("customer")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -61,6 +61,8 @@ R4_EXTRAS = [
     "events_two_phase_agg",
     "events_markov",
     "lineitem_benford",
+    "customer_rfm",
+    "mwu_full_rounded",
 ]
 
 
