@@ -708,3 +708,59 @@ def ann_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def cluster_quality(
+    emb: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster assignment-quality summary for the IVF/SemDeDup
+    clustering: ``(cent_id, n_vectors, mean_cos, min_cos, share)`` —
+    cluster size, mean and worst cosine of members to their own centroid,
+    and the cluster's share of the corpus.  The monitoring table behind
+    centroid-count tuning: low mean_cos = underfit (too few centroids for
+    the geometry), a dominant share = the mega-cluster that makes
+    ``semantic_dup_pairs`` quadratic (cap it), min_cos ~ 0 = vectors with
+    no meaningful home.
+
+    Exactness: member cosines are rounded to 6 BEFORE aggregation (the
+    same values the assignment ranked on), the mean folds them in vec_id
+    order, min/counts are order-free.  Scale: one broadcast re-join of
+    the <= C-row centroid table onto the persisted-shape ``ivf_index``
+    assignment, one C-key groupBy — no new vector shuffle.
+    """
+    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids)
+    cents = _centroid_table(emb, n_centroids, centroids)
+    per = idx.join(F.broadcast(cents), "cent_id").select(
+        "cent_id",
+        "vec_id",
+        F.round(
+            dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    agg = per.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("vec_id", "cos"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["cos"],
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    )
+    total = agg.agg(F.sum("n_vectors").cast("long").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "cent_id",
+        "n_vectors",
+        "mean_cos",
+        "min_cos",
+        F.round(F.col("n_vectors").cast("double") / F.col("_total"), 6).alias(
+            "share"
+        ),
+    )

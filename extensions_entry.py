@@ -630,6 +630,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # RFM customer segmentation (fold-exact monetary, quartile scores)
         "customer_rfm": lambda s, d: rfm.rfm_scores(load_table(s, d, "orders")),
+        # IVF/SemDeDup cluster-quality monitoring table
+        "sim_cluster_quality": lambda s, d: sim.cluster_quality(_emb(s, d)),
     }
 
 
@@ -2225,5 +2227,33 @@ SELECT customer, recency_days, frequency, ROUND(monetary, 6) AS monetary,
        CAST(1 + (monetary > m0)::INT + (monetary > m1)::INT
               + (monetary > m2)::INT AS INT) AS m_score
 FROM m CROSS JOIN q
+"""
+    # cluster quality: same assignment CTE as sim_semantic_dedup, member
+    # cosines rounded BEFORE aggregation, mean folded in vec_id order
+    o["sim_cluster_quality"] = f"""
+WITH {_VEC_CTE},
+cents AS (SELECT vec_id AS cent_id, vec AS c_vec, nrm AS c_nrm FROM nv WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, vec, nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg WHERE rn = 1),
+per AS (
+  SELECT i.cent_id, i.vec_id,
+         ROUND(list_dot_product(i.vec, c.c_vec) / (i.nrm * c.c_nrm), 6) AS cos
+  FROM idx i JOIN cents c USING (cent_id)
+),
+agg AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         ROUND(list_aggregate(list(cos ORDER BY vec_id), 'sum') / COUNT(*), 6) AS mean_cos,
+         ROUND(MIN(cos), 6) AS min_cos
+  FROM per GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM agg)
+SELECT cent_id, n_vectors, mean_cos, min_cos,
+       ROUND(CAST(n_vectors AS DOUBLE) / total, 6) AS share
+FROM agg CROSS JOIN t
 """
     return o

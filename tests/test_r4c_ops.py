@@ -421,3 +421,31 @@ def test_rfm_partition_invariant(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# cluster_quality
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_quality_shares_and_bounds(spark, sf_dir):
+    from dask_mwu_spark.operators.similarity import cluster_quality
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_quality(emb).toPandas()
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    assert (out["mean_cos"] >= out["min_cos"]).all()
+    assert (out["mean_cos"] <= 1.0).all()
+    assert out["n_vectors"].sum() > 0
+
+
+def test_cluster_quality_centroid_members_score_one(spark, sf_dir):
+    from dask_mwu_spark.operators.similarity import cluster_quality, ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # each seed centroid is its own nearest centroid with cosine 1.0, so
+    # every cluster with its seed present has max member cos = 1.0 ->
+    # mean_cos of a singleton seed cluster is exactly 1.0
+    idx = ivf_index(emb).toPandas()
+    seeds = idx[idx["vec_id"] < 16]
+    assert (seeds["vec_id"] == seeds["cent_id"]).all()

@@ -63,6 +63,7 @@ R4_EXTRAS = [
     "lineitem_benford",
     "customer_rfm",
     "mwu_full_rounded",
+    "sim_cluster_quality",
 ]
 
 
