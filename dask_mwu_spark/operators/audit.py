@@ -479,8 +479,9 @@ def mad_outliers(
 
     Scale: two grouped EXACT percentiles (``F.percentile`` holds one
     per-distinct-value map per group — fine for the bounded per-group
-    cardinalities audits run on; for 1e11-row global quantiles use
-    ``exact_quantile``'s bounded-state histogram narrowing) plus one
+    cardinalities audits run on; beyond that switch the percentile calls
+    to :func:`exact_quantile_by_group`, the grouped bounded-state
+    histogram narrowing — bit-identical, pytest-locked) plus one
     key-join of the rows back to their group medians.
     """
     gcols = list(group_cols)
@@ -556,3 +557,180 @@ def benford_profile(
             6,
         ).alias("chi2_term"),
     )
+
+
+def exact_quantile_by_group(
+    df: DataFrame,
+    col: str,
+    q: float,
+    group_cols: Sequence[str],
+    *,
+    n_bins: int = 1024,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT per-group linear-interpolation quantile (``quantile_cont`` /
+    ``F.percentile`` semantics) with BOUNDED per-node state — the grouped
+    form of :func:`exact_quantile`, and the 1e11-row scale path the
+    single-buffer ``F.percentile`` in :func:`mad_outliers` cannot take
+    (its per-group value map is unbounded on high-cardinality columns).
+
+    Vectorized histogram narrowing: every round runs ONE scan that bins
+    all still-active groups at once (each group against its own current
+    [lo, hi] range, joined in as a broadcast n_groups-row table), then
+    narrows each group's range around its two target order statistics
+    (±1 bin slack, same drift armor as the global version).  The final
+    pass anchors each group's rank with an exact ``count(v < lo)`` and
+    interpolates the two order statistics with Spark Percentile's
+    ``(hi-pos)·v0 + (pos-lo)·v1`` form.
+
+    Driver state: the per-group range table (n_groups rows per round) —
+    this operator is for grouped AUDITS where the group count is
+    bounded (≤ ~1e5), while the per-group row/value counts are not.
+    Rows with NULL values are excluded (a group with only NULLs is
+    absent from the output — mirror any SQL twin with ``WHERE col IS
+    NOT NULL``).  Output: ``(*group_cols, quantile)``.
+    """
+    import math
+
+    g = list(group_cols)
+    spark = df.sparkSession
+    c = F.col(col).cast("double")
+    base = (
+        df.where(c.isNotNull() & ~F.isnan(c))
+        .select(*g, c.alias("_v"))
+        .persist()
+    )
+    stats = {
+        tuple(r[k] for k in g): {"n": r["n"], "lo": r["lo"], "hi": r["hi"]}
+        for r in base.groupBy(*g)
+        .agg(F.count("_v").alias("n"), F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+        .collect()
+    }
+    for s in stats.values():
+        p = q * (s["n"] - 1)
+        s["p"] = p
+        s["k0"] = min(int(math.floor(p)), s["n"] - 1)
+        frac = p - s["k0"]
+        s["k1"] = min(s["k0"] + 1, s["n"] - 1) if frac > 0 else s["k0"]
+
+    def ranges_df(keys):
+        rows = [tuple(k) + (stats[k]["lo"], stats[k]["hi"]) for k in keys]
+        schema = base.select(*g).schema.add("_lo", "double").add("_hi", "double")
+        return spark.createDataFrame(rows, schema)
+
+    active = [k for k, s in stats.items() if s["lo"] < s["hi"]]
+    for _ in range(max_rounds):
+        if not active:
+            break
+        rng = F.broadcast(ranges_df(active))
+        width = F.col("_hi") - F.col("_lo")
+        binned = (
+            base.join(rng, g)
+            .where((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
+            .groupBy(
+                *g,
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor((F.col("_v") - F.col("_lo")) / width * n_bins),
+                ).cast("int").alias("_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        below = {
+            tuple(r[k] for k in g): r["_n"]
+            for r in base.join(rng, g)
+            .where(F.col("_v") < F.col("_lo"))
+            .groupBy(*g)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        hists: dict[tuple, dict[int, int]] = {}
+        for r in binned.collect():
+            hists.setdefault(tuple(r[k] for k in g), {})[r["_b"]] = r["_cnt"]
+        nxt = []
+        for k in active:
+            s = stats[k]
+            hist = hists.get(k, {})
+            width_v = (s["hi"] - s["lo"]) / n_bins
+            if width_v <= 0 or not math.isfinite(width_v):
+                continue
+            cum, b0, b1 = below.get(k, 0), None, None
+            for b in range(n_bins):
+                cnt = hist.get(b, 0)
+                if b0 is None and cum + cnt > s["k0"]:
+                    b0 = b
+                if b1 is None and cum + cnt > s["k1"]:
+                    b1 = b
+                    break
+                cum += cnt
+            if b0 is None:
+                continue
+            b1 = b1 if b1 is not None else n_bins - 1
+            new_lo = s["lo"] + max(0, b0 - 1) * width_v
+            new_hi = (
+                s["lo"] + min(n_bins, b1 + 2) * width_v
+                if b1 < n_bins - 1
+                else s["hi"]
+            )
+            new_hi = min(new_hi, s["hi"])
+            if new_lo <= s["lo"] and new_hi >= s["hi"]:
+                continue
+            s["lo"], s["hi"] = new_lo, new_hi
+            in_range = sum(
+                cnt for b, cnt in hist.items() if max(0, b0 - 1) <= b <= b1 + 1
+            )
+            if s["lo"] < s["hi"] and in_range > n_bins:
+                nxt.append(k)
+        active = nxt
+
+    all_keys = list(stats)
+    rng = F.broadcast(ranges_df(all_keys))
+    below_df = (
+        base.join(rng, g)
+        .where(F.col("_v") < F.col("_lo"))
+        .groupBy(*g)
+        .agg(F.count(F.lit(1)).alias("_below"))
+    )
+    consts = spark.createDataFrame(
+        [
+            tuple(k) + (float(stats[k]["p"]), stats[k]["k0"], stats[k]["k1"])
+            for k in all_keys
+        ],
+        base.select(*g).schema.add("_p", "double").add("_k0", "long").add("_k1", "long"),
+    )
+    w_cum = Window.partitionBy(*g).orderBy("_v")
+    vals = (
+        base.join(rng, g)
+        .where((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
+        .groupBy(*g, "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_cum", F.sum("_cnt").over(w_cum))
+        .join(below_df, g, "left")
+        .na.fill({"_below": 0})
+        .join(F.broadcast(consts), g)
+        .where(F.col("_below") + F.col("_cum") > F.col("_k0"))
+    )
+    w_pick = Window.partitionBy(*g).orderBy("_v")
+    picked = vals.withColumn("_rn", F.row_number().over(w_pick)).where(
+        F.col("_rn") <= 2
+    )
+    per_group = picked.groupBy(*g).agg(
+        F.first("_p").alias("_p"),
+        F.first("_k0").alias("_k0"),
+        F.first("_k1").alias("_k1"),
+        F.min(F.struct("_rn", "_v")).alias("_s0"),
+        F.max(F.struct("_rn", "_v")).alias("_s1"),
+        F.min(F.when(F.col("_rn") == 1, F.col("_below") + F.col("_cum"))).alias(
+            "_cum0"
+        ),
+    )
+    v0 = F.col("_s0._v")
+    # second candidate only needed when rank k1 lies beyond v0's run
+    v1 = F.when(F.col("_cum0") > F.col("_k1"), v0).otherwise(F.col("_s1._v"))
+    quantile = F.when(
+        (F.col("_k1") == F.col("_k0")), v0
+    ).otherwise(
+        (F.col("_k0") + 1 - F.col("_p")) * v0 + (F.col("_p") - F.col("_k0")) * v1
+    )
+    out = per_group.select(*g, quantile.alias("quantile"))
+    return out

@@ -632,6 +632,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": lambda s, d: rfm.rfm_scores(load_table(s, d, "orders")),
         # IVF/SemDeDup cluster-quality monitoring table
         "sim_cluster_quality": lambda s, d: sim.cluster_quality(_emb(s, d)),
+        # grouped bounded-state exact quantile (histogram narrowing, the
+        # 1e11-row path for per-group percentiles) vs quantile_cont
+        "events_value_p90_hist": lambda s, d: au.exact_quantile_by_group(
+            load_table(s, d, "events"), "value", 0.9, ["event_type"]
+        ).select(
+            "event_type", F.round("quantile", 6).alias("p90")
+        ),
     }
 
 
@@ -2255,5 +2262,9 @@ t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM agg)
 SELECT cent_id, n_vectors, mean_cos, min_cos,
        ROUND(CAST(n_vectors AS DOUBLE) / total, 6) AS share
 FROM agg CROSS JOIN t
+"""
+    o["events_value_p90_hist"] = """
+SELECT event_type, ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events WHERE value IS NOT NULL GROUP BY 1
 """
     return o

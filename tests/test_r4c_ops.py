@@ -449,3 +449,59 @@ def test_cluster_quality_centroid_members_score_one(spark, sf_dir):
     idx = ivf_index(emb).toPandas()
     seeds = idx[idx["vec_id"] < 16]
     assert (seeds["vec_id"] == seeds["cent_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# exact_quantile_by_group
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("q", [0.0, 0.1, 0.5, 0.75, 1.0])
+def test_grouped_quantile_matches_percentile(spark, q):
+    from dask_mwu_spark.operators.audit import exact_quantile_by_group
+
+    rows = pd.DataFrame(
+        {
+            "g": ["a"] * 7 + ["b"] + ["c", "c"] + ["d"] * 5,
+            "v": [5.0, 5.0, 5.0, 1.0, 2.0, 9.0, 9.0, 3.25, -1.5, 4.5]
+            + [0.0] * 5,
+        }
+    )
+    df = spark.createDataFrame(rows)
+    a = (
+        exact_quantile_by_group(df, "v", q, ["g"])
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    b = (
+        df.groupBy("g")
+        .agg(F.percentile(F.col("v").cast("double"), F.lit(q)).alias("quantile"))
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert (a["quantile"].to_numpy() == b["quantile"].to_numpy()).all()
+
+
+def test_grouped_quantile_narrowing_actually_engages(spark, sf_dir):
+    from dask_mwu_spark.operators.audit import exact_quantile_by_group
+    from dask_mwu_spark.sources.loaders import load_table
+
+    # tiny n_bins forces multiple narrowing rounds; result must still be
+    # bit-identical to the single-buffer percentile
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        exact_quantile_by_group(ev, "value", 0.5, ["event_type"], n_bins=4)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    b = (
+        ev.groupBy("event_type")
+        .agg(F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("quantile"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (a["quantile"].to_numpy() == b["quantile"].to_numpy()).all()

@@ -64,6 +64,7 @@ R4_EXTRAS = [
     "customer_rfm",
     "mwu_full_rounded",
     "sim_cluster_quality",
+    "events_value_p90_hist",
 ]
 
 
