@@ -52,6 +52,42 @@ def timed(name, df, extra=None):
     print(json.dumps(rec), flush=True)
 
 
+def grouped_quantile_probe(spark, n_rows: int = 20_000_000):
+    """Grouped exact quantile: single-buffer percentile vs histogram
+    narrowing at 20M rows / 5 groups / ~1M distinct values per group,
+    with a 20% tie mass per group (adversarial for narrowing)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators.audit import exact_quantile_by_group
+
+    values = spark.range(n_rows).select(
+        F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(5))).alias("g"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(5)) == 0, F.lit(42.0))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1_000_000)) / 10.0)
+        .alias("v"),
+    ).persist()
+    values.count()
+    t0 = _t.time()
+    a = (
+        values.groupBy("g")
+        .agg(F.percentile(F.col("v"), F.lit(0.9)).alias("q"))
+        .collect()
+    )
+    t_pct = round(_t.time() - t0, 2)
+    t0 = _t.time()
+    b = exact_quantile_by_group(values, "v", 0.9, ["g"]).collect()
+    t_hist = round(_t.time() - t0, 2)
+    assert {r["g"]: r["q"] for r in a} == {r["g"]: r["quantile"] for r in b}
+    print(json.dumps({
+        "metric": "r4c_probe_grouped_quantile", "unit": "sec",
+        "percentile_single_buffer": t_pct, "histogram_narrowing": t_hist,
+        "n_rows": n_rows, "identical": True,
+    }), flush=True)
+    values.unpersist()
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_child = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
@@ -128,6 +164,8 @@ def main() -> int:
     )
     timed("mad_outliers_20m", au.mad_outliers(values, "v", ["g"]),
           {"n_rows": n_child, "distinct_per_group": 100_000})
+
+    grouped_quantile_probe(spark, n_child)
 
     return 0
 
