@@ -341,6 +341,68 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style argmin-per-group star join: per part, the cheapest
+    observed (lineitem) offer and its supplier + nation.  The argmin is
+    ``min(struct(price, suppkey))`` — a MAP-SIDE-COMBINABLE aggregate
+    (struct min merges like any min), so no per-part window sort ever
+    happens; dims join broadcast.  Deterministic: suppkey tiebreak on
+    tied prices."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_suppkey",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    best = li.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_offers"),
+        F.min(F.struct(F.col("price"), F.col("l_suppkey").alias("sk"))).alias(
+            "_b"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(part), "p_partkey")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "n_offers",
+            F.round(F.col("_b.price"), 6).alias("best_price"),
+            F.col("_b.sk").alias("s_suppkey"),
+        )
+        .join(F.broadcast(supp), "s_suppkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "n_offers", "best_price",
+            "s_suppkey", "s_name", F.col("n_name").alias("nation"),
+        )
+    )
+
+
+def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: both sides are the contribution-
+    expansion rolling distinct (window_days=1 and =28) joined on the
+    window end — exact integer counts, ratio is one division."""
+    events = load_table(spark, sf_dir, "events")
+    dau = ev.rolling_distinct_users(events, window_days=1).select(
+        "window_end", F.col("n_active_users").alias("dau")
+    )
+    mau = ev.rolling_distinct_users(events, window_days=28).select(
+        "window_end", F.col("n_active_users").alias("mau")
+    )
+    return dau.join(mau, "window_end").select(
+        "window_end",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
@@ -639,6 +701,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "event_type", F.round("quantile", 6).alias("p90")
         ),
+        # TPC-H Q2-style argmin-per-group star join (part/supplier/nation)
+        "part_cheapest_supplier": _q_cheapest_supplier,
+        # DAU/MAU stickiness (two contribution-expansion windows)
+        "events_stickiness": _q_stickiness,
     }
 
 
@@ -2266,5 +2332,47 @@ FROM agg CROSS JOIN t
     o["events_value_p90_hist"] = """
 SELECT event_type, ROUND(quantile_cont(value, 0.9), 6) AS p90
 FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+    o["part_cheapest_supplier"] = """
+WITH ranked AS (
+  SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DOUBLE) AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+           ORDER BY CAST(l_extendedprice AS DOUBLE) ASC, l_suppkey ASC) AS rn
+  FROM lineitem
+),
+counts AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_offers FROM lineitem GROUP BY 1),
+best AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         ROUND(price, 6) AS best_price
+  FROM ranked WHERE rn = 1
+)
+SELECT b.p_partkey, p.p_brand, c.n_offers, b.best_price, b.s_suppkey,
+       s.s_name, n.n_name AS nation
+FROM best b
+JOIN part p USING (p_partkey)
+JOIN counts c ON c.l_partkey = b.p_partkey
+JOIN supplier s ON s.s_suppkey = b.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+    o["events_stickiness"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+),
+rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+dau AS (
+  SELECT day AS window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY 1
+),
+o28 AS (SELECT unnest(range(28)) AS off),
+e AS (SELECT user_id, day + off AS window_end FROM d CROSS JOIN o28),
+mau AS (
+  SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM e CROSS JOIN rng
+  WHERE window_end >= rng.mn AND window_end <= rng.mx
+  GROUP BY 1
+)
+SELECT window_end, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN mau USING (window_end)
 """
     return o

@@ -139,8 +139,9 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         "dedup_sorted_neighborhood": {"global_window"},
         # rolling DAU's conditioned BNLJ crosses against the 1-ROW
         # min/max-day aggregate — a per-row range clip in disguise
-        # (text_heavy_hitters precedent)
+        # (text_heavy_hitters precedent); stickiness composes two of them
         "events_rolling_dau": {"nested_loop"},
+        "events_stickiness": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

@@ -505,3 +505,29 @@ def test_grouped_quantile_narrowing_actually_engages(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert (a["quantile"].to_numpy() == b["quantile"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# argmin star join + stickiness (query-level compositions)
+# ---------------------------------------------------------------------------
+
+
+def test_cheapest_supplier_argmin_is_map_side(spark, sf_dir):
+    import extensions_entry as ee
+
+    out = ee.extension_queries()["part_cheapest_supplier"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the argmin must be a partial-aggregable min(struct), never a
+    # per-part window sort
+    assert "Window" not in plan
+    df = out.toPandas()
+    assert df["p_partkey"].is_unique
+    assert (df["n_offers"] >= 1).all()
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    import extensions_entry as ee
+
+    df = ee.extension_queries()["events_stickiness"](spark, sf_dir).toPandas()
+    assert ((df["stickiness"] > 0) & (df["stickiness"] <= 1.0)).all()
+    assert (df["dau"] <= df["mau"]).all()

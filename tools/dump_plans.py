@@ -65,6 +65,8 @@ R4_EXTRAS = [
     "mwu_full_rounded",
     "sim_cluster_quality",
     "events_value_p90_hist",
+    "part_cheapest_supplier",
+    "events_stickiness",
 ]
 
 
