@@ -403,6 +403,43 @@ def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: revenue from lineitems whose
+    CUSTOMER and SUPPLIER sit in the same nation — the classic five-way
+    star join with a cross-dimension equality.  Revenue sums as
+    DECIMAL(18,4) (price/discount have 2 decimal digits, so the product
+    and sum are exact in both engines — the star_revenue_by_nation
+    lesson); the only shuffle is the lineitem->orders key join, every
+    dimension side is an explicit broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
@@ -705,6 +742,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cheapest_supplier": _q_cheapest_supplier,
         # DAU/MAU stickiness (two contribution-expansion windows)
         "events_stickiness": _q_stickiness,
+        # TPC-H Q5-style co-nation star join (customer nation == supplier
+        # nation), exact DECIMAL revenue
+        "star_local_supplier_volume": _q_local_supplier_volume,
     }
 
 
@@ -2374,5 +2414,18 @@ mau AS (
 SELECT window_end, dau.dau, mau.mau,
        ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
 FROM dau JOIN mau USING (window_end)
+"""
+    o["star_local_supplier_volume"] = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1
 """
     return o

@@ -531,3 +531,15 @@ def test_stickiness_bounds(spark, sf_dir):
     df = ee.extension_queries()["events_stickiness"](spark, sf_dir).toPandas()
     assert ((df["stickiness"] > 0) & (df["stickiness"] <= 1.0)).all()
     assert (df["dau"] <= df["mau"]).all()
+
+
+def test_local_supplier_volume_dims_broadcast(spark, sf_dir):
+    import extensions_entry as ee
+
+    out = ee.extension_queries()["star_local_supplier_volume"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every dimension side is a broadcast join; no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    df = out.toPandas()
+    assert (df["revenue"] > 0).all() and df["nation"].is_unique

@@ -67,6 +67,7 @@ R4_EXTRAS = [
     "events_value_p90_hist",
     "part_cheapest_supplier",
     "events_stickiness",
+    "star_local_supplier_volume",
 ]
 
 
