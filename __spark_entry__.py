@@ -984,50 +984,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py run the full set; CORRECTNESS_FULL_r3.json is
     # an all-97 local run: 95 exact + 2 rows-only-by-design).
     priority = [
-        # --- never driver-verified through round 3 (24) ---
-        "cur_funnel", "cur_pack_stats", "cur_quality_calibrated",
-        "cur_repetition", "cur_sample_mixture", "cur_stratified",
-        # (dedup_edit_sim and orders_scd2 rotated out for round 4c: the
-        # round-3 judge re-ran both against the oracle — exact — so the
-        # slots go to the never-checked-anywhere round-4c queries)
-        "dedup_purge", "events_path_ngrams",
-        "events_skew_profile", "events_user_sequences",
-        # graph_dup_stats rotated out (r3 judge re-ran it: exact) for the
-        # new full-pipeline-with-SQL-erfc query — the single highest-value
-        # never-attested row (closes the A4 no-oracle gap)
-        "mwu_full_rounded",
-        "lineitem_correlations", "lineitem_price_histogram",
-        "sim_dimension_stats", "sim_quantized_topk", "sim_random_projection",
-        "text_chunks", "text_heavy_hitters", "text_ngram_topk",
-        "text_redact_pii", "text_tokenize_ids", "text_vocab_ids",
-        # --- new in round 4 (11): BM25, source overlap, substring-span
-        # dedup, token-balanced shards, weighted sample, snapshot diff,
-        # n-gram novelty, mixture KL, per-source dup rate, window dedup ---
-        "text_bm25_topk", "text_source_overlap", "dedup_dup_spans",
-        "dedup_span_stats", "cur_token_shards", "cur_weighted_sample",
-        "orders_snapshot_diff", "text_novelty", "cur_mixture_kl",
-        "dedup_rate_by_source", "events_window_dedup", "dedup_trim_spans",
-        # --- new in round 4b (8): distribution drift, privacy audit,
-        # corpus power-law fit, weighted sparse near-dup, SNM blocking,
-        # rolling distinct users, type co-occurrence, source entropy ---
-        "events_psi_drift", "customer_k_anonymity", "text_zipf_fit",
-        "dedup_tfidf_cosine", "dedup_sorted_neighborhood",
-        "events_rolling_dau", "events_cooccurrence", "text_source_entropy",
-        "graph_pagerank",
-        # --- new in round 4c (5): bigram-LM perplexity proxy, shingle
-        # containment, cross-table reconciliation, MAD outlier audit,
-        # driver-attested salted join ---
-        "text_lm_score", "dedup_containment", "audit_orders_reconcile",
-        "events_mad_outliers", "events_salted_join",
-        # dedup_components (adaptive) got its exact row in r03; spend the
-        # slot on the fixed-round variant (same oracle CTE); likewise
-        # cur_quality_exact_pctile is the never-driver-checked twin of
-        # r03-attested cur_quality_calibrated.  The former core-regression
-        # sample (wilcoxon_core, mwu_full_pipeline, lineitem_bloom_semi)
-        # rotated out to make room: each already has a driver row
-        # (CORRECTNESS_r03.json) and wilcoxon_core is additionally
-        # smoke-checked every round via entry().
-        "dedup_components_fixed", "cur_quality_exact_pctile",
+        # --- round-5 rotation (VERDICT r4 item 2): the 14 queries that
+        # have never appeared in any CORRECTNESS_r0*.json lead the tier
+        # (all 14 were judge-re-run exact in r4; this closes the driver
+        # ledger — after this round every registered query has at least
+        # one driver-attested row) ---
+        "customer_rfm", "dedup_edit_sim", "dedup_lsh_recall",
+        "events_markov", "events_stickiness", "events_two_phase_agg",
+        "events_value_p90_hist", "graph_dup_stats", "lineitem_benford",
+        "orders_scd2", "part_cheapest_supplier", "sim_ann_recall",
+        "sim_cluster_quality", "star_local_supplier_volume",
+        # --- queries whose code or oracle changed in round 5 (must be
+        # re-attested): pagerank's in-loop degree join is now a pre-joined
+        # shuffle join (graph.py), reconcile gained an explicit /0 guard
+        # mirrored in its oracle (ADVICE r4), mad_outliers gained the
+        # bounded-state histogram default, the exact-quantile operator
+        # gained its unpersist fix, and customer_rfm (above) rounds its
+        # quartile thresholds on both engines ---
+        "graph_pagerank", "audit_orders_reconcile", "events_mad_outliers",
+        "cur_quality_exact_pctile",
+        # --- cross-family core-regression sample (32): flagship MWU
+        # pipeline, streaming batch twins, the dedup + ANN ladders, text,
+        # curation, bloom, multimodal plumbing ---
+        "wilcoxon_core", "mwu_events_core", "mwu_full_rounded",
+        "mwu_topk", "mwu_bh_adjust", "mwu_rank_ties",
+        "stream_windowed_agg", "stream_sessionize", "events_anomaly",
+        "events_window_dedup",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_verified",
+        "dedup_simhash_pairs", "dedup_components_fixed", "dedup_dup_spans",
+        "dedup_trim_spans", "dedup_tfidf_cosine", "dedup_incremental",
+        "dedup_containment",
+        "sim_cosine_topk", "sim_ivf_topk", "sim_semantic_dedup",
+        "sim_quantized_topk",
+        "text_bm25_topk", "text_lm_score", "text_quality",
+        "text_source_entropy",
+        "cur_token_shards", "cur_curate",
+        "lineitem_bloom_semi", "mm_decode_meta",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

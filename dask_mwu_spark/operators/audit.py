@@ -446,9 +446,16 @@ def reconcile_sum(
         F.abs(F.coalesce(F.col("_recomputed"), F.lit(0.0)) - F.col(parent_total)).alias(
             "_gap"
         ),
-        (
+        # explicit /0 guard (ADVICE r4): without it Spark yields NULL on a
+        # zero parent total while DuckDB (IEEE default) yields inf — the
+        # aggregated counts coincided only because NULL is sum-skipped and
+        # inf fails the thresholds.  Both engines now produce NULL for
+        # zero-total parents (oracle mirrors this CASE), so _rel is safe
+        # to surface directly.
+        F.when(
+            F.col(parent_total) != 0,
             F.abs(F.coalesce(F.col("_recomputed"), F.lit(0.0)) - F.col(parent_total))
-            / F.abs(F.col(parent_total))
+            / F.abs(F.col(parent_total)),
         ).alias("_rel"),
     )
     return joined.groupBy(group_col).agg(
@@ -467,6 +474,7 @@ def mad_outliers(
     group_cols: Sequence[str],
     *,
     cutoff: float = 4.4478,
+    method: str = "histogram",
 ) -> DataFrame:
     """Robust per-group outlier audit via median absolute deviation:
     per group — n, median, MAD = median(|x − median|), and the count of
@@ -477,25 +485,51 @@ def mad_outliers(
     distributions audits exist to catch — the outliers inflate the very
     σ that is supposed to flag them; MAD has a 50% breakdown point.
 
-    Scale: two grouped EXACT percentiles (``F.percentile`` holds one
-    per-distinct-value map per group — fine for the bounded per-group
-    cardinalities audits run on; beyond that switch the percentile calls
-    to :func:`exact_quantile_by_group`, the grouped bounded-state
-    histogram narrowing — bit-identical, pytest-locked) plus one
-    key-join of the rows back to their group medians.
+    Two bit-identical medians (same ``method=`` switch shape as
+    ``curation.calibrated_quality_filter``; equality pytest-locked):
+    - ``"histogram"`` (default): both grouped medians via
+      :func:`exact_quantile_by_group` — O(n_bins) aggregation state per
+      node regardless of per-group value cardinality, the 1e11-row path,
+      so the whole audit family is uniformly bounded-state.
+    - ``"percentile"``: ``F.percentile``, whose aggregation buffer holds
+      one per-distinct-value map per group — fewer jobs (no narrowing
+      rounds), fine for bounded per-group cardinalities.
+    Both interpolate with Spark Percentile's ``(hi-pos)·v0+(pos-lo)·v1``
+    form, so the switch never changes a result bit.  Plus one key-join of
+    the rows back to their group medians either way.
     """
+    if method not in ("histogram", "percentile"):
+        raise ValueError(f"method must be histogram|percentile, got {method!r}")
     gcols = list(group_cols)
-    med = df.groupBy(*gcols).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
-    )
+    if method == "histogram":
+        med = exact_quantile_by_group(df, value_col, 0.5, gcols).select(
+            *gcols, F.col("quantile").alias("_med")
+        )
+    else:
+        med = df.groupBy(*gcols).agg(
+            F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+        )
     dev = df.join(med, gcols).withColumn(
         "_dev", F.abs(F.col(value_col) - F.col("_med"))
     )
-    stats = dev.groupBy(*gcols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.first("_med").alias("_median"),
-        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"),
-    )
+    if method == "histogram":
+        mad = exact_quantile_by_group(dev, "_dev", 0.5, gcols).select(
+            *gcols, F.col("quantile").alias("_mad")
+        )
+        stats = (
+            dev.groupBy(*gcols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first("_med").alias("_median"),
+            )
+            .join(mad, gcols)
+        )
+    else:
+        stats = dev.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_med").alias("_median"),
+            F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"),
+        )
     counted = (
         dev.join(stats.select(*gcols, "_mad"), gcols)
         .groupBy(*gcols)
@@ -600,6 +634,29 @@ def exact_quantile_by_group(
         .select(*g, c.alias("_v"))
         .persist()
     )
+    try:
+        return _exact_quantile_by_group_impl(
+            base, q, g, spark, n_bins=n_bins, max_rounds=max_rounds
+        )
+    finally:
+        # audits run repeatedly in long-lived sessions (ADVICE r4): without
+        # this, every call leaks base's cached blocks for the session
+        # lifetime.  The impl localCheckpoints its (n_groups)-row result
+        # before we get here, so unpersisting cannot force a recompute.
+        base.unpersist()
+
+
+def _exact_quantile_by_group_impl(
+    base: DataFrame,
+    q: float,
+    g: list,
+    spark,
+    *,
+    n_bins: int,
+    max_rounds: int,
+) -> DataFrame:
+    import math
+
     stats = {
         tuple(r[k] for k in g): {"n": r["n"], "lo": r["lo"], "hi": r["hi"]}
         for r in base.groupBy(*g)
@@ -732,5 +789,8 @@ def exact_quantile_by_group(
     ).otherwise(
         (F.col("_k0") + 1 - F.col("_p")) * v0 + (F.col("_p") - F.col("_k0")) * v1
     )
-    out = per_group.select(*g, quantile.alias("quantile"))
+    # eager, tiny (n_groups rows): materializes before the caller's
+    # finally-unpersist of base, truncating lineage so the cached input
+    # can be dropped without a recompute
+    out = per_group.select(*g, quantile.alias("quantile")).localCheckpoint()
     return out

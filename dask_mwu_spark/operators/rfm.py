@@ -74,16 +74,24 @@ def rfm_scores(
         "frequency",
         "monetary",
     )
+    # Thresholds and compared metrics are both rounded to the repo's
+    # standard 6 decimals (ADVICE r4): Spark's F.percentile interpolates as
+    # (hi-pos)*v0 + (pos-lo)*v1 while DuckDB's quantile_cont uses
+    # v0 + d*(v1-v0) — algebraically equal, up to 1 ulp apart in floats, and
+    # the strict `>` scoring would flip a metric sitting exactly on a
+    # threshold.  Rounding both sides makes the comparison engine-stable.
     qs = metrics.agg(
         *[
-            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(f"_{c}_{i}")
+            F.round(
+                F.percentile(F.col(c).cast("double"), F.lit(p)), 6
+            ).alias(f"_{c}_{i}")
             for c in ("recency_days", "frequency", "monetary")
             for i, p in enumerate((0.25, 0.5, 0.75))
         ]
     )
 
     def score(c: str) -> F.Column:
-        v = F.col(c).cast("double")
+        v = F.round(F.col(c).cast("double"), 6)
         return (
             F.lit(1)
             + (v > F.col(f"_{c}_0")).cast("int")

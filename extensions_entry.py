@@ -2156,7 +2156,9 @@ j AS (
   SELECT o_orderstatus,
          COALESCE(nc, 0) AS nc,
          ABS(COALESCE(recomputed, 0.0) - o_totalprice) AS gap,
-         ABS(COALESCE(recomputed, 0.0) - o_totalprice) / ABS(o_totalprice) AS rel
+         CASE WHEN o_totalprice != 0
+              THEN ABS(COALESCE(recomputed, 0.0) - o_totalprice) / ABS(o_totalprice)
+              END AS rel
   FROM orders o LEFT JOIN t ON o.o_orderkey = t.l_orderkey
 )
 SELECT o_orderstatus,
@@ -2319,26 +2321,30 @@ m AS (
   FROM per CROSS JOIN g
 ),
 q AS (
-  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r0,
-         quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r1,
-         quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r2,
-         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f0,
-         quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f1,
-         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f2,
-         quantile_cont(monetary, 0.25) AS m0,
-         quantile_cont(monetary, 0.5)  AS m1,
-         quantile_cont(monetary, 0.75) AS m2
+  -- thresholds + compared metrics rounded to 6 on BOTH engines (ADVICE
+  -- r4): quantile_cont's v0+d*(v1-v0) vs Spark percentile's
+  -- (hi-pos)*v0+(pos-lo)*v1 can differ by 1 ulp and the strict > would
+  -- flip an on-threshold metric
+  SELECT ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.25), 6) AS r0,
+         ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.5), 6)  AS r1,
+         ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.75), 6) AS r2,
+         ROUND(quantile_cont(CAST(frequency AS DOUBLE), 0.25), 6) AS f0,
+         ROUND(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 6)  AS f1,
+         ROUND(quantile_cont(CAST(frequency AS DOUBLE), 0.75), 6) AS f2,
+         ROUND(quantile_cont(monetary, 0.25), 6) AS m0,
+         ROUND(quantile_cont(monetary, 0.5), 6)  AS m1,
+         ROUND(quantile_cont(monetary, 0.75), 6) AS m2
   FROM m
 )
 SELECT customer, recency_days, frequency, ROUND(monetary, 6) AS monetary,
-       CAST(1 + (CAST(recency_days AS DOUBLE) > r0)::INT
-              + (CAST(recency_days AS DOUBLE) > r1)::INT
-              + (CAST(recency_days AS DOUBLE) > r2)::INT AS INT) AS r_score,
-       CAST(1 + (CAST(frequency AS DOUBLE) > f0)::INT
-              + (CAST(frequency AS DOUBLE) > f1)::INT
-              + (CAST(frequency AS DOUBLE) > f2)::INT AS INT) AS f_score,
-       CAST(1 + (monetary > m0)::INT + (monetary > m1)::INT
-              + (monetary > m2)::INT AS INT) AS m_score
+       CAST(1 + (ROUND(CAST(recency_days AS DOUBLE), 6) > r0)::INT
+              + (ROUND(CAST(recency_days AS DOUBLE), 6) > r1)::INT
+              + (ROUND(CAST(recency_days AS DOUBLE), 6) > r2)::INT AS INT) AS r_score,
+       CAST(1 + (ROUND(CAST(frequency AS DOUBLE), 6) > f0)::INT
+              + (ROUND(CAST(frequency AS DOUBLE), 6) > f1)::INT
+              + (ROUND(CAST(frequency AS DOUBLE), 6) > f2)::INT AS INT) AS f_score,
+       CAST(1 + (ROUND(monetary, 6) > m0)::INT + (ROUND(monetary, 6) > m1)::INT
+              + (ROUND(monetary, 6) > m2)::INT AS INT) AS m_score
 FROM m CROSS JOIN q
 """
     # cluster quality: same assignment CTE as sim_semantic_dedup, member

@@ -423,3 +423,28 @@ def test_pagerank_star_matches_numpy_recursion(spark):
     for i in range(1, 5):
         assert abs(out.loc[i] - round(rl, 6)) < 1e-9
     assert abs(out.sum() - 1.0) < 1e-4
+
+
+def test_pagerank_never_broadcasts_the_degree_table(spark):
+    """VERDICT r4 item 1: out_deg has one row per node; broadcasting it
+    inside the iteration OOMs at 1e8+ nodes.  With the degree pre-joined
+    into the edge table, the only broadcasts left in the loop are the two
+    1-row scalar aggregates (n_nodes, dangling total) — so with automatic
+    broadcast planning disabled, the physical plan must contain ZERO
+    BroadcastHashJoins (node-keyed broadcast joins) while the two scalar
+    crosses remain.  localCheckpoint truncates earlier rounds, so the
+    final plan is exactly one representative iteration."""
+    from dask_mwu_spark.operators.graph import pagerank
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = pagerank(
+            _pairs(spark, [(1, 2), (2, 3), (1, 3), (3, 4)]), n_iter=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        # the 1-row scalar broadcasts are still there (cross joins)
+        assert plan.count("BroadcastExchange") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -220,6 +220,35 @@ def test_mad_constant_group_no_outliers(spark):
     assert out["median"] == 7.0 and out["mad"] == 0.0 and out["n_outliers"] == 0
 
 
+def test_mad_histogram_equals_percentile_method(spark, sf_dir):
+    """VERDICT r4 item 4: the bounded-state histogram default must be
+    bit-identical to the single-buffer F.percentile path (both interpolate
+    with Spark Percentile's (hi-pos)*v0+(pos-lo)*v1 form) — on real data
+    with ties, even group sizes, and heavy tails."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    a = (
+        mad_outliers(ev, "value", ["event_type"], method="histogram")
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    b = (
+        mad_outliers(ev, "value", ["event_type"], method="percentile")
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mad_rejects_unknown_method(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError, match="histogram|percentile"):
+        mad_outliers(df, "v", ["g"], method="approx")
+
+
 # ---------------------------------------------------------------------------
 # salted join query shape (row-identity is covered in test_skew; here the
 # registered summary must equal the plain-join summary)
