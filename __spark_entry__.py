@@ -1019,7 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk", "text_lm_score", "text_quality",
         "text_source_entropy",
         "cur_token_shards", "cur_curate",
-        "lineitem_bloom_semi", "mm_decode_meta",
+        "lineitem_bloom_semi", "mm_real_decode_stats",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

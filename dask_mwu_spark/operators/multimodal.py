@@ -6,15 +6,27 @@ Stage-4 "multimodal columns" extension: media is carried as an opaque
 codec work (decode, resize planning, frame sampling, feature extraction)
 runs as Arrow-batched pandas functions over ``mapInPandas``.
 
-Pixel/audio/video codecs (PIL/libav/soundfile) are NOT in this container.
-``decode_real`` parses real image METADATA (width/height/channels from PNG
-IHDR, JPEG SOFn, GIF logical-screen-descriptor header bytes) in pure
-Python; pixel decode and audio/video raise ``ValueError`` until a full
-codec is injected via ``decoder=``.  The default path uses a DETERMINISTIC
-FAKE decoder (md5-derived pseudo dimensions/checksums) so that the
-Spark-side plumbing — payload schema, Arrow batch shape, mapInPandas
-signatures, partitioning — is oracle-testable on the synthetic text
-payloads, which are not real image bytes.
+Codec status (round 5 — REAL decode, no third-party deps):
+- PNG: full REAL pixel codec in pure Python + stdlib zlib — chunk walk,
+  IDAT inflate, per-scanline unfilter (all five filter types), color
+  types 0/2/3/4/6 at bit depth 8 (``decode_png`` / ``encode_png``).
+- WAV: REAL PCM decode/encode via the stdlib ``wave`` module
+  (``decode_wav`` / ``encode_wav``), 8/16-bit integer PCM.
+- Video: MJPNG — the MJPEG idea with PNG frames: a video payload is a
+  plain concatenation of complete PNG images; ``split_png_frames`` walks
+  signature→IEND per frame and every sampled frame goes through the REAL
+  PNG decoder.  (A libav-style inter-frame codec is the one thing that
+  still needs an injected ``decoder=`` on a real cluster.)
+``decode_real`` parses image METADATA (PNG IHDR, JPEG SOFn, GIF LSD)
+without inflating pixels — the cheap audit path.  The original
+DETERMINISTIC FAKE decoder (md5-derived pseudo dimensions) remains as the
+codec-free test seam for payloads that are not real containers (the
+synthetic text corpus); ``attach_real_payload`` + ``real_decode_stats``
+is the real-bytes path: it builds genuine PNG/WAV/MJPNG containers from
+the text bytes and decodes them with the real codecs, so the registered
+``mm_real_decode_stats`` query exercises encoder→container→decoder
+end-to-end with a DuckDB oracle computed independently from character
+arithmetic on the same text.
 
 Scale design: every operator here is per-row (zero shuffle) — mapInPandas is
 a scan-stage transform, so 100 TB of media partitions trivially by input
@@ -384,3 +396,406 @@ def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(_feats, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs (round 5): PNG pixels (stdlib zlib), WAV PCM (stdlib wave),
+# MJPNG video (concatenated PNG frames)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    *,
+    n_channels: int = 1,
+    filter_type: int = 0,
+) -> bytes:
+    """REAL PNG encoder, pure stdlib: grayscale (1ch), gray+alpha (2),
+    RGB (3) or RGBA (4) at bit depth 8, one IDAT, CRC32-correct chunks.
+
+    ``filter_type`` applies that PNG filter (0 none / 1 sub / 2 up /
+    3 average / 4 paeth) to EVERY scanline — exercising the decoder's
+    unfilter path, not just the trivial copy.  Round-trip with
+    :func:`decode_png` is pytest-locked for all five.
+    """
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{n_channels}"
+        )
+    bpp = n_channels  # bytes per pixel at depth 8
+    stride = width * n_channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                f = row[i]
+            elif filter_type == 1:
+                f = (row[i] - a) & 0xFF
+            elif filter_type == 2:
+                f = (row[i] - b) & 0xFF
+            elif filter_type == 3:
+                f = (row[i] - (a + b) // 2) & 0xFF
+            elif filter_type == 4:
+                f = (row[i] - _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter {filter_type}")
+            raw.append(f)
+        prev = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG pixel decode, pure stdlib: walks the chunk stream,
+    inflates the concatenated IDAT data with zlib, and unfilters every
+    scanline (all five PNG filter types).  Returns
+    ``(width, height, n_channels, pixels)`` with pixels row-major
+    interleaved bytes.  Bit depth 8 only; color type 3 (palette) returns
+    the 1-byte palette INDICES (the palette itself is in PLTE — metadata
+    join, not pixel math); Adam7 interlacing is rejected (raise), as the
+    streaming-unfriendly variant a bulk pipeline should re-encode anyway.
+    """
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("corrupt PNG: truncated chunk")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _, _, interlace = data[8:13]
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if interlace != 0:
+                raise ValueError("Adam7-interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if width is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    n_channels = _PNG_CHANNELS.get(color_type)
+    if n_channels is None:
+        raise ValueError(f"corrupt PNG: color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * n_channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("corrupt PNG: inflated size mismatch")
+    bpp = n_channels
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:
+            for j in range(bpp, stride):
+                line[j] = (line[j] + line[j - bpp]) & 0xFF
+        elif ftype == 2:
+            for j in range(stride):
+                line[j] = (line[j] + prev[j]) & 0xFF
+        elif ftype == 3:
+            for j in range(stride):
+                a = line[j - bpp] if j >= bpp else 0
+                line[j] = (line[j] + (a + prev[j]) // 2) & 0xFF
+        elif ftype == 4:
+            for j in range(stride):
+                a = line[j - bpp] if j >= bpp else 0
+                c = prev[j - bpp] if j >= bpp else 0
+                line[j] = (line[j] + _paeth(a, prev[j], c)) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: filter type {ftype}")
+        out += line
+        prev = bytes(line)
+    return width, height, n_channels, bytes(out)
+
+
+def encode_wav(samples: bytes, *, framerate: int = 8000) -> bytes:
+    """REAL WAV container via stdlib ``wave``: mono 8-bit unsigned PCM —
+    each input byte IS one sample, so decode round-trips the buffer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL WAV PCM decode via stdlib ``wave``:
+    ``(n_channels, sampwidth, framerate, frames)`` with frames the raw
+    little-endian PCM bytes."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.readframes(w.getnframes()),
+            )
+    except wave.Error as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
+
+
+def split_png_frames(payload: bytes) -> list[bytes]:
+    """Parse an MJPNG video payload (concatenated complete PNG images,
+    the MJPEG idea with a stdlib-decodable intra codec) into its frame
+    byte strings by walking each frame's chunk stream to IEND."""
+    frames = []
+    i = 0
+    while i < len(payload):
+        if payload[i : i + 8] != PNG_SIG:
+            raise ValueError(f"corrupt MJPNG: no PNG signature at byte {i}")
+        j = i + 8
+        while True:
+            if j + 8 > len(payload):
+                raise ValueError("corrupt MJPNG: truncated frame")
+            clen = int.from_bytes(payload[j : j + 4], "big")
+            ctype = payload[j + 4 : j + 8]
+            j += 12 + clen
+            if ctype == b"IEND":
+                break
+        frames.append(payload[i:j])
+        i = j
+    return frames
+
+
+def resize_pixels(
+    pixels: bytes, width: int, height: int, n_channels: int,
+    dst_w: int, dst_h: int,
+) -> bytes:
+    """REAL pixel resize (numpy): exact box average when both dimensions
+    divide evenly (the common 2^k pyramid case), nearest-neighbor sampling
+    otherwise — the two resampling modes a bulk thumbnailer actually runs.
+    Returns row-major interleaved bytes of shape (dst_h, dst_w, c)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, n_channels
+    )
+    if width % dst_w == 0 and height % dst_h == 0:
+        fy, fx = height // dst_h, width // dst_w
+        out = (
+            arr.reshape(dst_h, fy, dst_w, fx, n_channels)
+            .mean(axis=(1, 3))
+            .astype(np.uint8)
+        )
+    else:
+        ys = (np.arange(dst_h) * height) // dst_h
+        xs = (np.arange(dst_w) * width) // dst_w
+        out = arr[ys][:, xs]
+    return out.tobytes()
+
+
+def real_image_features(
+    pixels: bytes, width: int, height: int, n_channels: int
+) -> list[float]:
+    """REAL 8-dim feature vector from decoded pixels: luma mean/std/
+    min/max + 4-bin luma histogram frequencies — the shape a real model
+    embedding slots into (sim.cosine_topk-compatible), computed from
+    actual pixel values."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, n_channels
+    )
+    luma = arr.astype(np.float64).mean(axis=2).ravel()
+    hist, _ = np.histogram(luma, bins=4, range=(0.0, 256.0))
+    n = float(luma.size)
+    return [
+        _round6(float(luma.mean())),
+        _round6(float(luma.std())),
+        float(luma.min()),
+        float(luma.max()),
+        *[_round6(h / n) for h in hist],
+    ]
+
+
+# the real-bytes path: text bytes → genuine containers → real decoders.
+# Images are 16x16 gray PNGs, audio 256-sample 8-bit WAVs, video 4-frame
+# 8x8 MJPNG — all built from the first PAYLOAD_BYTES text bytes padded
+# with spaces, so a SQL oracle can recompute every stat from character
+# arithmetic while Spark goes through the real encode→decode round trip.
+PAYLOAD_BYTES = 256
+IMG_W = IMG_H = 16
+VID_FRAMES = 4
+VID_W = VID_H = 8
+
+REAL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("content_md5", T.LongType()),
+    ]
+)
+
+
+def _padded_bytes(text: str) -> bytes:
+    b = text.encode("utf-8")[:PAYLOAD_BYTES]
+    return b + b" " * (PAYLOAD_BYTES - len(b))
+
+
+def attach_real_payload(docs: DataFrame) -> DataFrame:
+    """documents → media table with GENUINE containers: the first 256
+    text bytes (space-padded) become a real 16x16 grayscale PNG (filter
+    type doc_id % 3 — exercises unfilter paths 0/1/2 in bulk), a real
+    mono 8-bit WAV, or a 4-frame 8x8 MJPNG video, by doc_id % 3 (same
+    kind assignment as :func:`attach_payload`).  mapInPandas scan-stage
+    transform: zero shuffle, encode cost is per-row."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _padded_bytes(text)
+                kind = MEDIA_KINDS[int(doc_id) % len(MEDIA_KINDS)]
+                if kind == "image":
+                    payload = encode_png(
+                        b, IMG_W, IMG_H, filter_type=int(doc_id) % 3
+                    )
+                elif kind == "audio":
+                    payload = encode_wav(b)
+                else:
+                    fb = VID_W * VID_H
+                    payload = b"".join(
+                        encode_png(
+                            b[f * fb : (f + 1) * fb], VID_W, VID_H,
+                            filter_type=f % 3,
+                        )
+                        for f in range(VID_FRAMES)
+                    )
+                rows.append((int(doc_id), kind, payload, (len(payload), kind)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _build, schema=MEDIA_SCHEMA
+    )
+
+
+def real_decode_stats(media: DataFrame, *, every_k: int = 2) -> DataFrame:
+    """REAL end-to-end decode over genuine containers: PNG payloads go
+    through chunk-walk → zlib inflate → unfilter, WAVs through the stdlib
+    wave parser, MJPNG videos are frame-split and every ``every_k``-th
+    frame is PNG-decoded for real.  Emits per item
+    ``(doc_id, media_type, width, height, n_channels, n_units,
+    mean_value, content_md5)`` where mean_value is the exact mean of the
+    decoded pixel/sample bytes (division by a power of two — exact in
+    floats, no rounding needed) and content_md5 the 60-bit md5 of the
+    decoded content bytes.  Audio has no spatial dims (width/height 0 —
+    kept non-null so the cross-engine int compare never sees NA).
+    Zero shuffle — pure scan-stage mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype == "image":
+                    w, h, c, px = decode_png(payload)
+                    content = px
+                    width, height = w, h
+                elif mtype == "audio":
+                    c, _sw, _fr, content = decode_wav(payload)
+                    width = height = 0
+                else:
+                    frames = split_png_frames(payload)
+                    sampled = []
+                    width = height = c = None
+                    for idx in range(0, len(frames), every_k):
+                        w, h, c, px = decode_png(frames[idx])
+                        width, height = w, h
+                        sampled.append(px)
+                    content = b"".join(sampled)
+                rows.append(
+                    (
+                        int(doc_id),
+                        mtype,
+                        width,
+                        height,
+                        c,
+                        len(content),
+                        sum(content) / len(content),
+                        _md5_60(content),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_STATS_SCHEMA.fields]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "width": "int32",
+                    "height": "int32",
+                    "n_channels": "int32",
+                    "n_units": "int64",
+                    "mean_value": "float64",
+                    "content_md5": "int64",
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=REAL_STATS_SCHEMA)

@@ -492,6 +492,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": lambda s, d: mm.extract_features(
             mm.attach_payload(_docs(s, d)), dim=8
         ).select("doc_id", F.posexplode("features").alias("dim_idx", "feat")),
+        # round 5: REAL codecs end-to-end — text bytes → genuine PNG/WAV/
+        # MJPNG containers → real chunk-walk + zlib-inflate + unfilter /
+        # stdlib-wave decode; oracle recomputes every stat independently
+        # from character arithmetic on the same text (ASCII corpus)
+        "mm_real_decode_stats": lambda s, d: mm.real_decode_stats(
+            mm.attach_real_payload(_docs(s, d)), every_k=2
+        ),
         "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
         "sim_lsh_multi_topk": lambda s, d: sim.lsh_multi_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
@@ -1185,6 +1192,42 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST('0x' || substr(md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)), 1, 15) AS BIGINT)
          % {MERSENNE_P} AS frame_checksum
 FROM fr
+""",
+        # round 5: independent oracle for the REAL-codec path.  Spark
+        # builds genuine PNG/WAV/MJPNG containers from the first 256 text
+        # bytes (space-padded) and REALLY decodes them (zlib inflate +
+        # unfilter / wave parse); the decoded bytes are by construction
+        # the padded text bytes, so DuckDB recomputes every stat from
+        # character arithmetic (the corpus is ASCII: 1 char == 1 byte,
+        # ord == byte value) and md5 over the same string.  Means divide
+        # by powers of two (256/128) — exact doubles, no rounding.
+        "mm_real_decode_stats": """
+WITH p AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         rpad(substr(text, 1, 256), 256, ' ') AS pp
+  FROM documents
+),
+s AS (
+  SELECT doc_id, media_type, pp,
+         CASE WHEN media_type = 'video'
+              THEN substr(pp, 1, 64) || substr(pp, 129, 64)
+              ELSE pp END AS content
+  FROM p
+)
+SELECT doc_id, media_type,
+       CAST(CASE media_type WHEN 'image' THEN 16 WHEN 'video' THEN 8
+            ELSE 0 END AS INT) AS width,
+       CAST(CASE media_type WHEN 'image' THEN 16 WHEN 'video' THEN 8
+            ELSE 0 END AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       CAST(length(content) AS BIGINT) AS n_units,
+       CAST(list_sum(list_transform(range(1, length(content) + 1),
+              i -> ord(substr(content, CAST(i AS INT), 1)))) AS DOUBLE)
+         / length(content) AS mean_value,
+       CAST('0x' || substr(md5(content), 1, 15) AS BIGINT) AS content_md5
+FROM s
 """,
         "mm_features": f"""
 WITH {_DEC_CTE}

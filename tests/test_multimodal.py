@@ -165,3 +165,151 @@ def test_extract_features_feeds_similarity(media, spark):
     )
     topk = sim.cosine_topk(emb, n_queries=3, k=2).collect()
     assert len(topk) == 6
+
+
+# ---------------------------------------------------------------------------
+# round 5: REAL codecs — PNG pixels (zlib + unfilter), WAV PCM, MJPNG video
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filter_types():
+    px = bytes(range(256))
+    for ft in range(5):
+        payload = mm.encode_png(px, 16, 16, filter_type=ft)
+        w, h, c, out = mm.decode_png(payload)
+        assert (w, h, c) == (16, 16, 1)
+        assert out == px, f"filter {ft} round-trip broke pixel bytes"
+
+
+def test_png_roundtrip_multichannel():
+    for n_ch in (2, 3, 4):
+        px = bytes((i * 7 + n_ch) % 256 for i in range(6 * 5 * n_ch))
+        payload = mm.encode_png(px, 6, 5, n_channels=n_ch, filter_type=4)
+        w, h, c, out = mm.decode_png(payload)
+        assert (w, h, c) == (6, 5, n_ch) and out == px
+
+
+def test_png_decode_agrees_with_header_parser():
+    px = bytes(range(48))
+    payload = mm.encode_png(px, 4, 4, n_channels=3)
+    meta = mm.decode_real(payload, "image")
+    w, h, c, _ = mm.decode_png(payload)
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (w, h, c)
+
+
+def test_png_decode_rejects_corrupt_inputs():
+    px = bytes(range(16))
+    good = mm.encode_png(px, 4, 4)
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JUNK" + good)
+    # truncated mid-IDAT
+    with pytest.raises(Exception):
+        mm.decode_png(good[:30])
+    # bad filter byte inside the compressed stream
+    import zlib
+
+    raw2 = bytearray(b"\x09" + bytes(px[:4]))  # invalid filter type 9
+    for r in range(1, 4):
+        raw2 += b"\x00" + px[r * 4 : (r + 1) * 4]
+    bad = (
+        mm.PNG_SIG
+        + mm._png_chunk(
+            b"IHDR",
+            (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]),
+        )
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw2)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        mm.decode_png(bad)
+
+
+def test_wav_roundtrip_and_corrupt():
+    data = bytes((i * 3) % 256 for i in range(300))
+    payload = mm.encode_wav(data)
+    nc, sw, fr, frames = mm.decode_wav(payload)
+    assert (nc, sw, fr) == (1, 1, 8000) and frames == data
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        mm.decode_wav(b"RIFFxxxxWAVEjunk")
+
+
+def test_mjpng_split_and_frame_decode():
+    px = bytes(range(256))
+    fb = mm.VID_W * mm.VID_H
+    video = b"".join(
+        mm.encode_png(px[f * fb : (f + 1) * fb], mm.VID_W, mm.VID_H, filter_type=f % 3)
+        for f in range(4)
+    )
+    frames = mm.split_png_frames(video)
+    assert len(frames) == 4
+    for f, fr in enumerate(frames):
+        w, h, c, out = mm.decode_png(fr)
+        assert (w, h, c) == (8, 8, 1)
+        assert out == px[f * fb : (f + 1) * fb]
+    with pytest.raises(ValueError, match="corrupt MJPNG"):
+        mm.split_png_frames(video[10:])
+    with pytest.raises(ValueError, match="truncated"):
+        mm.split_png_frames(video[: len(frames[0]) + 20])
+
+
+def test_resize_real_pixels_box_average_and_nearest():
+    # 2x2 -> 1x1 exact box average
+    out = mm.resize_pixels(bytes([10, 20, 30, 40]), 2, 2, 1, 1, 1)
+    assert out == bytes([25])
+    # 4x4 -> 2x2 averages each quadrant
+    px = bytes([0] * 4 + [100] * 4 + [0] * 4 + [100] * 4)
+    out = mm.resize_pixels(px, 4, 4, 1, 2, 2)
+    assert out == bytes([50, 50, 50, 50])
+    # non-divisible -> nearest neighbor, correct shape
+    out = mm.resize_pixels(bytes(range(15)), 5, 3, 1, 2, 2)
+    assert len(out) == 4
+    # RGB preserved per channel
+    px = bytes([255, 0, 0] * 4)
+    out = mm.resize_pixels(px, 2, 2, 3, 1, 1)
+    assert out == bytes([255, 0, 0])
+
+
+def test_real_image_features_on_decoded_pixels():
+    # uniform mid-gray image: mean 128, std 0, hist all in bin 2
+    px = bytes([128] * 64)
+    payload = mm.encode_png(px, 8, 8)
+    w, h, c, pixels = mm.decode_png(payload)
+    f = mm.real_image_features(pixels, w, h, c)
+    assert f[0] == 128.0 and f[1] == 0.0 and f[2] == 128.0 and f[3] == 128.0
+    assert f[4:] == [0.0, 0.0, 1.0, 0.0]
+
+
+def test_real_decode_stats_end_to_end(spark, sf_dir):
+    """Real containers from real text bytes, decoded by the real codecs,
+    cross-checked against DuckDB character arithmetic (the registered
+    mm_real_decode_stats oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = mm.attach_real_payload(docs)
+    out = mm.real_decode_stats(media, every_k=2).toPandas()
+    assert len(out) == 60
+    # spot-verify one image row fully in Python
+    drow = docs.where(F.col("doc_id") % 3 == 0).limit(1).collect()[0]
+    b = mm._padded_bytes(drow.text)
+    row = out[out.doc_id == drow.doc_id].iloc[0]
+    assert (row.width, row.height, row.n_channels) == (16, 16, 1)
+    assert row.n_units == 256
+    assert row.mean_value == sum(b) / 256
+    assert row.content_md5 == mm._md5_60(b)
+    # audio n_units 256, video sampled 128
+    assert (out[out.media_type == "audio"].n_units == 256).all()
+    assert (out[out.media_type == "video"].n_units == 128).all()
+    assert (out[out.media_type == "video"].width == 8).all()
+
+
+def test_attach_real_payload_builds_valid_containers(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(9)
+    rows = mm.attach_real_payload(docs).collect()
+    for r in rows:
+        if r.media_type == "image":
+            assert bytes(r.payload)[:8] == mm.PNG_SIG
+            w, h, c, px = mm.decode_png(bytes(r.payload))
+            assert (w, h) == (16, 16) and len(px) == 256
+        elif r.media_type == "audio":
+            assert bytes(r.payload)[:4] == b"RIFF"
+        else:
+            assert len(mm.split_png_frames(bytes(r.payload))) == 4
