@@ -98,7 +98,7 @@ def compact(
     target_file_mb: int = 256,
     cluster_by=None,
 ) -> dict:
-    """Rewrite the parquet directory at ``path`` into
+    """Rewrite the parquet table at ``path`` into
     ``ceil(bytes / target_file_mb)`` files; with ``cluster_by`` (a column
     name or expression — e.g. ``zorder_key("a", "b")`` for multi-dim
     skipping) the rewrite is
@@ -106,31 +106,70 @@ def compact(
     cover disjoint key ranges (file-level min/max skipping for later
     scans).  Returns {files_before, files_after, bytes}.
 
-    The swap is local-FS rename (write to a sibling temp dir, move over);
-    a production lake does this commit atomically via a table format —
-    see module docstring.
+    Commit (round 5, VERDICT r4 item 5): if ``path`` is a
+    manifest-committed table (sources/manifest.py — e.g. an upsert_sink
+    table, or anything migrated via ``to_versioned``), the rewrite lands
+    in a fresh immutable ``_data`` dir and is published by an ATOMIC
+    single-file manifest rename — a crash mid-compaction leaves an orphan
+    dir, never a half-swapped table.  For a legacy plain directory the
+    old write-to-sibling + double-rename swap is kept (and remains
+    non-atomic on object stores — migrate to the manifest layout or run
+    under a lakehouse format for production).
     """
-    files_before = len(parquet_files(path))
-    n_out = plan_target_files(path, target_file_mb)
-    df = spark.read.parquet(path)
+    from dask_mwu_spark.sources import manifest as mf
+
+    versioned = mf.is_versioned(path)
+    src = mf.committed_data_path(path) if versioned else path
+    files_before = len(parquet_files(src))
+    n_out = plan_target_files(src, target_file_mb)
+    df = spark.read.parquet(src)
     if cluster_by is not None:
         out = df.repartitionByRange(n_out, cluster_by).sortWithinPartitions(
             cluster_by
         )
     else:
         out = df.repartition(n_out)
-    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
-    nbytes = _dir_bytes(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if versioned:
+        data_dir = mf.new_data_dir(path, tag="compact")
+        out.write.mode("overwrite").parquet(data_dir)
+        nbytes = _dir_bytes(data_dir)
+        mf.publish_version(path, data_dir, meta={"op": "compact"})
+        mf.vacuum(path, keep=2)
+        after = data_dir
+    else:
+        tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").parquet(tmp)
+        nbytes = _dir_bytes(tmp)
+        old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        after = path
     return {
         "files_before": files_before,
-        "files_after": len(parquet_files(path)),
+        "files_after": len(parquet_files(after)),
         "bytes": nbytes,
     }
+
+
+def to_versioned(spark: SparkSession, path: str) -> int:
+    """Migrate a legacy plain parquet directory in place to the
+    manifest-committed layout: the existing files move (same-FS rename,
+    no data copy) into ``_data/migrated-…`` and become version 0.
+    Subsequent compact/upsert commits are then atomic.  The migration
+    itself is a one-time OFFLINE step (the table is briefly renamed
+    away) — run it without concurrent readers."""
+    from dask_mwu_spark.sources import manifest as mf
+
+    if mf.is_versioned(path):
+        return mf.latest_version(path)
+    staging = f"{path}.__migrate_{uuid.uuid4().hex[:8]}"
+    os.rename(path, staging)
+    os.makedirs(path)
+    data_dir = mf.new_data_dir(path, tag="migrated")
+    os.rmdir(data_dir)  # replace the empty dir with the moved files
+    os.rename(staging, data_dir)
+    return mf.publish_version(path, data_dir, meta={"op": "migrate"})
 
 
 def file_key_ranges(path: str, column: str) -> list[tuple]:

@@ -291,7 +291,14 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
     # NOT resurrected by batch 3's stale upsert
     assert got == {1: ("a2", 20), 2: ("b1", 11)}
     # the delete survives in storage as a tombstone carrying its seq
-    raw = {r["k"]: (r["_op"], r["_seq"]) for r in spark.read.parquet(table).collect()}
+    # (raw inspection goes through the committed manifest, never a bare
+    # directory listing — round-5 atomic-publish layout)
+    from dask_mwu_spark.sources import manifest as mf
+
+    raw = {
+        r["k"]: (r["_op"], r["_seq"])
+        for r in spark.read.parquet(mf.committed_data_path(table)).collect()
+    }
     assert raw[3] == ("D", 21)
 
     # idempotency: re-deliver the whole log through a fresh checkpoint
