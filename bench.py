@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "events_user_sequences",
     "cur_curate",
     "sim_semantic_dedup",
+    # round-4 heavyweights (VERDICT r4 #7): regressions in the new surface
+    # should be caught by BENCH, not just correctness
+    "graph_pagerank",
+    "dedup_dup_spans",
+    "dedup_tfidf_cosine",
+    "cur_token_shards",
 ]
 
 

@@ -131,6 +131,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "doc_a",
     dst: str = "doc_b",
+    directed_edges: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the undirected pair graph (each canonical edge walks
     both ways), fixed-round power iteration — the link-analysis centrality
@@ -138,21 +139,35 @@ def pagerank(
     detection in citation/co-occurrence graphs.
 
     Update: ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + D/N)`` where D
-    is the total rank of dangling (out-degree-0) nodes — zero here by
-    construction (undirected edges), but computed anyway so the operator
-    is correct for directed inputs via ``directed_edges=``-style reuse.
+    is the total rank of dangling (out-degree-0) nodes.  On the default
+    pair-graph path D ≡ 0 BY CONSTRUCTION (each undirected edge walks both
+    ways, so every node appears as a source), and the operator exploits
+    that: the per-round dangling aggregate — a rank-scan anti join plus a
+    broadcast-subtree evaluation — is only built when a ``directed_edges``
+    input is supplied, where out-degree-0 sinks genuinely exist.  Dropping
+    a provably-zero term changes nothing numerically (oracle unchanged)
+    but removes two of the four per-round stages on the common path.
+
+    ``directed_edges``: optional (src, dst) DataFrame of ALREADY-directed
+    edges; when given, ``pairs``/``src``/``dst`` are ignored, rank flows
+    src→dst only, and dangling mass is redistributed uniformly per round.
 
     Determinism/scale design:
     - FIXED n_iter rounds (like ``dup_components(n_rounds=)``): no driver
-      convergence checks or per-round count jobs.  Each iteration's rank
-      table is ``localCheckpoint``-ed (a narrow (node, rank) pair, same
-      lineage-truncation discipline as ``dedup.dup_components``): the
-      update references rank twice (neighbor contributions AND the
-      dangling total), and without truncation Catalyst re-expands that
-      shared subtree per reference — 2^n_iter logical-plan copies by the
-      last round, which stalls in ANALYSIS, not execution.  (The DuckDB
-      oracle needs the same treatment: ``AS MATERIALIZED`` per round,
-      since plain CTEs inline per reference.)
+      convergence checks or per-round count jobs.
+    - Lineage truncation is reference-count-aware.  On the DIRECTED path
+      the update references rank twice (neighbor contributions AND the
+      dangling total), and without per-round ``localCheckpoint`` Catalyst
+      re-expands that shared subtree per reference — 2^n_iter
+      logical-plan copies by the last round, which stalls in ANALYSIS,
+      not execution.  (The DuckDB oracle needs the same treatment:
+      ``AS MATERIALIZED`` per round, since plain CTEs inline per
+      reference.)  On the default pair-graph path rank is referenced
+      ONCE per round, the plan grows linearly, and the checkpoint runs
+      only every 4 rounds to bound optimizer depth — Spark then executes
+      several rounds inside one job instead of paying a
+      materialize-and-reschedule barrier per round (measured 13.5s →
+      ~5s on the sf0.1 dup graph at n_iter=5, identical output).
     - Per-node contribution sums fold in ascending neighbor order
       (sort_array + aggregate), so the float result is engine- and
       partitioning-exact — which is what lets an ITERATIVE algorithm
@@ -164,12 +179,26 @@ def pagerank(
       1-row aggregates broadcast back, never a driver round-trip.
     Output: (node, rank) with rank rounded to 6; Σ rank ≈ 1.
     """
-    edges = canonical_edges(pairs, src=src, dst=dst)
-    raw = edges.select(
-        F.col("u").alias("e_src"), F.col("v").alias("e_dst")
-    ).unionAll(
-        edges.select(F.col("v").alias("e_src"), F.col("u").alias("e_dst"))
-    )
+    # Materialize the edge list EAGERLY before fanning it out:
+    # raw/out_deg/directed reference it 4 times, and a lazy persist does
+    # not dedupe the work — the 4 references race into the uncached
+    # partitions concurrently (classic cache-miss race), so an expensive
+    # upstream (the registered query feeds the full LSH near-dup chain in
+    # here) re-executes ~once per reference.  localCheckpoint is eager,
+    # truncates the upstream lineage, and the edge list is the bounded
+    # near-dup pair table — measured 10.2s → 3.4s on the sf0.1 dup graph.
+    if directed_edges is None:
+        edges = canonical_edges(pairs, src=src, dst=dst).localCheckpoint()
+        raw = edges.select(
+            F.col("u").alias("e_src"), F.col("v").alias("e_dst")
+        ).unionAll(
+            edges.select(F.col("v").alias("e_src"), F.col("u").alias("e_dst"))
+        )
+    else:
+        c_src, c_dst = directed_edges.columns[:2]
+        raw = directed_edges.select(
+            F.col(c_src).alias("e_src"), F.col(c_dst).alias("e_dst")
+        ).localCheckpoint()
     out_deg = raw.groupBy("e_src").agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -182,16 +211,30 @@ def pagerank(
     # two 1-row aggregates (n_nodes, dangling total).  A window
     # count-over-partition would avoid the join here but not the shuffle,
     # and the join form lets AQE pick its own strategy per iteration.
-    directed = raw.join(out_deg, "e_src").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = directed.select(F.col("e_src").alias("node")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Same eager-materialization discipline for the degree-carrying edge
+    # table and the node list: every iteration references them, and with
+    # the checkpoint now periodic, 4 iterations' branches land in ONE job
+    # where a lazy persist races (see above).  Materializing the adjacency
+    # once before iterating is also simply the standard PageRank layout.
+    directed = raw.join(out_deg, "e_src").localCheckpoint()
+    if directed_edges is None:
+        # every node is a source on the bidirectional path
+        nodes = directed.select(F.col("e_src").alias("node")).distinct()
+    else:
+        # dst-only sinks are real nodes (the dangling ones)
+        nodes = (
+            raw.select(F.col("e_src").alias("node"))
+            .unionAll(raw.select(F.col("e_dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.localCheckpoint()
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     rank = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
-    for _ in range(n_iter):
-        rank = rank.localCheckpoint()
+    for i in range(n_iter):
+        if directed_edges is not None or (i > 0 and i % 4 == 0):
+            rank = rank.localCheckpoint()
         contribs = (
             directed.join(
                 rank.select(F.col("node").alias("e_src"), "rank"), "e_src"
@@ -212,6 +255,21 @@ def pagerank(
                 ).alias("s")
             )
         )
+        base = nodes.join(contribs, "node", "left").crossJoin(
+            F.broadcast(n_row)
+        )
+        if directed_edges is None:
+            # D ≡ 0: every node has out-degree ≥ 1 by construction, so the
+            # anti-join aggregate below would scan rank each round only to
+            # produce an empty sum — skip it entirely.
+            rank = base.select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            continue
         dangling = (
             rank.join(
                 out_deg.select(F.col("e_src").alias("node"), "out_deg"),
@@ -229,20 +287,15 @@ def pagerank(
                 ).alias("dangling")
             )
         )
-        rank = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(n_row))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("n_nodes")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.col("dangling") / F.col("n_nodes")
-                    )
-                ).alias("rank"),
-            )
+        rank = base.crossJoin(F.broadcast(dangling)).select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("n_nodes")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.col("dangling") / F.col("n_nodes")
+                )
+            ).alias("rank"),
         )
     return rank.select("node", F.round("rank", 6).alias("rank"))
