@@ -259,8 +259,9 @@ def _q_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketed two-phase rank: see _q_wilcoxon_core (identical output)
     m = obs_measure_from_lineitem(spark, sf_dir, log1p=True)
-    res = rank_features_by_group(m, top_n=2, sort_by="desc")
+    res = rank_features_by_group(m, top_n=2, sort_by="desc", n_value_buckets=64)
     return res.select(
         F.col("group").alias("grp"),
         "gene",
@@ -270,9 +271,17 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_wilcoxon_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the full SQL-expressible slice of the pipeline in one query."""
+    """Flagship: the full SQL-expressible slice of the pipeline in one query.
+
+    Routed through the bucketed two-phase rank (identical output,
+    tools/scale_probe_rank.py): lineitem's extendedprice is near-unique,
+    so even at sf0.1 the windowed plan's single per-feature sort task is
+    the critical path — measured 4.4s windowed vs 2.5s bucketed."""
     st = compute_logfoldchange(
-        feature_group_stats(obs_measure_from_lineitem(spark, sf_dir, log1p=True))
+        feature_group_stats(
+            obs_measure_from_lineitem(spark, sf_dir, log1p=True),
+            n_value_buckets=64,
+        )
     ).withColumnRenamed("group", "grp")
     st = st.withColumn(
         "z",
@@ -299,8 +308,9 @@ def _q_mwu_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_df.py's columns); the oracle-checked twin is
     ``mwu_full_rounded`` below, which rounds the float columns to the
     repo's 6-decimal compare precision and pairs with a pure-SQL erfc."""
+    # bucketed two-phase rank: see _q_wilcoxon_core (identical output)
     m = obs_measure_from_lineitem(spark, sf_dir, log1p=True)
-    res = rank_features_by_group(m, top_n=None, sort_by="desc")
+    res = rank_features_by_group(m, top_n=None, sort_by="desc", n_value_buckets=64)
     return res.withColumnRenamed("group", "grp")
 
 
@@ -311,8 +321,9 @@ def _q_mwu_full_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, see ``_erfc_sql``) to ~1e-15 of the C-library erfc the
     Arrow pandas_udf calls, which closes the last no-oracle gap in the
     core pipeline (SURVEY A4)."""
+    # bucketed two-phase rank: see _q_wilcoxon_core (identical output)
     m = obs_measure_from_lineitem(spark, sf_dir, log1p=True)
-    res = rank_features_by_group(m, top_n=None, sort_by="desc")
+    res = rank_features_by_group(m, top_n=None, sort_by="desc", n_value_buckets=64)
     return res.select(
         F.col("group").alias("grp"),
         "gene",
