@@ -98,7 +98,13 @@ def bloom_might_contain(
 
     k broadcast hash joins against the ≤ m/63-row bit table — scan-stage,
     no shuffle of ``df``; a missing word row means "no bit in this word was
-    ever set", so the left-join NULL correctly fails the check."""
+    ever set", so the left-join NULL correctly fails the check.
+
+    The k joins alias the bit table differently, so the INITIAL plan
+    prints k copies of the build subtree — but AQE dedupes them at
+    runtime (tests/test_bloom.py asserts k-1 ReusedExchange and exactly
+    one real shuffle in the final plan), so no eager materialization is
+    needed here; don't "fix" the initial-plan duplication."""
     digest = md5_long(F.col(key_col).cast("string"))
     positions = _positions_from_digest(F.col("_h"), m_bits)
     out = df.withColumn("_h", digest).select(
