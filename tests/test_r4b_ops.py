@@ -448,3 +448,56 @@ def test_pagerank_never_broadcasts_the_degree_table(spark):
         assert plan.count("BroadcastExchange") >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pagerank_directed_with_dangling_matches_recursion(spark):
+    """The round-5 ``directed_edges=`` path: rank flows src→dst only and
+    out-degree-0 sinks exist, so the dangling-mass branch (dead on the
+    bidirectional pair-graph path) genuinely runs.  Graph: 1→2, 1→3,
+    2→3 — node 3 is a dangling sink whose rank redistributes uniformly
+    each round.  Replicate the exact float recursion and compare."""
+    from dask_mwu_spark.operators.graph import pagerank
+
+    directed = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (1, 3), (2, 3)], columns=["src", "dst"])
+    )
+    out = (
+        pagerank(directed, directed_edges=directed, n_iter=4)
+        .toPandas()
+        .set_index("node")["rank"]
+    )
+    n, d = 3, 0.85
+    r = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    for _ in range(4):
+        dang = r[3]  # node 3 has out-degree 0
+        base = (1 - d) / n + d * dang / n
+        r = {
+            1: base,
+            2: base + d * (r[1] / 2),
+            3: base + d * (r[1] / 2 + r[2] / 1),
+        }
+    for node in (1, 2, 3):
+        assert abs(out.loc[node] - round(r[node], 6)) < 1e-9, node
+    # dangling redistribution conserves total mass
+    assert abs(out.sum() - 1.0) < 1e-4
+    # the recursion is non-degenerate: ranks genuinely differ
+    assert out.loc[3] > out.loc[2] > out.loc[1]
+
+
+def test_pagerank_directed_all_dangling_is_uniform(spark):
+    """Every node dangling except the one source: a single edge 1→2
+    leaves node 2 with no out-edges; its whole rank re-enters the pool
+    each round, so the stationary shape stays well-defined and mass
+    conserves (the all-sinks degenerate case that breaks naive
+    implementations which just renormalize)."""
+    from dask_mwu_spark.operators.graph import pagerank
+
+    directed = spark.createDataFrame(
+        pd.DataFrame([(1, 2)], columns=["src", "dst"])
+    )
+    out = pagerank(directed, directed_edges=directed, n_iter=6).toPandas()
+    assert set(out["node"]) == {1, 2}
+    assert abs(out["rank"].sum() - 1.0) < 1e-4
+    # 2 receives everything 1 sends plus the dangling share: rank(2) > rank(1)
+    r = out.set_index("node")["rank"]
+    assert r.loc[2] > r.loc[1]
