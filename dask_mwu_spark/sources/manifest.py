@@ -14,10 +14,11 @@ of the same idea (VERDICT r4 item 5):
 Commit protocol:
 1. write the new version's parquet into a FRESH ``_data/<name>`` dir
    (never mutate a published dir);
-2. publish by writing the manifest JSON to a temp name and ``os.replace``
-   -ing it to ``_manifests/v{N}.json`` — a single-FILE rename, atomic on
-   POSIX; on an object store this maps to a single PUT, which is atomic
-   per object;
+2. publish by writing the manifest JSON to a temp name (fsynced) and
+   ``os.link``-ing it to ``_manifests/v{N}.json`` — a single-FILE atomic
+   primitive that FAILS if the version already exists (loud
+   concurrent-writer collision); on an object store this maps to a
+   conditional PUT (If-None-Match), atomic per object;
 3. readers resolve ``max(v*.json)`` and read ONLY the data dir it names —
    directory listing of ``_data`` is never trusted;
 4. a crash anywhere before step 2 leaves an orphan data dir that no
@@ -102,7 +103,7 @@ def new_data_dir(path: str, *, tag: str = "") -> str:
 
 def publish_version(path: str, data_dir: str, *, meta: dict | None = None) -> int:
     """Atomically commit ``data_dir`` (a child of ``<path>/_data``) as the
-    table's next version.  Single-file ``os.replace`` — the one atomic
+    table's next version.  Single-file ``os.link`` — the one atomic
     primitive the protocol relies on.  Returns the published version."""
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
