@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_dup_spans",
     "dedup_tfidf_cosine",
     "cur_token_shards",
+    # round-5: the REAL multimodal codec path (PNG/WAV/MJPNG decode in
+    # Arrow-batched Python) — mm_decode_meta covers only the fake path
+    "mm_real_decode_stats",
 ]
 
 

@@ -69,8 +69,19 @@ def value_counts(measure: DataFrame) -> DataFrame:
     )
 
 
+AUTO_DISTINCT_THRESHOLD = 2_000_000
+"""Per-feature distinct-value count above which ``n_value_buckets='auto'``
+switches from the windowed plan to the bucketed two-phase rank.  Chosen
+from two measured points: at ~600k distinct (sf0.1 lineitem prices) the
+bucketed plan already wins ~2x end-to-end, at ~16M distinct
+(tools/scale_probe_rank.py) it wins 8x — while on low-cardinality
+features the windowed plan's single small sort beats the extra bucket
+shuffle.  The threshold sits between the regimes, biased high so auto
+never pessimizes the common categorical case."""
+
+
 def rank_values(
-    measure: DataFrame, *, n_value_buckets: int | None = None
+    measure: DataFrame, *, n_value_buckets: int | str | None = None
 ) -> DataFrame:
     """Value-level average ranks + tie counts.
 
@@ -90,10 +101,31 @@ def rank_values(
     ``n_value_buckets``: the default plan's per-feature window puts one
     feature's distinct values in ONE task — fine up to millions of distinct
     values per feature, a hot task beyond (few continuous features x 1e9
-    observations).  Setting this routes to
+    observations).  Setting an int routes to
     :func:`rank_values_bucketed`, the two-phase distributed rank with
     (features x buckets)-way parallelism and identical output.
+
+    ``n_value_buckets="auto"``: statistics-driven physical-plan choice —
+    ONE cheap aggregate (``approx_count_distinct`` per feature, map-side
+    combinable, ±~2% at the default rsd) measures the hottest feature's
+    distinct-value cardinality and routes windowed vs bucketed at
+    ``AUTO_DISTINCT_THRESHOLD``.  This costs one extra scan + a tiny
+    driver action, so it is OPT-IN: library callers who know their data
+    pass an explicit int (the registered flagship queries do); callers
+    who don't get the Catalyst-spirit behavior of picking the physical
+    strategy from data statistics instead of guessing.
     """
+    if n_value_buckets == "auto":
+        hottest = (
+            measure.groupBy("feature")
+            .agg(F.approx_count_distinct("value").alias("d"))
+            .agg(F.max("d").alias("m"))
+            .collect()[0]
+            .m
+        )
+        n_value_buckets = (
+            64 if hottest and hottest >= AUTO_DISTINCT_THRESHOLD else None
+        )
     if n_value_buckets is not None:
         return rank_values_bucketed(measure, n_buckets=n_value_buckets)
     vc = value_counts(measure)

@@ -42,7 +42,7 @@ from dask_mwu_spark.operators.topk import create_df
 
 
 def feature_group_stats(
-    measure: DataFrame, *, n_value_buckets: int | None = None
+    measure: DataFrame, *, n_value_buckets: int | str | None = None
 ) -> DataFrame:
     """(feature, group) statistics table: n1, n2, rank_sum, tie_term, u_stat,
     z, p_value, p_adjusted — everything except LFC.
@@ -51,7 +51,9 @@ def feature_group_stats(
     (ranking.rank_values_bucketed) when features are few and continuous —
     the per-feature window is a single task otherwise, fine to ~1e7
     distinct values per feature, 8x slower than bucketed at 2x20M
-    (tools/scale_probe_rank.py; identical output either way)."""
+    (tools/scale_probe_rank.py; identical output either way).  Pass
+    ``"auto"`` to let one cheap approx_count_distinct aggregate pick the
+    plan from the data (ranking.AUTO_DISTINCT_THRESHOLD)."""
     rv = rank_values(measure, n_value_buckets=n_value_buckets)
     fg = compute_in_group_ranksum(rv)
     # feature totals come as window aggregates inside mann_whitney_u — a
@@ -67,7 +69,7 @@ def rank_features_by_group(
     sort_by: str = "desc",
     base: float | None = None,
     n_features: int | None = None,
-    n_value_buckets: int | None = None,
+    n_value_buckets: int | str | None = None,
 ) -> DataFrame:
     """Full reference pipeline: MWU + BH + LFC + per-group top-k.
 

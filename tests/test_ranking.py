@@ -196,3 +196,34 @@ def test_bucketed_rank_parallelism_in_plan(spark, sf_dir):
     # feature alone (the windowed plan prints 'feature#N,' here)
     specs = re.findall(r"windowspecdefinition\(([^)]*?)value#\d+ ASC", plan)
     assert specs and all("_bkt" in s for s in specs)
+
+
+def test_auto_routes_by_measured_cardinality(spark, sf_dir, monkeypatch):
+    """n_value_buckets="auto": one approx_count_distinct aggregate picks
+    the plan.  Below the threshold auto must produce the windowed plan
+    (single Window over the full feature partition), above it the
+    bucketed plan (width_bucket projection in the tree) — and the rows
+    must equal the explicit paths either way."""
+    from dask_mwu_spark.operators import ranking
+    from dask_mwu_spark.operators.ranking import rank_values
+    from dask_mwu_spark.sources.loaders import obs_measure_from_lineitem
+
+    m = obs_measure_from_lineitem(spark, sf_dir)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # the bench corpus is far below the real threshold: auto -> windowed
+    auto_plan = plan_of(rank_values(m, n_value_buckets="auto"))
+    assert "width_bucket" not in auto_plan
+    # force the threshold under the corpus cardinality: auto -> bucketed
+    monkeypatch.setattr(ranking, "AUTO_DISTINCT_THRESHOLD", 1)
+    auto_low = rank_values(m, n_value_buckets="auto")
+    assert "width_bucket" in plan_of(auto_low)
+    rows_auto = auto_low.orderBy("feature", "value", "group").collect()
+    rows_explicit = (
+        rank_values(m, n_value_buckets=64)
+        .orderBy("feature", "value", "group")
+        .collect()
+    )
+    assert [tuple(r) for r in rows_auto] == [tuple(r) for r in rows_explicit]
