@@ -752,3 +752,114 @@ def mixture_kl(docs: DataFrame, target: dict[str, float]) -> DataFrame:
             ).alias("kl_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+N_DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = N_DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): score every raw
+    doc by how target-like its hashed bag-of-bigrams is, as the log
+    importance ratio under two add-1-smoothed multinomials:
+
+        log w(doc) = Σ_b  c_doc[b] · ( ln p̂_target[b] − ln p̂_raw[b] )
+        p̂[b] = (C[b] + 1) / (N + B)          (add-1 over B hash buckets)
+
+    where ``b = md5(w1 ‖ ' ' ‖ w2) mod B`` hashes each word bigram
+    (md5 so the oracle rebuilds identical buckets; words contain no
+    spaces, so the joint key is injective).  Sampling ∝ w is the paper's
+    resampling step — ``weighted_sample`` composes directly on this
+    column.  Output: (doc_id, n_bigrams, log_weight) for every ``docs``
+    row; 0-bigram docs keep NULL log_weight.
+
+    Cross-engine exactness: bucket counts are exact BIGINTs on identical
+    md5 buckets, each bucket's log-ratio is one LN of a ratio of exact
+    integers (bit-identical per engine), and the per-doc Σ c·ratio folds
+    in ascending BUCKET order via sort_array + aggregate — same float-add
+    order on any engine or partitioning.  Rounded to 6.
+
+    Scale: one bigram explode → groupBy(doc_id, bucket) with map-side
+    partial aggregation (per-doc state collapses to ≤ B rows before the
+    shuffle); the target/raw distributions are ≤ B-row aggregates joined
+    by BROADCAST; the per-doc fold state is ≤ B entries.  Cost is
+    O(corpus tokens) with one doc-keyed shuffle — the same shape as
+    text.lm_bigram_score without the per-token count join.  The target
+    side is small by definition (a benchmark / curated seed set), but
+    nothing here requires it: both distributions reduce to B buckets.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+
+    def bucket_counts(d: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        bg = d.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram"),
+        )
+        return bg.select(
+            "doc_id", (md5_long(F.col("bigram")) % n_buckets).alias("bucket")
+        ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    dc = bucket_counts(docs)
+    tc = bucket_counts(target).groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+    rc = dc.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    dist = (
+        rc.join(tc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + n_buckets))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + n_buckets))
+        ).alias("lr"),
+    )
+    per_doc = (
+        dc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "bucket",
+                            (F.col("cnt").cast("double") * F.col("lr")).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["t"],
+            ).alias("_lw"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("_lw", 6).alias("log_weight"),
+        )
+    )

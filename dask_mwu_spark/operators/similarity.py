@@ -764,3 +764,94 @@ def cluster_quality(
             "share"
         ),
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    *,
+    prefix_dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka prefix-dimension recall harness (Kusupati et al.,
+    NeurIPS 2022): for each prefix length p, rank by cosine over only the
+    FIRST p embedding components and measure recall@k against the
+    full-dimension exact top-k.  Output one row per prefix:
+    (prefix_dims, n_queries, n_truth, n_hit, recall).
+
+    This is the tuning table behind the standard MRL serving trade-off —
+    retrieve with a cheap d/8-dim scan, re-rank the shortlist at full
+    width: read the recall, pick the shortest prefix that clears the
+    product's floor.  (On non-MRL-trained embeddings — like the synthetic
+    table — prefix recall is also the honest baseline that motivates MRL
+    training in the first place.)
+
+    Scale: identical to ``cosine_topk`` per prefix — the query side is a
+    bounded broadcast (``n_queries`` rows), candidates stream through one
+    corpus scan per prefix, ranking is a per-query top-k window over
+    n_queries·corpus scored rows (the brute-force baseline shape, waived
+    like the other recall harnesses; the production path would slice
+    vectors INSIDE an IVF/LSH probe).  Slicing is ``F.slice`` on the
+    array column — a row expression, no extra shuffle.
+
+    Cross-engine exactness: cosines rounded to 6 before ranking with
+    vec_id tiebreak (same contract as cosine_topk); hit counts are exact
+    BIGINTs.
+    """
+    truth = cosine_topk(emb, n_queries=n_queries, k=k).select("q_id", "vec_id")
+    vecs = _with_vec(emb)
+    per_prefix = []
+    for p in prefix_dims:
+        pv = vecs.select(
+            "vec_id",
+            F.slice("vec", 1, p).alias("pvec"),
+        ).withColumn("pnrm", norm(F.col("pvec")))
+        queries = pv.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("pvec").alias("q_vec"),
+            F.col("pnrm").alias("q_nrm"),
+        )
+        scored = (
+            pv.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    dot(F.col("pvec"), F.col("q_vec"))
+                    / (F.col("pnrm") * F.col("q_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        approx = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("q_id", "vec_id", F.lit(1).alias("_hit"))
+        )
+        agg = (
+            truth.join(approx, ["q_id", "vec_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hit"),
+            )
+            .select(
+                F.lit(p).cast("int").alias("prefix_dims"),
+                F.lit(n_queries).cast("long").alias("n_queries"),
+                "n_truth",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_truth"), 6
+                ).alias("recall"),
+            )
+        )
+        per_prefix.append(agg)
+    out = per_prefix[0]
+    for nxt in per_prefix[1:]:
+        out = out.unionByName(nxt)
+    return out

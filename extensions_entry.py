@@ -752,6 +752,16 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q5-style co-nation star join (customer nation == supplier
         # nation), exact DECIMAL revenue
         "star_local_supplier_volume": _q_local_supplier_volume,
+        # round 5: the published Gopher/MassiveText rule battery
+        "text_gopher_rules": lambda s, d: tx.gopher_rules(_docs(s, d)),
+        # round 5: DSIR importance weights — raw corpus scored against the
+        # every-50th-doc target set (same split as cur_contamination)
+        "cur_dsir_weights": lambda s, d: cur.dsir_weights(
+            _docs(s, d).where(F.col("doc_id") % 50 != 0),
+            _docs(s, d).where(F.col("doc_id") % 50 == 0),
+        ),
+        # round 5: Matryoshka prefix-dim recall harness over the ANN stack
+        "sim_matryoshka_recall": lambda s, d: sim.matryoshka_recall(_emb(s, d)),
     }
 
 
@@ -2477,4 +2487,131 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_nationkey = s.s_nationkey
 GROUP BY 1
 """
+    # round 5: Gopher rule battery — every ratio rounded to 6 BEFORE the
+    # threshold comparison, mirroring text.gopher_rules exactly
+    _stop = ", ".join(repr(w) for w in tx.GOPHER_STOPWORDS)
+    o["text_gopher_rules"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / len(toks), 6) AS symbol_ratio,
+         ROUND(CAST(len(list_filter(lines, x -> starts_with(x, '•') OR starts_with(x, '- ') OR starts_with(x, '* '))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
+         ROUND(CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
+         ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_word_ratio,
+         CAST(len(list_intersect(list_distinct(toks), [{_stop}])) AS BIGINT) AS n_stop_hits
+  FROM t
+),
+r AS (
+  SELECT *,
+         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS r_word_count,
+         CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+         CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT) AS r_symbol,
+         CAST(CASE WHEN bullet_ratio < 0.9 THEN 1 ELSE 0 END AS INT) AS r_bullet,
+         CAST(CASE WHEN ellipsis_ratio < 0.3 THEN 1 ELSE 0 END AS INT) AS r_ellipsis,
+         CAST(CASE WHEN alpha_word_ratio >= 0.8 THEN 1 ELSE 0 END AS INT) AS r_alpha_words,
+         CAST(CASE WHEN n_stop_hits >= {tx.GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END AS INT) AS r_stopwords
+  FROM m
+)
+SELECT *,
+       CAST(r_word_count * r_mean_word_len * r_symbol * r_bullet * r_ellipsis
+            * r_alpha_words * r_stopwords AS INT) AS keep
+FROM r
+"""
+    # round 5: DSIR — identical md5 buckets, exact integer counts, per-doc
+    # fold in ascending bucket order (list(... ORDER BY bucket))
+    _B = cur.N_DSIR_BUCKETS
+    o["cur_dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bk AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 15) AS BIGINT) % {_B} AS bucket
+  FROM bg WHERE w2 IS NOT NULL
+),
+dc AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bk WHERE doc_id % 50 != 0 GROUP BY 1, 2
+),
+tc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM bk WHERE doc_id % 50 = 0 GROUP BY 1
+),
+rc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM dc GROUP BY 1),
+dist AS (
+  SELECT bucket, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+  FROM rc FULL OUTER JOIN tc USING (bucket)
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+  FROM dist
+),
+ratio AS (
+  SELECT bucket,
+         LN(CAST(ct + 1 AS DOUBLE) / (nt + {_B}))
+         - LN(CAST(cr + 1 AS DOUBLE) / (nr + {_B})) AS lr
+  FROM dist CROSS JOIN tot
+),
+per AS (
+  SELECT dc.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         list_aggregate(list(cnt * lr ORDER BY bucket), 'sum') AS lw
+  FROM dc JOIN ratio USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       ROUND(lw, 6) AS log_weight
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+    # round 5: Matryoshka prefix-dim recall — one UNION ALL arm per prefix,
+    # each the cosine_topk contract over vec[1:p]
+    _mat_ctes = []
+    _mat_arms = []
+    for _p in (8, 16, 32):
+        _mat_ctes.append(f"""
+pv{_p} AS (
+  SELECT vec_id, vec[1:{_p}] AS pvec,
+         sqrt(list_aggregate(list_transform(vec[1:{_p}], x -> x * x), 'sum')) AS pnrm
+  FROM nv
+),
+q{_p} AS (SELECT vec_id AS q_id, pvec AS q_vec, pnrm AS q_nrm FROM pv{_p} WHERE vec_id < 10),
+s{_p} AS (
+  SELECT q_id, vec_id,
+         ROUND(list_dot_product(pvec, q_vec) / (pnrm * q_nrm), 6) AS cosine
+  FROM pv{_p}, q{_p} WHERE vec_id != q_id
+),
+a{_p} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM s{_p}
+  ) WHERE rn <= 5
+)""")
+        _mat_arms.append(f"""
+SELECT CAST({_p} AS INT) AS prefix_dims, CAST(10 AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM truth t LEFT JOIN a{_p} a ON t.q_id = a.q_id AND t.vec_id = a.vec_id""")
+    o["sim_matryoshka_recall"] = (
+        f"WITH {_VEC_CTE.strip()},\ntruth AS ({o['sim_cosine_topk']}),"
+        + ",".join(_mat_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(_mat_arms)
+    )
     return o

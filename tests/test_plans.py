@@ -115,6 +115,10 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # ann_recall_eval's ground-truth side IS the brute-force baseline
         # (that is the point of the harness); the approx side is bucketed
         "sim_ann_recall": {"nested_loop"},
+        # round 5: the Matryoshka harness is N brute-force arms by design
+        # (full-dim truth + one prefix-sliced scan per prefix, all against
+        # the bounded broadcast query set — sim_ann_recall precedent)
+        "sim_matryoshka_recall": {"nested_loop"},
         # threshold filter folded into the 1-ROW totals broadcast cross
         # (n_candidates x 1 'pairs' — a per-row filter in disguise)
         "text_heavy_hitters": {"nested_loop"},

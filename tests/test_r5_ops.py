@@ -1,0 +1,265 @@
+"""Round-5 operator semantics: the Gopher/MassiveText rule battery, DSIR
+importance weights, and the Matryoshka prefix-dim recall harness —
+hand-built inputs with independently computed expectations."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_mwu_spark.operators.curation import N_DSIR_BUCKETS, dsir_weights
+from dask_mwu_spark.operators.similarity import matryoshka_recall
+from dask_mwu_spark.operators.text import gopher_rules
+
+rng = np.random.default_rng(11)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+def _emb(spark, vecs):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_passing_doc(spark):
+    # 50 words, mean len (3+3+4+4+4)/5 = 3.6, all alphabetic, 5 distinct
+    # stopwords from the paper list, no symbols/bullets/ellipses
+    text = " ".join(["the", "and", "that", "have", "with"] * 10)
+    out = gopher_rules(_docs(spark, [(1, text, "en", "s", len(text))])).toPandas()
+    row = out.iloc[0]
+    assert row.n_words == 50
+    assert row.mean_word_len == 3.6
+    assert row.n_stop_hits == 5
+    assert row.alpha_word_ratio == 1.0
+    for flag in (
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol",
+        "r_bullet",
+        "r_ellipsis",
+        "r_alpha_words",
+        "r_stopwords",
+        "keep",
+    ):
+        assert row[flag] == 1, flag
+
+
+def test_gopher_word_count_bounds(spark):
+    short = " ".join(["the", "and"] * 5)  # 10 words < 50
+    out = gopher_rules(_docs(spark, [(1, short, "en", "s", 1)])).toPandas()
+    assert out.iloc[0].r_word_count == 0
+    assert out.iloc[0].keep == 0
+
+
+def test_gopher_mean_word_len_and_alpha(spark):
+    # 50 single-char words: mean len 1 < 3 fails; digits fail alpha rule
+    base = ["a"] * 25 + ["1"] * 25
+    out = gopher_rules(
+        _docs(spark, [(1, " ".join(base), "en", "s", 1)])
+    ).toPandas()
+    row = out.iloc[0]
+    assert row.mean_word_len == 1.0
+    assert row.r_mean_word_len == 0
+    assert row.alpha_word_ratio == 0.5
+    assert row.r_alpha_words == 0
+
+
+def test_gopher_symbol_ratio(spark):
+    # 10 words, 2 hashes + 1 ellipsis -> (2 + 1) / 10 = 0.3 > 0.1
+    text = "the# and# word... " + " ".join(["be"] * 7)
+    out = gopher_rules(_docs(spark, [(1, text, "en", "s", 1)])).toPandas()
+    row = out.iloc[0]
+    assert row.symbol_ratio == 0.3
+    assert row.r_symbol == 0
+
+
+def test_gopher_line_rules(spark):
+    # 4 lines: 2 bullets (0.5 < 0.9 passes), 2 ellipsis-terminated
+    # (0.5 >= 0.3 fails)
+    text = "• one two\n- three four\nplain line...\nmore text..."
+    out = gopher_rules(_docs(spark, [(1, text, "en", "s", 1)])).toPandas()
+    row = out.iloc[0]
+    assert row.bullet_ratio == 0.5
+    assert row.r_bullet == 1
+    assert row.ellipsis_ratio == 0.5
+    assert row.r_ellipsis == 0
+
+
+def test_gopher_stopword_requirement(spark):
+    # 50 words, healthy lengths, but only 1 distinct required stopword
+    text = " ".join(["the"] + ["word"] * 49)
+    out = gopher_rules(_docs(spark, [(1, text, "en", "s", 1)])).toPandas()
+    row = out.iloc[0]
+    assert row.n_stop_hits == 1
+    assert row.r_stopwords == 0
+    assert row.keep == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def _dsir_reference(raw, target, n_buckets=N_DSIR_BUCKETS):
+    """Independent pure-Python DSIR: same md5 buckets, same add-1
+    smoothing, bucket-ascending summation."""
+
+    def buckets(text):
+        words = text.split(" ")
+        out = {}
+        for w1, w2 in zip(words, words[1:]):
+            b = int(hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15], 16) % n_buckets
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    tgt, rawc = {}, {}
+    for _, text in target:
+        for b, c in buckets(text).items():
+            tgt[b] = tgt.get(b, 0) + c
+    per_doc = {doc_id: buckets(text) for doc_id, text in raw}
+    for bc in per_doc.values():
+        for b, c in bc.items():
+            rawc[b] = rawc.get(b, 0) + c
+    nt, nr = sum(tgt.values()), sum(rawc.values())
+    expected = {}
+    for doc_id, bc in per_doc.items():
+        lw = 0.0
+        for b in sorted(bc):
+            lr = math.log((tgt.get(b, 0) + 1) / (nt + n_buckets)) - math.log(
+                (rawc.get(b, 0) + 1) / (nr + n_buckets)
+            )
+            lw += bc[b] * lr
+        expected[doc_id] = (sum(bc.values()), round(lw, 6) if bc else None)
+    return expected
+
+
+def test_dsir_matches_reference_implementation(spark):
+    raw = [(1, "x y x y z"), (2, "q r q r"), (3, "x y q")]
+    target = [(100, "x y x y"), (101, "y z")]
+    out = (
+        dsir_weights(
+            _docs(spark, [(i, t, "en", "s", 1) for i, t in raw]),
+            _docs(spark, [(i, t, "en", "s", 1) for i, t in target]),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    expected = _dsir_reference(raw, target)
+    for doc_id, (n_bg, lw) in expected.items():
+        assert out.loc[doc_id, "n_bigrams"] == n_bg
+        assert abs(out.loc[doc_id, "log_weight"] - lw) < 1e-9
+
+
+def test_dsir_target_like_scores_higher(spark):
+    # doc 1's bigrams all appear in the target; doc 2's are absent
+    raw = [(1, "x y x y"), (2, "foo bar foo bar")]
+    target = [(100, "x y x y x y")]
+    out = (
+        dsir_weights(
+            _docs(spark, [(i, t, "en", "s", 1) for i, t in raw]),
+            _docs(spark, [(i, t, "en", "s", 1) for i, t in target]),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "log_weight"] > out.loc[2, "log_weight"]
+
+
+def test_dsir_zero_bigram_doc_null(spark):
+    out = (
+        dsir_weights(
+            _docs(spark, [(1, "single", "en", "s", 1)]),
+            _docs(spark, [(100, "x y", "en", "s", 1)]),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_bigrams"] == 0
+    assert pd.isna(out.loc[1, "log_weight"])
+
+
+def test_dsir_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    raw = docs.where(F.col("doc_id") % 50 != 0)
+    tgt = docs.where(F.col("doc_id") % 50 == 0)
+    a = dsir_weights(raw, tgt).toPandas().set_index("doc_id").sort_index()
+    b = (
+        dsir_weights(raw.repartition(13), tgt.repartition(3))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_full_width_recall_is_one(spark):
+    base = rng.normal(size=(30, 64))
+    out = matryoshka_recall(
+        _emb(spark, base), prefix_dims=(64,), n_queries=3, k=4
+    ).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].prefix_dims == 64
+    assert out.iloc[0].n_truth == 12  # 3 queries x 4
+    assert out.iloc[0].recall == 1.0
+
+
+def test_matryoshka_matches_numpy_prefix_ranking(spark):
+    base = rng.normal(size=(25, 64))
+    p, nq, k = 8, 2, 5
+    out = (
+        matryoshka_recall(_emb(spark, base), prefix_dims=(p,), n_queries=nq, k=k)
+        .toPandas()
+        .iloc[0]
+    )
+    f = base.astype(np.float32).astype(np.float64)
+
+    def topk(mat):
+        norms = np.linalg.norm(mat, axis=1)
+        hits = {}
+        for q in range(nq):
+            cos = mat @ mat[q] / (norms * norms[q])
+            order = sorted(
+                (i for i in range(len(mat)) if i != q),
+                key=lambda i: (-round(cos[i], 6), i),
+            )
+            hits[q] = set(order[:k])
+        return hits
+
+    truth, approx = topk(f), topk(f[:, :p])
+    n_hit = sum(len(truth[q] & approx[q]) for q in range(nq))
+    assert out.n_truth == nq * k
+    assert out.n_hit == n_hit
+    assert out.recall == round(n_hit / (nq * k), 6)
+
+
+def test_matryoshka_default_three_rows(spark):
+    base = rng.normal(size=(20, 64))
+    out = matryoshka_recall(_emb(spark, base)).toPandas()
+    assert sorted(out.prefix_dims) == [8, 16, 32]
+    assert (out.n_truth == 50).all()  # 10 queries x 5 with 20 vectors? no:
+    # 10 queries, k=5, 19 candidates each -> 5 kept: n_truth = 50
