@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from dask_mwu_spark.functions.hashing import md5_long
 from dask_mwu_spark.operators.dedup import dup_components, exact_dedup, shingles
@@ -814,7 +815,11 @@ def dsir_weights(
             "doc_id", (md5_long(F.col("bigram")) % n_buckets).alias("bucket")
         ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
-    dc = bucket_counts(docs)
+    # dc feeds BOTH the raw bucket distribution and the per-doc fold —
+    # persist at the branch point so the corpus-wide bigram explode +
+    # groupBy runs ONCE, not once per consumer (the S3-checkpoint
+    # convention; at 100 TB the second scan is the whole cost)
+    dc = bucket_counts(docs).persist(StorageLevel.MEMORY_AND_DISK)
     tc = bucket_counts(target).groupBy("bucket").agg(F.sum("cnt").alias("ct"))
     rc = dc.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
     dist = (

@@ -68,6 +68,10 @@ R4_EXTRAS = [
     "part_cheapest_supplier",
     "events_stickiness",
     "star_local_supplier_volume",
+    # round 5
+    "text_gopher_rules",
+    "cur_dsir_weights",
+    "sim_matryoshka_recall",
 ]
 
 
