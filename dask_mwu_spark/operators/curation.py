@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from dask_mwu_spark.functions.hashing import md5_long
+from dask_mwu_spark.functions.hashing import MINHASH_COEFFS, md5_long
 from dask_mwu_spark.operators.dedup import dup_components, exact_dedup, shingles
 from dask_mwu_spark.operators.text import lang_scores, quality_scores, tokens
 
@@ -866,5 +866,84 @@ def dsir_weights(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.round("_lw", 6).alias("log_weight"),
+        )
+    )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: per-training-doc MinHash-LSH
+    overlap with an evaluation set — the production complement to
+    ``contamination`` (exact shared shingles), which misses PARAPHRASED
+    leakage: an eval item lightly reworded into the crawl keeps a high
+    Jaccard but few exact 3-gram hits.  Output, for every train doc with
+    at least one eval near-match: (doc_id, n_eval_matches,
+    max_est_jaccard) with est_jaccard = fraction of agreeing minhash
+    positions (the same 16-permutation signature as the dedup ladder),
+    kept at >= ``est_threshold``.
+
+    Scale: the eval side is small by definition (benchmarks are
+    thousands of docs), so BOTH its band table and its signature table
+    broadcast — the training corpus is touched by exactly ONE
+    signature pass (persisted at the branch point: bands and the
+    agreement join both read it), one sub-quadratic (band, band_key)
+    equi-join, and one candidates-bounded signature-agreement join.
+    The corpus never shuffles on shingle or signature position.
+    Signatures per doc depend only on the doc's own text, so computing
+    them per-side is exactly equivalent to the oracle's
+    compute-then-filter — no cross-side coupling.
+    """
+    from dask_mwu_spark.operators.dedup import (
+        _band_keys_from_sig,
+        minhash_signatures,
+    )
+
+    n_perm = len(MINHASH_COEFFS)
+    sig_t = minhash_signatures(train, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_e = minhash_signatures(eval_docs, n=n)
+    bands_t = _band_keys_from_sig(sig_t)
+    bands_e = _band_keys_from_sig(sig_e).select(
+        F.col("doc_id").alias("eval_id"), "band", "band_key"
+    )
+    cand = (
+        bands_t.join(F.broadcast(bands_e), ["band", "band_key"])
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .distinct()
+    )
+    est = (
+        cand.join(
+            sig_t.select(F.col("doc_id").alias("train_id"), "i", F.col("minh").alias("mt")),
+            "train_id",
+        )
+        .join(
+            F.broadcast(
+                sig_e.select(
+                    F.col("doc_id").alias("eval_id"), "i", F.col("minh").alias("me")
+                )
+            ),
+            ["eval_id", "i"],
+        )
+        .groupBy("train_id", "eval_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mt") == F.col("me"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / n_perm,
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    return (
+        est.where(F.col("est_jaccard") >= est_threshold)
+        .groupBy(F.col("train_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
         )
     )

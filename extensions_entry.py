@@ -762,6 +762,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 5: Matryoshka prefix-dim recall harness over the ANN stack
         "sim_matryoshka_recall": lambda s, d: sim.matryoshka_recall(_emb(s, d)),
+        # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
+        # complement to cur_contamination, same every-50th-doc eval split
+        "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
+            _docs(s, d).where(F.col("doc_id") % 50 != 0),
+            _docs(s, d).where(F.col("doc_id") % 50 == 0),
+            est_threshold=0.25,
+        ),
     }
 
 
@@ -2608,6 +2615,30 @@ SELECT CAST({_p} AS INT) AS prefix_dims, CAST(10 AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
 FROM truth t LEFT JOIN a{_p} a ON t.q_id = a.q_id AND t.vec_id = a.vec_id""")
+    # round 5: fuzzy decontamination — signatures over ALL documents then
+    # doc_id%50 split at the band join (per-doc signatures depend only on
+    # the doc's own text, so compute-then-filter == per-side compute)
+    o["cur_fuzzy_contamination"] = f"""
+WITH {_BANDS_CTE.strip()},
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+  FROM bands t JOIN bands e ON t.band = e.band AND t.band_key = e.band_key
+  WHERE t.doc_id % 50 != 0 AND e.doc_id % 50 = 0
+),
+est AS (
+  SELECT train_id, eval_id,
+         ROUND(CAST(SUM(CASE WHEN st.minh = se.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig st ON st.doc_id = cand.train_id
+  JOIN sig se ON se.doc_id = cand.eval_id AND se.i = st.i
+  GROUP BY 1, 2
+),
+k AS (SELECT * FROM est WHERE est_jaccard >= 0.25)
+SELECT train_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       MAX(est_jaccard) AS max_est_jaccard
+FROM k GROUP BY 1
+"""
     o["sim_matryoshka_recall"] = (
         f"WITH {_VEC_CTE.strip()},\ntruth AS ({o['sim_cosine_topk']}),"
         + ",".join(_mat_ctes)

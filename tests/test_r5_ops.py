@@ -263,3 +263,50 @@ def test_matryoshka_default_three_rows(spark):
     assert sorted(out.prefix_dims) == [8, 16, 32]
     assert (out.n_truth == 50).all()  # 10 queries x 5 with 20 vectors? no:
     # 10 queries, k=5, 19 candidates each -> 5 kept: n_truth = 50
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_contamination_identical_doc(spark):
+    from dask_mwu_spark.operators.curation import fuzzy_contamination
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    train = _docs(spark, [(1, text, "en", "s", 1), (2, "a b c d e f g h", "en", "s", 1)])
+    ev = _docs(spark, [(100, text, "en", "s", 1)])
+    out = fuzzy_contamination(train, ev, est_threshold=0.5).toPandas()
+    assert list(out.doc_id) == [1]
+    assert out.iloc[0].n_eval_matches == 1
+    assert out.iloc[0].max_est_jaccard == 1.0
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    from dask_mwu_spark.operators.curation import (
+        contamination,
+        fuzzy_contamination,
+    )
+
+    # train doc 1 = eval doc with ONE word swapped mid-text: most 3-gram
+    # shingles survive, so the minhash estimate stays high while the doc
+    # is not an exact duplicate
+    base = [f"w{i}" for i in range(30)]
+    para = list(base)
+    para[15] = "SWAPPED"
+    train = _docs(spark, [(1, " ".join(para), "en", "s", 1)])
+    ev = _docs(spark, [(100, " ".join(base), "en", "s", 1)])
+    out = fuzzy_contamination(train, ev, est_threshold=0.5).toPandas()
+    assert list(out.doc_id) == [1]
+    assert 0.5 <= out.iloc[0].max_est_jaccard < 1.0
+    # sanity: the exact-shingle test ALSO flags it (shared shingles), but
+    # the fuzzy path is what quantifies how near-identical it is
+    assert contamination(train, ev).count() == 1
+
+
+def test_fuzzy_contamination_unrelated_docs_empty(spark):
+    from dask_mwu_spark.operators.curation import fuzzy_contamination
+
+    train = _docs(spark, [(1, " ".join(f"a{i}" for i in range(20)), "en", "s", 1)])
+    ev = _docs(spark, [(100, " ".join(f"b{i}" for i in range(20)), "en", "s", 1)])
+    assert fuzzy_contamination(train, ev, est_threshold=0.25).count() == 0

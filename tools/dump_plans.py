@@ -72,6 +72,7 @@ R4_EXTRAS = [
     "text_gopher_rules",
     "cur_dsir_weights",
     "sim_matryoshka_recall",
+    "cur_fuzzy_contamination",
 ]
 
 
