@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     # round-5: the REAL multimodal codec path (PNG/WAV/MJPNG decode in
     # Arrow-batched Python) — mm_decode_meta covers only the fake path
     "mm_real_decode_stats",
+    # round-5 curation additions: Gopher rule battery (pure codegen),
+    # DSIR importance weights (bigram explode + doc-keyed shuffle), fuzzy
+    # LSH decontamination (corpus signature pass + broadcast band join)
+    "text_gopher_rules",
+    "cur_dsir_weights",
+    "cur_fuzzy_contamination",
 ]
 
 
