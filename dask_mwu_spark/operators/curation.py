@@ -947,3 +947,50 @@ def fuzzy_contamination(
             F.max("est_jaccard").alias("max_est_jaccard"),
         )
     )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    k: int = 20,
+    n_buckets: int = N_DSIR_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The DSIR paper's RESAMPLING step composed end-to-end: an exact
+    weighted sample of ``k`` docs without replacement with inclusion
+    probability ∝ the importance weight exp(log_weight) from
+    ``dsir_weights``.
+
+    Log-domain Efraimidis-Spirakis: selecting the k LARGEST ln(u)/w is
+    equivalent (monotone transform, w > 0) to the k SMALLEST
+    ``key = ln(−ln u) − log_weight`` — the Gumbel-max form.  Working in
+    the log domain avoids materializing exp(log_weight) (which
+    over/underflows for strongly target-like/unlike docs) AND keeps the
+    key a sum of two doubles, so cross-engine parity needs no exp()
+    bit-agreement.  u derives from md5 of the salted id — deterministic
+    across engines, retries, partitionings.
+
+    Output: (doc_id, log_weight, key rounded 6, rank).  Docs with no
+    bigrams (NULL weight) have zero mass and are excluded.
+
+    Scale: dsir_weights' cost (one doc-keyed shuffle) + a pure row
+    expression + orderBy().limit(k) = TakeOrderedAndProject — zero
+    additional corpus shuffles.
+    """
+    lw = dsir_weights(docs, target, n_buckets=n_buckets)
+    u = (
+        md5_long(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        + 1.0
+    ) / float(1 << 60)
+    keyed = lw.where(F.col("log_weight").isNotNull()).withColumn(
+        "key", F.round(F.log(-F.log(u)) - F.col("log_weight"), 6) + F.lit(0.0)
+    )
+    order = [F.col("key").asc(), F.col("doc_id").asc()]
+    top = keyed.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # k rows only — post-limit
+    return top.select(
+        "doc_id", "log_weight", "key", F.row_number().over(w).alias("rank")
+    )

@@ -769,6 +769,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 50 == 0),
             est_threshold=0.25,
         ),
+        # round 5: the DSIR resampling step (log-domain Gumbel-max E-S
+        # sample proportional to the importance weight)
+        "cur_dsir_resample": lambda s, d: cur.dsir_resample(
+            _docs(s, d).where(F.col("doc_id") % 50 != 0),
+            _docs(s, d).where(F.col("doc_id") % 50 == 0),
+            k=20,
+        ),
     }
 
 
@@ -2585,6 +2592,22 @@ SELECT d.doc_id,
        ROUND(lw, 6) AS log_weight
 FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
 LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+    # round 5: DSIR resampling — composes the dsir oracle; log-domain
+    # Gumbel-max key keeps cross-engine parity exp()-free
+    o["cur_dsir_resample"] = f"""
+WITH dsir AS ({o["cur_dsir_weights"]}),
+keyed AS (
+  SELECT doc_id, log_weight,
+         ROUND(LN(-LN(({_MD5H.format(x="'dsir:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                      / 1152921504606846976.0))
+               - log_weight, 6) + 0.0 AS key
+  FROM dsir WHERE log_weight IS NOT NULL
+),
+top AS (SELECT * FROM keyed ORDER BY key ASC, doc_id ASC LIMIT 20)
+SELECT doc_id, log_weight, key,
+       CAST(ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS BIGINT) AS rank
+FROM top
 """
     # round 5: Matryoshka prefix-dim recall — one UNION ALL arm per prefix,
     # each the cosine_topk contract over vec[1:p]

@@ -128,6 +128,9 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # test_r4_ops/test_plans)
         "text_bm25_topk": {"global_window"},
         "cur_weighted_sample": {"global_window"},
+        # round 5: dsir_resample ranks ONLY the post-limit <= k-row head
+        # (TakeOrderedAndProject selects it — weighted_sample precedent)
+        "cur_dsir_resample": {"global_window"},
         # token_shards' unpartitioned window is the exclusive bucket-prefix
         # sum over the <= n_buckets-row TOTALS table (the corpus-side
         # cumsum window is partitioned by _bucket; equivalence to the

@@ -310,3 +310,47 @@ def test_fuzzy_contamination_unrelated_docs_empty(spark):
     train = _docs(spark, [(1, " ".join(f"a{i}" for i in range(20)), "en", "s", 1)])
     ev = _docs(spark, [(100, " ".join(f"b{i}" for i in range(20)), "en", "s", 1)])
     assert fuzzy_contamination(train, ev, est_threshold=0.25).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_resample_matches_exp_domain_reference(spark):
+    from dask_mwu_spark.operators.curation import dsir_resample
+
+    raw = [(i, f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4}") for i in range(1, 30)]
+    target = [(100, "w0 w1 w2 w0 w1")]
+    out = dsir_resample(
+        _docs(spark, [(i, t, "en", "s", 1) for i, t in raw]),
+        _docs(spark, [(i, t, "en", "s", 1) for i, t in target]),
+        k=5,
+    ).toPandas()
+    # independent exp-domain reference: key_es = ln(u)/exp(lw), select k
+    # LARGEST == the operator's k smallest ln(-ln u) - lw
+    expected = _dsir_reference(raw, target)
+    keys = {}
+    for doc_id, (_, lw) in expected.items():
+        if lw is None:
+            continue
+        u = (
+            int(hashlib.md5(f"dsir:{doc_id}".encode()).hexdigest()[:15], 16) + 1.0
+        ) / float(1 << 60)
+        keys[doc_id] = math.log(u) / math.exp(lw)
+    ref_ids = [
+        d for d, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    assert list(out.doc_id) == ref_ids
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_dsir_resample_excludes_zero_bigram_docs(spark):
+    from dask_mwu_spark.operators.curation import dsir_resample
+
+    out = dsir_resample(
+        _docs(spark, [(1, "single", "en", "s", 1), (2, "x y z", "en", "s", 1)]),
+        _docs(spark, [(100, "x y", "en", "s", 1)]),
+        k=10,
+    ).toPandas()
+    assert list(out.doc_id) == [2]

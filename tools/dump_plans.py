@@ -73,6 +73,7 @@ R4_EXTRAS = [
     "cur_dsir_weights",
     "sim_matryoshka_recall",
     "cur_fuzzy_contamination",
+    "cur_dsir_resample",
 ]
 
 
