@@ -141,3 +141,44 @@ def test_bloom_on_empty_keys(spark):
     # empty key set -> empty bit table -> nothing passes, nothing crashes
     assert build_bloom(none, "k").count() == 0
     assert bloom_semi_join(big, none, on="k").count() == 0
+
+
+def test_r5_family_on_empty(spark, empty_docs, one_doc):
+    from dask_mwu_spark.operators.curation import (
+        dsir_resample,
+        dsir_weights,
+        fuzzy_contamination,
+    )
+    from dask_mwu_spark.operators.text import gopher_rules
+
+    assert gopher_rules(empty_docs).count() == 0
+    # empty raw corpus (and empty target): no rows, no /0, no LN(0)
+    assert dsir_weights(empty_docs, one_doc).count() == 0
+    assert dsir_weights(one_doc, empty_docs).count() == 1
+    assert dsir_resample(empty_docs, one_doc).count() == 0
+    # empty eval set: no candidates, empty result — not an error
+    assert fuzzy_contamination(one_doc, empty_docs).count() == 0
+    assert fuzzy_contamination(empty_docs, one_doc).count() == 0
+
+
+def test_r5_matryoshka_on_tiny(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dask_mwu_spark.operators.similarity import matryoshka_recall
+
+    # fewer vectors than k: n_truth < n_queries*k, recall still defined
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 64))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(4),
+                "embedding": [v.astype(np.float32).tolist() for v in base],
+                "label": [0] * 4,
+            }
+        )
+    )
+    out = matryoshka_recall(emb, prefix_dims=(64,), n_queries=2, k=5).toPandas()
+    assert out.iloc[0].n_truth == 6  # 2 queries x 3 candidates each
+    assert out.iloc[0].recall == 1.0

@@ -354,3 +354,59 @@ def test_dsir_resample_excludes_zero_bigram_docs(spark):
         k=10,
     ).toPandas()
     assert list(out.doc_id) == [2]
+
+
+def test_fuzzy_contamination_partition_invariant(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from dask_mwu_spark.operators.curation import fuzzy_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.where(F.col("doc_id") % 50 != 0)
+    tgt = docs.where(F.col("doc_id") % 50 == 0)
+    a = (
+        fuzzy_contamination(raw, tgt, est_threshold=0.25)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        fuzzy_contamination(raw.repartition(17), tgt.repartition(2), est_threshold=0.25)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gopher_rules_streaming_twin(spark, tmp_path):
+    """gopher_rules is stateless row work, so it runs unchanged on a
+    streaming DataFrame — the curation filter belongs in the ingest path,
+    not only in batch sweeps.  stream(AvailableNow) == batch."""
+    import pyspark.sql.functions as F
+
+    from dask_mwu_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, " ".join(["the", "and", "that", "have", "with"] * 10), "en", "s", 1),
+        (2, "too short", "en", "s", 1),
+    ]
+    src = str(tmp_path / "src")
+    batch_df = _docs(spark, rows)
+    batch_df.write.parquet(src)
+    batch = gopher_rules(spark.read.parquet(src)).toPandas().sort_values("doc_id")
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(src)
+    )
+    q = (
+        gopher_rules(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM gopher_stream").toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True), got.reset_index(drop=True)
+    )
