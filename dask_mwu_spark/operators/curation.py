@@ -905,7 +905,13 @@ def fuzzy_contamination(
 
     n_perm = len(MINHASH_COEFFS)
     sig_t = minhash_signatures(train, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig_e = minhash_signatures(eval_docs, n=n)
+    # the eval signature table is tiny, but it feeds TWO broadcast
+    # consumers (its band table and the agreement join) — unpersisted,
+    # each broadcast job re-runs the eval shingle+minhash dataflow AND
+    # re-scans the source (a doc_id predicate prunes no row groups)
+    sig_e = minhash_signatures(eval_docs, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands_t = _band_keys_from_sig(sig_t)
     bands_e = _band_keys_from_sig(sig_e).select(
         F.col("doc_id").alias("eval_id"), "band", "band_key"
@@ -979,12 +985,21 @@ def dsir_resample(
     additional corpus shuffles.
     """
     lw = dsir_weights(docs, target, n_buckets=n_buckets)
-    u = (
-        md5_long(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))).cast(
-            "double"
+    # clamp u strictly below 1.0: md5_long values within 64 of 2^60 round
+    # UP under double conversion, making u exactly 1.0 — then ln(-ln u) is
+    # ln(0), which Spark NULLs (sorting FIRST) while DuckDB yields -inf.
+    # 1 - 2^-53 is the largest double below 1; probability ~6e-17/doc but
+    # the clamp removes the knife-edge on both engines identically.
+    u = F.least(
+        (
+            md5_long(
+                F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))
+            ).cast("double")
+            + 1.0
         )
-        + 1.0
-    ) / float(1 << 60)
+        / float(1 << 60),
+        F.lit(0.9999999999999999),
+    )
     keyed = lw.where(F.col("log_weight").isNotNull()).withColumn(
         "key", F.round(F.log(-F.log(u)) - F.col("log_weight"), 6) + F.lit(0.0)
     )

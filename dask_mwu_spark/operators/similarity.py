@@ -113,19 +113,20 @@ def random_projection(emb: DataFrame, *, k: int = 16) -> DataFrame:
     )
 
 
-def cosine_topk(
-    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+def _brute_topk(
+    vecs: DataFrame, *, n_queries: int, k: int, vec_col: str = "vec",
+    nrm_col: str = "nrm",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: queries = the ``n_queries`` smallest
-    vec_ids, candidates = every other vector.  Output
-    (q_id, vec_id, cosine) with cosine rounded to 6 (cross-engine float-sum
-    tolerance); ranking uses the rounded value + vec_id tiebreak so the
-    selected set is deterministic."""
-    vecs = _with_vec(emb)
+    """Shared brute-force top-k contract over a prepared
+    ``(vec_id, <vec_col>, <nrm_col>)`` frame: queries = the ``n_queries``
+    smallest vec_ids (broadcast), cosine rounded to 6 BEFORE ranking,
+    vec_id tiebreak.  One definition so the full-width truth and any
+    sliced/transformed variant (matryoshka_recall) can never
+    desynchronize on the rounding/tiebreak contract."""
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(nrm_col).alias("q_nrm"),
     )
     scored = (
         vecs.crossJoin(F.broadcast(queries))
@@ -134,7 +135,9 @@ def cosine_topk(
             "q_id",
             "vec_id",
             F.round(
-                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")), 6
+                dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col(nrm_col) * F.col("q_nrm")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -144,6 +147,17 @@ def cosine_topk(
         .where(F.col("_rn") <= k)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+def cosine_topk(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact brute-force cosine top-k: queries = the ``n_queries`` smallest
+    vec_ids, candidates = every other vector.  Output
+    (q_id, vec_id, cosine) with cosine rounded to 6 (cross-engine float-sum
+    tolerance); ranking uses the rounded value + vec_id tiebreak so the
+    selected set is deterministic."""
+    return _brute_topk(_with_vec(emb), n_queries=n_queries, k=k)
 
 
 def lsh_buckets(
@@ -794,11 +808,19 @@ def matryoshka_recall(
     vectors INSIDE an IVF/LSH probe).  Slicing is ``F.slice`` on the
     array column — a row expression, no extra shuffle.
 
-    Cross-engine exactness: cosines rounded to 6 before ranking with
-    vec_id tiebreak (same contract as cosine_topk); hit counts are exact
-    BIGINTs.
+    Cross-engine exactness: the ranking (rounded-cosine + vec_id
+    tiebreak) is literally ``_brute_topk`` — the SAME code path as the
+    full-width truth, so the two sides of the harness cannot
+    desynchronize; hit counts are exact BIGINTs.  The tiny truth head
+    (<= n_queries·k rows) is persisted at the branch point so the
+    expensive full-width brute-force subtree runs ONCE, not once per
+    prefix arm.
     """
-    truth = cosine_topk(emb, n_queries=n_queries, k=k).select("q_id", "vec_id")
+    truth = (
+        cosine_topk(emb, n_queries=n_queries, k=k)
+        .select("q_id", "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vecs = _with_vec(emb)
     per_prefix = []
     for p in prefix_dims:
@@ -806,32 +828,9 @@ def matryoshka_recall(
             "vec_id",
             F.slice("vec", 1, p).alias("pvec"),
         ).withColumn("pnrm", norm(F.col("pvec")))
-        queries = pv.where(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("pvec").alias("q_vec"),
-            F.col("pnrm").alias("q_nrm"),
-        )
-        scored = (
-            pv.crossJoin(F.broadcast(queries))
-            .where(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id",
-                "vec_id",
-                F.round(
-                    dot(F.col("pvec"), F.col("q_vec"))
-                    / (F.col("pnrm") * F.col("q_nrm")),
-                    6,
-                ).alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cosine").desc(), F.col("vec_id").asc()
-        )
-        approx = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k)
-            .select("q_id", "vec_id", F.lit(1).alias("_hit"))
-        )
+        approx = _brute_topk(
+            pv, n_queries=n_queries, k=k, vec_col="pvec", nrm_col="pnrm"
+        ).select("q_id", "vec_id", F.lit(1).alias("_hit"))
         agg = (
             truth.join(approx, ["q_id", "vec_id"], "left")
             .agg(

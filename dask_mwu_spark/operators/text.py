@@ -913,9 +913,12 @@ def gopher_rules(
 
     - word count in [``min_words``, ``max_words``]
     - mean word length in [``min_mean_word_len``, ``max_mean_word_len``]
-    - '#'-or-'...' symbol-to-word ratio <= ``max_symbol_ratio``
-    - < ``max_bullet_ratio`` of lines starting with a bullet and
-      < ``max_ellipsis_ratio`` ending with an ellipsis
+    - '#'-or-ellipsis ('...' or '…') symbol-to-word ratio
+      <= ``max_symbol_ratio``
+    - <= ``max_bullet_ratio`` of lines starting with a bullet and
+      <= ``max_ellipsis_ratio`` ending with an ellipsis ('...' or '…') —
+      the paper removes docs STRICTLY ABOVE the thresholds, so boundary
+      docs are kept
     - >= ``min_alpha_word_ratio`` of words containing an alphabetic char
     - >= GOPHER_MIN_STOP_HITS distinct words from the paper's 8-word
       required list present
@@ -939,9 +942,13 @@ def gopher_rules(
         F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     )
     hash_cnt = n_chars - F.length(F.translate("text", "#", ""))
+    # the paper's ellipsis is the unicode '…'; web text mostly types '...'
+    # — count both ('…' is one char; '.../3' recovers the occurrence count)
     ellipsis_cnt = (
         n_chars - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / F.lit(3)
+    ) / F.lit(3) + (
+        n_chars - F.length(F.translate("text", "…", ""))
+    ).cast("double")
     lines = F.split("text", "\n")
     n_lines = F.size(lines)
     bullet_lines = F.size(
@@ -950,7 +957,9 @@ def gopher_rules(
             lambda l: l.startswith("•") | l.startswith("- ") | l.startswith("* "),
         )
     )
-    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
     alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
     stop_hits = F.size(
         F.array_intersect(
@@ -989,8 +998,9 @@ def gopher_rules(
         "r_mean_word_len",
     )
     r_sym = flag(F.col("symbol_ratio") <= max_symbol_ratio, "r_symbol")
-    r_bul = flag(F.col("bullet_ratio") < max_bullet_ratio, "r_bullet")
-    r_ell = flag(F.col("ellipsis_ratio") < max_ellipsis_ratio, "r_ellipsis")
+    # paper semantics: REMOVE if strictly above the threshold → keep at <=
+    r_bul = flag(F.col("bullet_ratio") <= max_bullet_ratio, "r_bullet")
+    r_ell = flag(F.col("ellipsis_ratio") <= max_ellipsis_ratio, "r_ellipsis")
     r_alp = flag(
         F.col("alpha_word_ratio") >= min_alpha_word_ratio, "r_alpha_words"
     )

@@ -2516,9 +2516,10 @@ m AS (
          CAST(len(toks) AS BIGINT) AS n_words,
          ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks), 6) AS mean_word_len,
          ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-                + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / len(toks), 6) AS symbol_ratio,
+                + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3
+                + CAST(length(text) - length(replace(text, '…', '')) AS DOUBLE)) / len(toks), 6) AS symbol_ratio,
          ROUND(CAST(len(list_filter(lines, x -> starts_with(x, '•') OR starts_with(x, '- ') OR starts_with(x, '* '))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
-         ROUND(CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
+         ROUND(CAST(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
          ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_word_ratio,
          CAST(len(list_intersect(list_distinct(toks), [{_stop}])) AS BIGINT) AS n_stop_hits
   FROM t
@@ -2528,8 +2529,8 @@ r AS (
          CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS r_word_count,
          CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
          CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT) AS r_symbol,
-         CAST(CASE WHEN bullet_ratio < 0.9 THEN 1 ELSE 0 END AS INT) AS r_bullet,
-         CAST(CASE WHEN ellipsis_ratio < 0.3 THEN 1 ELSE 0 END AS INT) AS r_ellipsis,
+         CAST(CASE WHEN bullet_ratio <= 0.9 THEN 1 ELSE 0 END AS INT) AS r_bullet,
+         CAST(CASE WHEN ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END AS INT) AS r_ellipsis,
          CAST(CASE WHEN alpha_word_ratio >= 0.8 THEN 1 ELSE 0 END AS INT) AS r_alpha_words,
          CAST(CASE WHEN n_stop_hits >= {tx.GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END AS INT) AS r_stopwords
   FROM m
@@ -2599,8 +2600,8 @@ LEFT JOIN per ON d.doc_id = per.doc_id
 WITH dsir AS ({o["cur_dsir_weights"]}),
 keyed AS (
   SELECT doc_id, log_weight,
-         ROUND(LN(-LN(({_MD5H.format(x="'dsir:' || CAST(doc_id AS VARCHAR)")} + 1.0)
-                      / 1152921504606846976.0))
+         ROUND(LN(-LN(LEAST(({_MD5H.format(x="'dsir:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                            / 1152921504606846976.0, 0.9999999999999999)))
                - log_weight, 6) + 0.0 AS key
   FROM dsir WHERE log_weight IS NOT NULL
 ),

@@ -91,15 +91,33 @@ def test_gopher_symbol_ratio(spark):
 
 
 def test_gopher_line_rules(spark):
-    # 4 lines: 2 bullets (0.5 < 0.9 passes), 2 ellipsis-terminated
-    # (0.5 >= 0.3 fails)
-    text = "• one two\n- three four\nplain line...\nmore text..."
+    # 4 lines: 2 bullets (0.5 <= 0.9 passes), 2 ellipsis-terminated
+    # (0.5 > 0.3 fails); unicode '…' counts as an ellipsis termination
+    text = "• one two\n- three four\nplain line...\nmore text…"
     out = gopher_rules(_docs(spark, [(1, text, "en", "s", 1)])).toPandas()
     row = out.iloc[0]
     assert row.bullet_ratio == 0.5
     assert row.r_bullet == 1
     assert row.ellipsis_ratio == 0.5
     assert row.r_ellipsis == 0
+
+
+def test_gopher_line_rules_keep_boundary_docs(spark):
+    # the paper REMOVES strictly above the thresholds, so a doc exactly AT
+    # 30% ellipsis lines (3 of 10) and 90% bullet lines (9 of 10) is kept
+    ell = "\n".join(["plain words here"] * 7 + ["tail..."] * 3)
+    bul = "\n".join(["- item words"] * 9 + ["plain closing line"])
+    out = (
+        gopher_rules(
+            _docs(spark, [(1, ell, "en", "s", 1), (2, bul, "en", "s", 1)])
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "ellipsis_ratio"] == 0.3
+    assert out.loc[1, "r_ellipsis"] == 1
+    assert out.loc[2, "bullet_ratio"] == 0.9
+    assert out.loc[2, "r_bullet"] == 1
 
 
 def test_gopher_stopword_requirement(spark):

@@ -87,8 +87,9 @@ def main():
         timed(f"dsir_weights_{n}", cur.dsir_weights(raw, tgt), {"n_docs": n})
 
     # fuzzy decontamination: FIXED eval set (n_docs//200 docs), growing
-    # train corpus — the production shape
-    eval_n = max(1000, n_docs // 200)
+    # train corpus — the production shape.  Clamp so the n/4 probe corpus
+    # still has a non-empty train side for small CLI n_docs.
+    eval_n = min(max(1000, n_docs // 200), n_docs // 8)
     for n in (n_docs // 4, n_docs):
         docs = synth_docs(spark, n)
         raw = docs.where(F.col("doc_id") >= eval_n)
