@@ -776,6 +776,20 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 50 == 0),
             k=20,
         ),
+        # round 5: per-rule kill counts over the Gopher battery — the
+        # tuning table showing which rule costs which corpus share (ONE
+        # map-side-combinable aggregate over the zero-shuffle rule scan)
+        "text_gopher_funnel": lambda s, d: tx.gopher_rules(_docs(s, d)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(1 - F.col(r)).cast("long").alias(f"kill_{r[2:]}")
+                for r in (
+                    "r_word_count", "r_mean_word_len", "r_symbol",
+                    "r_bullet", "r_ellipsis", "r_alpha_words", "r_stopwords",
+                )
+            ],
+            F.sum("keep").cast("long").alias("n_keep"),
+        ),
     }
 
 
@@ -2539,6 +2553,20 @@ SELECT *,
        CAST(r_word_count * r_mean_word_len * r_symbol * r_bullet * r_ellipsis
             * r_alpha_words * r_stopwords AS INT) AS keep
 FROM r
+"""
+    # round 5: gopher funnel — one aggregate over the rule battery
+    o["text_gopher_funnel"] = f"""
+WITH g AS ({o["text_gopher_rules"]})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1 - r_word_count) AS BIGINT) AS kill_word_count,
+       CAST(SUM(1 - r_mean_word_len) AS BIGINT) AS kill_mean_word_len,
+       CAST(SUM(1 - r_symbol) AS BIGINT) AS kill_symbol,
+       CAST(SUM(1 - r_bullet) AS BIGINT) AS kill_bullet,
+       CAST(SUM(1 - r_ellipsis) AS BIGINT) AS kill_ellipsis,
+       CAST(SUM(1 - r_alpha_words) AS BIGINT) AS kill_alpha_words,
+       CAST(SUM(1 - r_stopwords) AS BIGINT) AS kill_stopwords,
+       CAST(SUM(keep) AS BIGINT) AS n_keep
+FROM g
 """
     # round 5: DSIR — identical md5 buckets, exact integer counts, per-doc
     # fold in ascending bucket order (list(... ORDER BY bucket))
