@@ -854,3 +854,143 @@ def matryoshka_recall(
     for nxt in per_prefix[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou et al., TPAMI 2011
+# ---------------------------------------------------------------------------
+
+N_PQ_SUB = 8          # subspaces (64 dims -> 8 x 8)
+PQ_SUB_DIM = EMB_DIM // N_PQ_SUB
+N_PQ_CENTROIDS = 16   # 4-bit codes per subspace
+# LCG offset far past every LSH table (tables use [0, t*16)) and the
+# random-projection rows (_RP_OFFSET = 10_000)
+_PQ_OFFSET = 20_000
+
+
+def pq_codebook(s: int, c: int) -> list[float]:
+    """Centroid ``c`` of subspace ``s`` — deterministic doubles from the
+    module LCG, so the Spark plan, the DuckDB oracle, and pytest rebuild
+    bit-identical codebooks.  A real deployment plugs k-means-trained
+    codebooks in instead (same plan; see ``clf_weights`` precedent)."""
+    return [
+        plane_weight(_PQ_OFFSET + s * N_PQ_CENTROIDS + c, d)
+        for d in range(PQ_SUB_DIM)
+    ]
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """PQ encoding: (vec_id, s, code) — per subspace, the 0-based index of
+    the nearest codebook centroid (squared L2, distances ROUNDED to 6
+    before the argmin, first-min tiebreak → engine-identical codes).
+
+    Scale: pure per-row expression work — the 8x16 codebook rides as plan
+    literals (~8 KB), each vector evaluates 128 eight-term squared
+    distances inside whole-stage codegen, zero shuffle, zero Python.
+    The 4-bit-per-subspace code compresses a 64-dim float vector 64x —
+    the memory-bound ANN representation for corpora whose float vectors
+    do not fit the cluster (Jégou et al., TPAMI 2011).
+    """
+    vecs = _with_vec(emb)
+    code_cols = []
+    for s in range(N_PQ_SUB):
+        sub = F.slice(F.col("vec"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        dists = F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(w) for w in pq_codebook(s, c)]),
+                            lambda x, w: (x - w) * (x - w),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                    6,
+                )
+                for c in range(N_PQ_CENTROIDS)
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return vecs.select(
+        "vec_id", F.posexplode(F.array(*code_cols)).alias("s", "code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    candidates are scored through their 4-bit codes via a per-query
+    lookup table — ``score(q, x) ≈ <q, x> = Σ_s lut[q][s][code_s(x)]``
+    with ``lut[q][s][c] = <q_s, centroid_{s,c}>``.  Output
+    (q_id, vec_id, score) with score rounded to 6, ranked score desc +
+    vec_id tiebreak.
+
+    Scale: the LUT is ``n_queries x 8 x 16`` rows — a bounded BROADCAST;
+    candidates contribute their 8-row code table to ONE (s, code)
+    equi-join against it (key domain 128 — uniform by construction) and
+    one (q_id, vec_id)-keyed aggregation whose per-group state is 8
+    entries.  The corpus is touched once to encode; the float vectors
+    never join — this is exactly the memory shape that lets PQ serve
+    1e9-vector indexes from RAM.  Exactness: every LUT partial is the
+    same in-order 8-term double fold on both engines; the per-pair sum
+    folds in subspace order (sort_array) — deterministic on any
+    engine/partitioning.
+    """
+    codes = pq_encode(emb)
+    vecs = _with_vec(emb)
+    lut_rows = []
+    for s in range(N_PQ_SUB):
+        sub = F.slice(F.col("vec"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        partials = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(w) for w in pq_codebook(s, c)]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                for c in range(N_PQ_CENTROIDS)
+            ]
+        )
+        lut_rows.append(partials)
+    lut = (
+        vecs.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(F.array(*lut_rows)).alias("s", "partials"),
+        )
+        .select(
+            "q_id", "s", F.posexplode("partials").alias("code", "partial")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("s", "partial"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["partial"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "score")
+    )

@@ -762,6 +762,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 5: Matryoshka prefix-dim recall harness over the ANN stack
         "sim_matryoshka_recall": lambda s, d: sim.matryoshka_recall(_emb(s, d)),
+        # round 5: product-quantization ADC top-k (Jégou et al. 2011) —
+        # the memory-bound ANN path: 4-bit codes + per-query LUT join
+        "sim_pq_topk": lambda s, d: sim.pq_topk(_emb(s, d)),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -2554,6 +2557,57 @@ SELECT *,
             * r_alpha_words * r_stopwords AS INT) AS keep
 FROM r
 """
+    # round 5: PQ/ADC — literal codebooks from the module LCG; encode arms
+    # UNION per subspace (round-6 dists, list_position first-min argmin ==
+    # Spark array_position), LUT via zipped unnest/generate_subscripts,
+    # per-pair score folded in subspace order
+    _pq_code_arms = []
+    _pq_lut_arms = []
+    for _s in range(sim.N_PQ_SUB):
+        _dists = []
+        _parts = []
+        for _c in range(sim.N_PQ_CENTROIDS):
+            _cb = sim.pq_codebook(_s, _c)
+            _d = " + ".join(
+                f"(vec[{_s * sim.PQ_SUB_DIM + _d2 + 1}] - {_cb[_d2]!r})"
+                f" * (vec[{_s * sim.PQ_SUB_DIM + _d2 + 1}] - {_cb[_d2]!r})"
+                for _d2 in range(sim.PQ_SUB_DIM)
+            )
+            _dists.append(f"ROUND({_d}, 6)")
+            _p = " + ".join(
+                f"vec[{_s * sim.PQ_SUB_DIM + _d2 + 1}] * {_cb[_d2]!r}"
+                for _d2 in range(sim.PQ_SUB_DIM)
+            )
+            _parts.append(f"({_p})")
+        _dl = "[" + ", ".join(_dists) + "]"
+        _pq_code_arms.append(f"""
+  SELECT vec_id, {_s} AS s,
+         CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS code
+  FROM (SELECT vec_id, {_dl} AS dl FROM nv)""")
+        _pl = "[" + ", ".join(_parts) + "]"
+        _pq_lut_arms.append(f"""
+  SELECT q_id, {_s} AS s,
+         CAST(generate_subscripts({_pl}, 1) - 1 AS INT) AS code,
+         unnest({_pl}) AS partial
+  FROM pqq""")
+    o["sim_pq_topk"] = (
+        f"WITH {_VEC_CTE.strip()},\n"
+        + "codes AS (" + "\n  UNION ALL".join(_pq_code_arms) + "\n),\n"
+        + "pqq AS (SELECT vec_id AS q_id, vec FROM nv WHERE vec_id < 10),\n"
+        + "lut AS (" + "\n  UNION ALL".join(_pq_lut_arms) + "\n),\n"
+        + """est AS (
+  SELECT lut.q_id, codes.vec_id,
+         ROUND(list_aggregate(list(partial ORDER BY s), 'sum'), 6) AS score
+  FROM codes JOIN lut USING (s, code)
+  WHERE codes.vec_id != lut.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM est
+) WHERE rn <= 5
+"""
+    )
     # round 5: gopher funnel — one aggregate over the rule battery
     o["text_gopher_funnel"] = f"""
 WITH g AS ({o["text_gopher_rules"]})

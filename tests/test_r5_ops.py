@@ -428,3 +428,66 @@ def test_gopher_rules_streaming_twin(spark, tmp_path):
     pd.testing.assert_frame_equal(
         batch.reset_index(drop=True), got.reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    from dask_mwu_spark.operators.similarity import (
+        N_PQ_CENTROIDS,
+        N_PQ_SUB,
+        PQ_SUB_DIM,
+        pq_codebook,
+        pq_encode,
+    )
+
+    base = rng.normal(size=(12, 64))
+    out = pq_encode(_emb(spark, base)).toPandas()
+    assert len(out) == 12 * N_PQ_SUB
+    assert out.code.between(0, N_PQ_CENTROIDS - 1).all()
+    f = base.astype(np.float32).astype(np.float64)
+    for row in out.itertuples():
+        sub = f[row.vec_id, row.s * PQ_SUB_DIM : (row.s + 1) * PQ_SUB_DIM]
+        dists = [
+            round(sum((sub[d] - w) ** 2 for d, w in enumerate(pq_codebook(row.s, c))), 6)
+            for c in range(N_PQ_CENTROIDS)
+        ]
+        assert row.code == dists.index(min(dists))
+
+
+def test_pq_identical_vectors_identical_codes(spark):
+    from dask_mwu_spark.operators.similarity import pq_encode
+
+    base = rng.normal(size=(6, 64))
+    base[4] = base[1]
+    out = pq_encode(_emb(spark, base)).toPandas()
+    c1 = out[out.vec_id == 1].sort_values("s").code.tolist()
+    c4 = out[out.vec_id == 4].sort_values("s").code.tolist()
+    assert c1 == c4
+
+
+def test_pq_topk_score_is_adc_sum(spark):
+    from dask_mwu_spark.operators.similarity import (
+        N_PQ_SUB,
+        PQ_SUB_DIM,
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    base = rng.normal(size=(15, 64))
+    emb = _emb(spark, base)
+    codes = pq_encode(emb).toPandas().set_index(["vec_id", "s"]).code
+    out = pq_topk(emb, n_queries=2, k=4).toPandas()
+    f = base.astype(np.float32).astype(np.float64)
+    for row in out.itertuples():
+        expected = 0.0
+        for s in range(N_PQ_SUB):
+            q_sub = f[row.q_id, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+            cb = pq_codebook(s, codes.loc[(row.vec_id, s)])
+            expected += sum(q * w for q, w in zip(q_sub, cb))
+        assert abs(row.score - round(expected, 6)) < 1e-9
+    assert (out.groupby("q_id").size() == 4).all()

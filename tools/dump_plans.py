@@ -74,6 +74,7 @@ R4_EXTRAS = [
     "sim_matryoshka_recall",
     "cur_fuzzy_contamination",
     "cur_dsir_resample",
+    "sim_pq_topk",
 ]
 
 
