@@ -679,13 +679,21 @@ def dimension_stats(emb: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
 
 
 def ann_recall_eval(
-    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    approx: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-query recall@k of the LSH ANN path against the exact
-    brute-force ground truth: ``(q_id, n_truth, n_approx, n_hit,
-    recall)``.  The evaluation harness for ANN parameter tuning
-    (n_planes/table count): run on a sample, read the recall, decide the
-    bucket budget — instead of discovering recall loss in production.
+    """Per-query recall@k of an ANN path against the exact brute-force
+    ground truth: ``(q_id, n_truth, n_approx, n_hit, recall)``.  The
+    evaluation harness for ANN parameter tuning (n_planes/table count,
+    PQ codebook budget): run on a sample, read the recall, decide —
+    instead of discovering recall loss in production.
+
+    ``approx`` is any (q_id, vec_id) candidate head; default is the
+    single-table LSH path.  ``sim_pq_recall`` passes ``pq_topk`` through
+    the same harness.
 
     Scale: the ground truth side is the brute-force cross join — bounded
     by ``n_queries`` (broadcast), so the harness costs one corpus scan
@@ -695,9 +703,9 @@ def ann_recall_eval(
     join), which is exactly the signal the harness exists to surface.
     """
     truth = cosine_topk(emb, n_queries=n_queries, k=k).select("q_id", "vec_id")
-    approx = lsh_cosine_topk(emb, n_queries=n_queries, k=k).select(
-        "q_id", "vec_id", F.lit(1).alias("_hit")
-    )
+    if approx is None:
+        approx = lsh_cosine_topk(emb, n_queries=n_queries, k=k)
+    approx = approx.select("q_id", "vec_id", F.lit(1).alias("_hit"))
     per_q = (
         truth.join(approx.select("q_id", "vec_id", "_hit"), ["q_id", "vec_id"], "left")
         .groupBy("q_id")

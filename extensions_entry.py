@@ -765,6 +765,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: product-quantization ADC top-k (Jégou et al. 2011) —
         # the memory-bound ANN path: 4-bit codes + per-query LUT join
         "sim_pq_topk": lambda s, d: sim.pq_topk(_emb(s, d)),
+        # round 5: PQ recall@k through the shared harness — what the 64x
+        # compression costs in recall, measured before deploying it
+        "sim_pq_recall": lambda s, d: sim.ann_recall_eval(
+            _emb(s, d), approx=sim.pq_topk(_emb(s, d)).select("q_id", "vec_id")
+        ),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -2333,6 +2338,9 @@ SELECT p.q_id, p.n_truth, COALESCE(n.n_approx, 0) AS n_approx, p.n_hit,
        ROUND(CAST(p.n_hit AS DOUBLE) / p.n_truth, 6) AS recall
 FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
 """
+    # round 5: PQ recall — same harness SQL, approx = the PQ oracle.
+    # (Defined later in this function, after o["sim_pq_topk"] exists —
+    # see the assignment below the PQ oracle block.)
     o["events_two_phase_agg"] = """
 SELECT event_type,
        MAX(value) AS max_value,
@@ -2608,6 +2616,22 @@ SELECT q_id, vec_id, score FROM (
 ) WHERE rn <= 5
 """
     )
+    # round 5: PQ recall@k — harness SQL with approx = the PQ oracle
+    o["sim_pq_recall"] = f"""
+WITH truth AS ({o["sim_cosine_topk"]}),
+approx AS ({o["sim_pq_topk"]}),
+per_q AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+),
+napp AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1)
+SELECT p.q_id, p.n_truth, COALESCE(n.n_approx, 0) AS n_approx, p.n_hit,
+       ROUND(CAST(p.n_hit AS DOUBLE) / p.n_truth, 6) AS recall
+FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
+"""
     # round 5: gopher funnel — one aggregate over the rule battery
     o["text_gopher_funnel"] = f"""
 WITH g AS ({o["text_gopher_rules"]})

@@ -115,6 +115,9 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # ann_recall_eval's ground-truth side IS the brute-force baseline
         # (that is the point of the harness); the approx side is bucketed
         "sim_ann_recall": {"nested_loop"},
+        # round 5: pq_recall's TRUTH side is the brute-force baseline
+        # (sim_ann_recall precedent); the PQ side is a bounded LUT join
+        "sim_pq_recall": {"nested_loop"},
         # round 5: the Matryoshka harness is N brute-force arms by design
         # (full-dim truth + one prefix-sliced scan per prefix, all against
         # the bounded broadcast query set — sim_ann_recall precedent)

@@ -75,6 +75,7 @@ R4_EXTRAS = [
     "cur_fuzzy_contamination",
     "cur_dsir_resample",
     "sim_pq_topk",
+    "sim_pq_recall",
 ]
 
 
