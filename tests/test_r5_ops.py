@@ -491,3 +491,29 @@ def test_pq_topk_score_is_adc_sum(spark):
             expected += sum(q * w for q, w in zip(q_sub, cb))
         assert abs(row.score - round(expected, 6)) < 1e-9
     assert (out.groupby("q_id").size() == 4).all()
+
+
+def test_pq_recall_high_when_vectors_are_quantizable(spark):
+    """With vectors built AS concatenations of codebook centroids (+ tiny
+    noise), quantization error is ~0 and the ADC ranking must recover the
+    exact top-k — proving the machinery is sound and that low recall on
+    random data measures codebook fit, not a harness defect."""
+    from dask_mwu_spark.operators.similarity import (
+        N_PQ_SUB,
+        ann_recall_eval,
+        pq_codebook,
+        pq_topk,
+    )
+
+    local = np.random.default_rng(5)
+    vecs = []
+    for _ in range(40):
+        parts = [
+            np.array(pq_codebook(s, int(local.integers(16)))) for s in range(N_PQ_SUB)
+        ]
+        vecs.append(np.concatenate(parts) + local.normal(scale=1e-4, size=64))
+    emb = _emb(spark, np.array(vecs))
+    out = ann_recall_eval(
+        emb, n_queries=5, k=3, approx=pq_topk(emb, n_queries=5, k=3).select("q_id", "vec_id")
+    ).toPandas()
+    assert out.recall.mean() >= 0.8
