@@ -928,6 +928,41 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_lut(vecs: DataFrame, *, n_queries: int) -> DataFrame:
+    """Per-query ADC lookup table (q_id, s, code, partial) with
+    ``partial = <q_sub_s, centroid_{s,code}>`` — n_queries x 8 x 16 rows,
+    always broadcast.  One definition shared by ``pq_topk`` and
+    ``ivf_pq_topk`` so the ADC contract cannot drift between them."""
+    lut_rows = []
+    for s in range(N_PQ_SUB):
+        sub = F.slice(F.col("vec"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        partials = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(w) for w in pq_codebook(s, c)]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                for c in range(N_PQ_CENTROIDS)
+            ]
+        )
+        lut_rows.append(partials)
+    return (
+        vecs.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(F.array(*lut_rows)).alias("s", "partials"),
+        )
+        .select(
+            "q_id", "s", F.posexplode("partials").alias("code", "partial")
+        )
+    )
+
+
 def pq_topk(
     emb: DataFrame, *, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -950,38 +985,95 @@ def pq_topk(
     engine/partitioning.
     """
     codes = pq_encode(emb)
-    vecs = _with_vec(emb)
-    lut_rows = []
-    for s in range(N_PQ_SUB):
-        sub = F.slice(F.col("vec"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
-        partials = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(w) for w in pq_codebook(s, c)]),
-                        lambda x, w: x * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                )
-                for c in range(N_PQ_CENTROIDS)
-            ]
-        )
-        lut_rows.append(partials)
-    lut = (
-        vecs.where(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.posexplode(F.array(*lut_rows)).alias("s", "partials"),
-        )
-        .select(
-            "q_id", "s", F.posexplode("partials").alias("code", "partial")
-        )
-    )
+    lut = _pq_lut(_with_vec(emb), n_queries=n_queries)
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("s", "partial"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["partial"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "score")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale serving architecture (FAISS
+    IVFxx,PQyy — Jégou et al. TPAMI'11 §V) composed from the repo's two
+    halves: the IVF coarse quantizer bounds WHICH candidates are scored
+    (n_probe posting lists per query), PQ's ADC lookup bounds WHAT is
+    read per candidate (4-bit codes + a per-query LUT — never the float
+    vector).  Output (q_id, vec_id, score), score = ADC inner-product
+    approximation rounded to 6, ranked desc + vec_id tiebreak.
+
+    Scale: candidate generation is the IVF cell join (cent_id key);
+    scoring joins the candidates' 8-row code tables to the broadcast
+    n_queries×8×16 LUT on (s, code) and folds 8 partials per pair in
+    subspace order.  The posting-list float vectors are touched only at
+    INDEX BUILD (assignment + encode, each one corpus scan); the query
+    path reads codes only — the memory shape that serves 1e9 vectors.
+    ``centroids=`` swaps in trained (KMeans||) cells and a real
+    deployment plugs trained codebooks into ``pq_codebook``'s seam; the
+    plan is identical.
+    """
+    vecs = _with_vec(emb)
+    cents = _centroid_table(emb, n_centroids, centroids)
+    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    codes = pq_encode(emb)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "cent_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("c_cos"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("q_id", "cent_id")
+    )
+    cand = (
+        idx.select("vec_id", "cent_id")
+        .join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    lut = _pq_lut(vecs, n_queries=n_queries)
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
         .groupBy("q_id", "vec_id")
         .agg(
             F.round(

@@ -770,6 +770,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": lambda s, d: sim.ann_recall_eval(
             _emb(s, d), approx=sim.pq_topk(_emb(s, d)).select("q_id", "vec_id")
         ),
+        # round 5: IVF-PQ — the canonical billion-scale serving composition
+        # (coarse cells bound candidates, ADC codes bound per-candidate reads)
+        "sim_ivf_pq_topk": lambda s, d: sim.ivf_pq_topk(_emb(s, d)),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -2608,6 +2611,48 @@ FROM r
          ROUND(list_aggregate(list(partial ORDER BY s), 'sum'), 6) AS score
   FROM codes JOIN lut USING (s, code)
   WHERE codes.vec_id != lut.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM est
+) WHERE rn <= 5
+"""
+    )
+    # round 5: IVF-PQ — the IVF cell chain bounds candidates, the PQ
+    # code/LUT chain scores them (same arm strings as sim_pq_topk)
+    o["sim_ivf_pq_topk"] = (
+        f"WITH {_VEC_CTE.strip()},\n"
+        + """cents AS (SELECT vec_id AS cent_id, vec AS c_vec, nrm AS c_nrm FROM nv WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT q_id, cent_id FROM pr WHERE rn <= 4),
+cand AS (
+  SELECT q_id, idx.vec_id FROM idx JOIN probes USING (cent_id)
+  WHERE idx.vec_id != q_id
+),
+"""
+        + "codes AS (" + "\n  UNION ALL".join(_pq_code_arms) + "\n),\n"
+        + "pqq AS (SELECT vec_id AS q_id, vec FROM nv WHERE vec_id < 10),\n"
+        + "lut AS (" + "\n  UNION ALL".join(_pq_lut_arms) + "\n),\n"
+        + """est AS (
+  SELECT cand.q_id, cand.vec_id,
+         ROUND(list_aggregate(list(partial ORDER BY codes.s), 'sum'), 6) AS score
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN lut ON lut.q_id = cand.q_id AND lut.s = codes.s AND lut.code = codes.code
   GROUP BY 1, 2
 )
 SELECT q_id, vec_id, score FROM (

@@ -517,3 +517,33 @@ def test_pq_recall_high_when_vectors_are_quantizable(spark):
         emb, n_queries=5, k=3, approx=pq_topk(emb, n_queries=5, k=3).select("q_id", "vec_id")
     ).toPandas()
     assert out.recall.mean() >= 0.8
+
+
+def test_ivf_pq_scores_subset_of_pq_cells(spark):
+    """IVF-PQ candidates are exactly the probed-cell members, and every
+    reported score equals the full PQ ADC score of that pair (the cell
+    restriction changes WHICH pairs are scored, never the score)."""
+    from dask_mwu_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    base = rng.normal(size=(30, 64))
+    emb = _emb(spark, base)
+    ivf = ivf_pq_topk(emb, n_queries=3, k=4, n_probe=16).toPandas()
+    # n_probe = n_centroids probes EVERY cell -> identical to plain PQ ADC
+    full = pq_topk(emb, n_queries=3, k=4).toPandas()
+    a = ivf.sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    b = full.sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_pq_restricts_candidates(spark):
+    from dask_mwu_spark.operators.similarity import ivf_index, ivf_pq_topk
+
+    base = rng.normal(size=(40, 64))
+    emb = _emb(spark, base)
+    out = ivf_pq_topk(emb, n_queries=2, k=10, n_probe=1).toPandas()
+    cells = ivf_index(emb).toPandas().set_index("vec_id").cent_id
+    for row in out.itertuples():
+        # with n_probe=1 every hit must share the query's own... not
+        # necessarily the query's cell — the PROBED cell is the nearest
+        # centroid to the query, which is the query's own assignment
+        assert cells.loc[row.vec_id] == cells.loc[row.q_id]

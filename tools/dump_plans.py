@@ -76,6 +76,7 @@ R4_EXTRAS = [
     "cur_dsir_resample",
     "sim_pq_topk",
     "sim_pq_recall",
+    "sim_ivf_pq_topk",
 ]
 
 
