@@ -1014,26 +1014,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quartile thresholds on both engines ---
         "graph_pagerank", "audit_orders_reconcile", "events_mad_outliers",
         "cur_quality_exact_pctile",
-        # --- NEW round-5 queries (first driver attestation): the four
-        # paper-faithful curation operators + the Matryoshka harness ---
-        "text_gopher_rules", "cur_dsir_weights", "cur_dsir_resample",
-        "cur_fuzzy_contamination", "sim_matryoshka_recall",
-        # --- cross-family core-regression sample (27): flagship MWU
+        # --- NEW round-5 queries (first driver attestation): the
+        # paper-faithful curation operators, the recall harnesses, and
+        # the PQ / IVF-PQ quantized ANN family ---
+        "text_gopher_rules", "text_gopher_funnel", "cur_dsir_weights",
+        "cur_dsir_resample", "cur_fuzzy_contamination",
+        "sim_matryoshka_recall", "sim_pq_topk", "sim_pq_recall",
+        "sim_ivf_pq_topk",
+        # --- cross-family core-regression sample (23): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
-        # curation, bloom, multimodal plumbing (the five entries ceded to
+        # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
-        # dedup_verified, sim_quantized_topk, text_source_entropy — each
-        # have 2+ prior driver-attested rows and unchanged code) ---
+        # dedup_verified, sim_quantized_topk, text_source_entropy,
+        # dedup_trim_spans, dedup_containment, dedup_components_fixed,
+        # text_lm_score — each have 2+ prior driver-attested rows
+        # (r04 + FULL artifacts + judge re-runs) and unchanged code) ---
         "wilcoxon_core", "mwu_events_core", "mwu_full_rounded",
         "mwu_topk", "mwu_rank_ties",
         "stream_windowed_agg", "stream_sessionize",
         "events_window_dedup",
         "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash_pairs", "dedup_components_fixed", "dedup_dup_spans",
-        "dedup_trim_spans", "dedup_tfidf_cosine", "dedup_incremental",
-        "dedup_containment",
+        "dedup_simhash_pairs", "dedup_dup_spans",
+        "dedup_tfidf_cosine", "dedup_incremental",
         "sim_cosine_topk", "sim_ivf_topk", "sim_semantic_dedup",
-        "text_bm25_topk", "text_lm_score", "text_quality",
+        "text_bm25_topk", "text_quality",
         "cur_token_shards", "cur_curate",
         "lineitem_bloom_semi", "mm_real_decode_stats",
     ]
