@@ -1021,7 +1021,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_dsir_resample", "cur_fuzzy_contamination",
         "sim_matryoshka_recall", "sim_pq_topk", "sim_pq_recall",
         "sim_ivf_pq_topk",
-        # --- cross-family core-regression sample (23): flagship MWU
+        # --- round-5 late additions (first driver attestation): the
+        # label-aware embedding ops, the mixture planning step, and the
+        # provenance dedup audit (four more core-sample slots ceded:
+        # mwu_rank_ties, dedup_exact, sim_cosine_topk, text_quality —
+        # each driver-attested in 2+ prior rounds with unchanged code) ---
+        "sim_hard_negatives", "sim_knn_label_consistency",
+        "cur_temperature_mixture", "dedup_cross_source",
+        # --- cross-family core-regression sample (19): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1030,14 +1037,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_lm_score — each have 2+ prior driver-attested rows
         # (r04 + FULL artifacts + judge re-runs) and unchanged code) ---
         "wilcoxon_core", "mwu_events_core", "mwu_full_rounded",
-        "mwu_topk", "mwu_rank_ties",
+        "mwu_topk",
         "stream_windowed_agg", "stream_sessionize",
         "events_window_dedup",
-        "dedup_exact", "dedup_minhash_lsh",
+        "dedup_minhash_lsh",
         "dedup_simhash_pairs", "dedup_dup_spans",
         "dedup_tfidf_cosine", "dedup_incremental",
-        "sim_cosine_topk", "sim_ivf_topk", "sim_semantic_dedup",
-        "text_bm25_topk", "text_quality",
+        "sim_ivf_topk", "sim_semantic_dedup",
+        "text_bm25_topk",
         "cur_token_shards", "cur_curate",
         "lineitem_bloom_semi", "mm_real_decode_stats",
     ]

@@ -1009,3 +1009,69 @@ def dsir_resample(
     return top.select(
         "doc_id", "log_weight", "key", F.row_number().over(w).alias("rank")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame, *, alpha: float = 0.7, budget_tokens: int = 1_000_000
+) -> DataFrame:
+    """Temperature-based multinomial sampling weights over sources
+    (Conneau & Lample 2019 / XLM-R eq. 1; the mT5/BLOOM mixture recipe):
+    raise each source's token share p_s to ``alpha`` < 1 and renormalize,
+    flattening the distribution so low-resource sources are upsampled.
+    Per source: token mass, raw share, tempered weight, the token budget
+    allocated to it, and the implied epoch factor (>1 = the source
+    repeats) — (source, n_docs, n_tokens, p_raw, weight, alloc_tokens,
+    epochs).
+
+    The planning step a mixture pipeline runs BEFORE ``weighted_sample``/
+    ``sample_mixture`` execute the draw: alpha=1 reproduces natural
+    sampling, alpha->0 uniform; the ``epochs`` column is the
+    repetition-risk audit (Muennighoff 2023's 4-epoch guidance).
+
+    Scale: ONE corpus scan — per-doc token counts are a row expression,
+    per-source sums a map-side-combinable groupBy on the few-valued source
+    key, the grand totals a broadcast 1-row aggregate.  O(n_sources)
+    result.
+
+    Cross-engine exactness: p_raw is rounded to 6 BEFORE pow() so both
+    engines exponentiate bit-identical doubles; pow output is rounded to 6
+    (absorbing any <=1-ulp libm difference between Java Math.pow and C
+    pow); the normalizing denominator sums those already-rounded doubles;
+    weight rounds to 6; alloc_tokens = floor(weight * budget + 0.5) on the
+    identical rounded weight; epochs = exact-integer ratio rounded to 6.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    per_source = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("_nt")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("_total"))
+    with_p = per_source.crossJoin(F.broadcast(total)).withColumn(
+        "p_raw", F.round(F.col("n_tokens").cast("double") / F.col("_total"), 6)
+    )
+    with_w = with_p.withColumn(
+        "_w", F.round(F.pow(F.col("p_raw"), F.lit(float(alpha))), 6)
+    )
+    denom = with_w.agg(F.sum("_w").alias("_denom"))
+    weight = F.round(F.col("_w") / F.col("_denom"), 6)
+    alloc = F.floor(weight * F.lit(float(budget_tokens)) + F.lit(0.5)).cast("long")
+    return (
+        with_w.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "p_raw",
+            weight.alias("weight"),
+            alloc.alias("alloc_tokens"),
+            F.round(
+                alloc.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs"),
+        )
+    )

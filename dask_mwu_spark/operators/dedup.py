@@ -1193,3 +1193,49 @@ def lsh_recall_eval(
             F.col("n_hit").cast("double") / F.col("n_candidates"), 6
         ).alias("precision"),
     )
+
+
+def cross_source_matrix(docs: DataFrame, **vp_kwargs) -> DataFrame:
+    """Inter-source duplication matrix: verified near-dup pairs rolled up
+    to the (source_a, source_b) level — (source_a, source_b, n_pairs,
+    mean_jaccard), source_a <= source_b so each unordered source pair
+    appears once.
+
+    The provenance audit a multi-source corpus runs after dedup: diagonal
+    entries are within-source redundancy (crawler re-fetches, mirrors),
+    off-diagonal entries reveal which sources copy from each other
+    (syndication, scraped aggregators) — the signal that decides whether
+    to drop a source entirely rather than pay per-pair dedup cost for it.
+
+    Scale: the pair table is the LSH-bounded ``verified_pairs`` output
+    (~linear in docs), so the two doc_id->source lookups are equi-joins of
+    a small table against a two-column projection of the corpus, and the
+    final groupBy keys on the few-valued source pair.  Nothing here
+    touches text after the verify stage.
+
+    Cross-engine: jaccard values arrive already rounded to 6 from
+    ``verify_jaccard``; mean_jaccard averages those rounded doubles and
+    rounds to 6 again.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    pairs = verified_pairs(docs, **vp_kwargs)
+    src = docs.select("doc_id", "source")
+    labelled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return labelled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+    )

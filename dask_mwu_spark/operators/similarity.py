@@ -1094,3 +1094,132 @@ def ivf_pq_topk(
         .where(F.col("_rn") <= k)
         .select("q_id", "vec_id", "score")
     )
+
+
+def _with_vec_label(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+
+
+def hard_negatives(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Label-aware hard-negative mining: for each query vector the top-``k``
+    most-similar vectors whose ``label`` DIFFERS from the query's —
+    (q_id, q_label, vec_id, neg_label, cosine).
+
+    The contrastive-training data op (triplet/InfoNCE batches want the
+    negatives that are hardest to separate, i.e. nearest in embedding
+    space but cross-class).  Same scale contract as ``cosine_topk``: the
+    bounded query set broadcasts, candidates stream through the scan with
+    per-row expression work, the label filter prunes BEFORE ranking, and
+    the top-k is a per-query window over pre-filtered rows — never a
+    global sort.  At 100 TB the candidate side would first pass through an
+    IVF/LSH candidate generator (ivf_topk / lsh_topk above); this is the
+    exactness baseline those compose with.
+
+    Cross-engine: cosine rounded to 6 BEFORE ranking, vec_id tiebreak —
+    identical to the ``_brute_topk`` contract.  No counterpart in the
+    reference (SURVEY.md section 2.1).
+    """
+    vecs = _with_vec_label(emb)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "q_label", "vec_id", "neg_label", "cosine")
+    )
+
+
+def knn_label_consistency(
+    emb: DataFrame, *, n_queries: int = 50, k: int = 10
+) -> DataFrame:
+    """Per-label kNN label-consistency audit: for each of the ``n_queries``
+    sampled query vectors, the fraction of its ``k`` nearest neighbours
+    (cosine, self excluded) sharing the query's label; aggregated per
+    label — (label, n_queries, mean_consistency, min_consistency).
+
+    The embedding-space quality monitor a labelled-corpus pipeline runs
+    before trusting labels for stratification or classifier distillation:
+    a label whose members' neighbourhoods are dominated by other labels is
+    either mislabelled or not linearly separated.  Scale contract =
+    ``cosine_topk``: bounded broadcast query set, per-row scan work, window
+    top-k over (n_queries x candidates) pre-filtered rows; the final
+    aggregate is over n_queries*k rows — driver-trivial.
+
+    Cross-engine: cosine rounded to 6 before ranking (vec_id tiebreak);
+    consistency = exact integer hit-count / k rounded to 6; the per-label
+    mean averages those already-rounded per-query doubles and is rounded
+    to 6 again.  No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    vecs = _with_vec_label(emb)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("n_label"),
+            F.round(
+                dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    per_q = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+                ).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("consistency")
+        )
+    )
+    return (
+        per_q.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("consistency"), 6).alias("mean_consistency"),
+            F.round(F.min("consistency"), 6).alias("min_consistency"),
+        )
+    )

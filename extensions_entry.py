@@ -801,6 +801,19 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             F.sum("keep").cast("long").alias("n_keep"),
         ),
+        # round 5: label-aware hard-negative mining (contrastive batches)
+        "sim_hard_negatives": lambda s, d: sim.hard_negatives(_emb(s, d)),
+        # round 5: per-label kNN label-consistency audit
+        "sim_knn_label_consistency": lambda s, d: sim.knn_label_consistency(
+            _emb(s, d)
+        ),
+        # round 5: temperature (alpha) mixture weights over source token
+        # mass — the XLM-R/mT5 sampling-recipe planning step
+        "cur_temperature_mixture": lambda s, d: cur.temperature_mixture(
+            _docs(s, d)
+        ),
+        # round 5: inter-source duplication matrix over verified pairs
+        "dedup_cross_source": lambda s, d: dd.cross_source_matrix(_docs(s, d)),
     }
 
 
@@ -2820,4 +2833,99 @@ FROM k GROUP BY 1
         + "\n"
         + "\nUNION ALL\n".join(_mat_arms)
     )
+    # round 5: labelled-vector CTE shared by the hard-negative / kNN audits
+    _LVEC = """
+lv AS (
+  SELECT vec_id, CAST(label AS INT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+lnv AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_aggregate(list_transform(vec, x -> x * x), 'sum')) AS nrm
+  FROM lv
+)
+"""
+    # round 5: hard-negative mining — cosine_topk contract + label filter
+    o["sim_hard_negatives"] = f"""
+WITH {_LVEC},
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, vec AS q_vec, nrm AS q_nrm
+  FROM lnv WHERE vec_id < 10
+),
+s AS (
+  SELECT q_id, q_label, vec_id, label AS neg_label,
+         ROUND(list_dot_product(vec, q_vec) / (nrm * q_nrm), 6) AS cosine
+  FROM lnv, q WHERE label != q_label
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, q_label, vec_id, neg_label, cosine FROM r WHERE rn <= 5
+"""
+    # round 5: per-label kNN label-consistency audit (n_queries=50, k=10)
+    o["sim_knn_label_consistency"] = f"""
+WITH {_LVEC},
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, vec AS q_vec, nrm AS q_nrm
+  FROM lnv WHERE vec_id < 50
+),
+s AS (
+  SELECT q_id, q_label, vec_id, label AS n_label,
+         ROUND(list_dot_product(vec, q_vec) / (nrm * q_nrm), 6) AS cosine
+  FROM lnv, q WHERE vec_id != q_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s
+),
+per AS (
+  SELECT q_id, q_label,
+         ROUND(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6) AS consistency
+  FROM r WHERE rn <= 10 GROUP BY 1, 2
+)
+SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(consistency), 6) AS mean_consistency,
+       ROUND(MIN(consistency), 6) AS min_consistency
+FROM per GROUP BY 1
+"""
+    # round 5: temperature mixture — p_raw rounded BEFORE pow, pow output
+    # rounded (absorbs libm ulp), alloc floors the identical rounded weight
+    o["cur_temperature_mixture"] = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS p_raw
+  FROM per CROSS JOIN tot
+),
+w AS (SELECT *, ROUND(POW(p_raw, 0.7), 6) AS _w FROM p),
+d AS (SELECT SUM(_w) AS _denom FROM w)
+SELECT source, n_docs, n_tokens, p_raw,
+       ROUND(_w / _denom, 6) AS weight,
+       CAST(FLOOR(ROUND(_w / _denom, 6) * 1000000.0 + 0.5) AS BIGINT) AS alloc_tokens,
+       ROUND(CAST(FLOOR(ROUND(_w / _denom, 6) * 1000000.0 + 0.5) AS BIGINT)
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM w CROSS JOIN d
+"""
+    # round 5: inter-source duplication matrix over the verified pairs
+    o["dedup_cross_source"] = f"""
+WITH vp AS ({o["dedup_verified"]}),
+lab AS (
+  SELECT LEAST(sa.source, sb.source) AS source_a,
+         GREATEST(sa.source, sb.source) AS source_b,
+         jaccard
+  FROM vp
+  JOIN documents sa ON vp.doc_a = sa.doc_id
+  JOIN documents sb ON vp.doc_b = sb.doc_id
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jaccard), 6) AS mean_jaccard
+FROM lab GROUP BY 1, 2
+"""
     return o

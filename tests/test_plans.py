@@ -152,6 +152,12 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # (text_heavy_hitters precedent); stickiness composes two of them
         "events_rolling_dau": {"nested_loop"},
         "events_stickiness": {"nested_loop"},
+        # round 5: label-aware brute baselines — all-pairs BY DESIGN
+        # against the bounded broadcast query set (sim_cosine_topk
+        # precedent); the corpus-scale composition routes candidates
+        # through sim_ivf_* / sim_lsh_* first
+        "sim_hard_negatives": {"nested_loop"},
+        "sim_knn_label_consistency": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

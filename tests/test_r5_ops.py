@@ -547,3 +547,170 @@ def test_ivf_pq_restricts_candidates(spark):
         # necessarily the query's cell — the PROBED cell is the nearest
         # centroid to the query, which is the query's own assignment
         assert cells.loc[row.vec_id] == cells.loc[row.q_id]
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives / knn_label_consistency (label-aware embedding ops)
+# ---------------------------------------------------------------------------
+
+
+def _emb_labelled(spark, vecs, labels):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+            "label": list(labels),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_hard_negatives_excludes_query_label(spark):
+    from dask_mwu_spark.operators.similarity import hard_negatives
+
+    base = rng.normal(size=(30, 16))
+    labels = [i % 3 for i in range(30)]
+    out = hard_negatives(
+        _emb_labelled(spark, base, labels), n_queries=5, k=4
+    ).toPandas()
+    assert set(out.q_id) == set(range(5))
+    assert (out.groupby("q_id").size() == 4).all()
+    # the whole point: every mined negative is cross-label
+    assert (out.neg_label != out.q_label).all()
+
+
+def test_hard_negatives_picks_nearest_cross_label(spark):
+    from dask_mwu_spark.operators.similarity import hard_negatives
+
+    # query 0 (label 0) at e0; vec 1 = same label, nearly identical
+    # (must be skipped); vec 2 = cross-label, close; vec 3 = cross-label,
+    # orthogonal.  k=1 must return vec 2.
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.99, 0.1, 0.0],
+        [0.9, 0.3, 0.0],
+        [0.0, 1.0, 0.0],
+    ]
+    out = hard_negatives(
+        _emb_labelled(spark, vecs, [0, 0, 1, 1]), n_queries=1, k=1
+    ).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].vec_id == 2
+    assert out.iloc[0].neg_label == 1
+
+
+def test_knn_consistency_separated_clusters(spark):
+    from dask_mwu_spark.operators.similarity import knn_label_consistency
+
+    # two tight, well-separated clusters -> every neighbourhood is pure
+    a = rng.normal(size=(10, 8)) * 0.01 + np.array([10.0] + [0.0] * 7)
+    b = rng.normal(size=(10, 8)) * 0.01 + np.array([0.0] * 7 + [10.0])
+    vecs = np.vstack([a, b])
+    labels = [0] * 10 + [1] * 10
+    out = knn_label_consistency(
+        _emb_labelled(spark, vecs, labels), n_queries=20, k=5
+    ).toPandas()
+    assert len(out) == 2
+    assert (out.mean_consistency == 1.0).all()
+    assert (out.min_consistency == 1.0).all()
+
+
+def test_knn_consistency_shuffled_labels_low(spark):
+    from dask_mwu_spark.operators.similarity import knn_label_consistency
+
+    # one isotropic blob with random labels -> consistency ~ label share,
+    # far below the separated-cluster 1.0
+    vecs = rng.normal(size=(40, 8))
+    labels = [int(x) for x in rng.integers(0, 4, size=40)]
+    out = knn_label_consistency(
+        _emb_labelled(spark, vecs, labels), n_queries=40, k=8
+    ).toPandas()
+    assert (out.mean_consistency < 0.9).all()
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+
+def _sourced_docs(spark):
+    rows = []
+    did = 0
+    for src, n_docs, words in (("big", 8, 40), ("mid", 4, 20), ("tiny", 2, 5)):
+        for _ in range(n_docs):
+            text = " ".join(f"w{i}" for i in range(words))
+            rows.append((did, text, "en", src, len(text)))
+            did += 1
+    return _docs(spark, rows)
+
+
+def test_temperature_alpha_one_is_natural_sampling(spark):
+    from dask_mwu_spark.operators.curation import temperature_mixture
+
+    out = (
+        temperature_mixture(_sourced_docs(spark), alpha=1.0, budget_tokens=10_000)
+        .toPandas()
+        .set_index("source")
+    )
+    # alpha=1: weight == p_raw (both rounded to 6)
+    for src in ("big", "mid", "tiny"):
+        assert abs(out.loc[src].weight - out.loc[src].p_raw) <= 2e-6
+
+
+def test_temperature_low_alpha_flattens_toward_uniform(spark):
+    from dask_mwu_spark.operators.curation import temperature_mixture
+
+    docs = _sourced_docs(spark)
+    nat = temperature_mixture(docs, alpha=1.0).toPandas().set_index("source")
+    cool = temperature_mixture(docs, alpha=0.3).toPandas().set_index("source")
+    # flattening: the dominant source loses mass, the rare source gains
+    assert cool.loc["big"].weight < nat.loc["big"].weight
+    assert cool.loc["tiny"].weight > nat.loc["tiny"].weight
+    # alpha -> 0 limit: pow(p, 0) = 1 -> exactly uniform
+    unif = temperature_mixture(docs, alpha=0.0).toPandas()
+    assert (abs(unif.weight - 1.0 / 3.0) < 2e-6).all()
+
+
+def test_temperature_budget_and_epochs(spark):
+    from dask_mwu_spark.operators.curation import temperature_mixture
+
+    out = temperature_mixture(
+        _sourced_docs(spark), alpha=0.5, budget_tokens=1_000
+    ).toPandas()
+    # allocations track the budget (floor+0.5 rounding, so within n_sources/2)
+    assert abs(out.alloc_tokens.sum() - 1_000) <= 2
+    # epochs = alloc / corpus tokens on every row
+    for row in out.itertuples():
+        assert abs(row.epochs - round(row.alloc_tokens / row.n_tokens, 6)) <= 1e-9
+
+
+# ---------------------------------------------------------------------------
+# cross_source_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_matrix_cells(spark):
+    from dask_mwu_spark.operators.dedup import cross_source_matrix
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    rows = [
+        # within-source pair (diagonal cell s1/s1)
+        (0, dup, "en", "s1", len(dup)),
+        (1, dup, "en", "s1", len(dup)),
+        # cross-source pair (off-diagonal s1/s2, via doc 0 and doc 1 too)
+        (2, dup, "en", "s2", len(dup)),
+        # unrelated doc -> no pair
+        (3, other, "en", "s3", len(other)),
+    ]
+    out = cross_source_matrix(_docs(spark, rows)).toPandas()
+    cells = {(r.source_a, r.source_b): r for r in out.itertuples()}
+    # identical docs: jaccard 1.0; three dup docs -> 3 pairs:
+    # (0,1) diag s1/s1, (0,2) + (1,2) off-diag s1/s2
+    assert cells[("s1", "s1")].n_pairs == 1
+    assert cells[("s1", "s2")].n_pairs == 2
+    assert cells[("s1", "s1")].mean_jaccard == 1.0
+    assert cells[("s1", "s2")].mean_jaccard == 1.0
+    assert ("s3", "s3") not in cells
+    # unordered key: no cell with source_a > source_b
+    assert (out.source_a <= out.source_b).all()
