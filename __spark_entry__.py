@@ -1028,7 +1028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each driver-attested in 2+ prior rounds with unchanged code) ---
         "sim_hard_negatives", "sim_knn_label_consistency",
         "cur_temperature_mixture", "dedup_cross_source",
-        # --- cross-family core-regression sample (19): flagship MWU
+        # --- and the centroid/diversity/collocation additions (three more
+        # core-sample slots ceded: mwu_events_core, stream_sessionize,
+        # cur_curate — each driver-attested in 2+ prior rounds with
+        # unchanged code) ---
+        "sim_label_outliers", "sim_lsh_sample", "text_pmi_collocations",
+        # --- cross-family core-regression sample (16): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1036,16 +1041,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_trim_spans, dedup_containment, dedup_components_fixed,
         # text_lm_score — each have 2+ prior driver-attested rows
         # (r04 + FULL artifacts + judge re-runs) and unchanged code) ---
-        "wilcoxon_core", "mwu_events_core", "mwu_full_rounded",
+        "wilcoxon_core", "mwu_full_rounded",
         "mwu_topk",
-        "stream_windowed_agg", "stream_sessionize",
+        "stream_windowed_agg",
         "events_window_dedup",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs", "dedup_dup_spans",
         "dedup_tfidf_cosine", "dedup_incremental",
         "sim_ivf_topk", "sim_semantic_dedup",
         "text_bm25_topk",
-        "cur_token_shards", "cur_curate",
+        "cur_token_shards",
         "lineitem_bloom_semi", "mm_real_decode_stats",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)

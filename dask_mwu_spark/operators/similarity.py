@@ -1223,3 +1223,139 @@ def knn_label_consistency(
             F.round(F.min("consistency"), 6).alias("min_consistency"),
         )
     )
+
+
+def label_centroids(emb: DataFrame, *, n_buckets: int = 64) -> DataFrame:
+    """Exact per-label centroid vectors — (label, cvec, n_members) — via
+    the repo's TWO-LEVEL deterministic float fold (``source_entropy``
+    pattern): per-dimension member values fold in ascending vec_id order
+    WITHIN md5(vec_id) buckets (each aggregation buffer holds only
+    ~n_label/n_buckets values — bounded state, unlike a single
+    per-(label,dim) list, which is the naive formulation's OOM at 1e9
+    members), then the per-bucket partials fold in ascending bucket
+    order.  Each centroid component is rounded to 6 decimals so both
+    engines carry bit-identical centroids into any downstream cosine.
+
+    Scale: posexplode fans the corpus out d-fold, but every shuffle keys
+    on (label, dim, bucket) — n_labels x d x n_buckets bounded cells with
+    map-side partial lists; the final assembly groups d rounded doubles
+    per label.  Result is n_labels rows — always broadcastable.
+    """
+    vecs = _with_vec_label(emb)
+    x = vecs.select("vec_id", "label", F.posexplode("vec").alias("dim", "x"))
+    bucketed = x.withColumn(
+        "bucket", F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets)
+    )
+    partial = bucketed.groupBy("label", "dim", "bucket").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("vec_id", "x"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["x"],
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_dim = partial.groupBy("label", "dim").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bucket", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["s"],
+            )
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("cv"),
+        F.sum("n").alias("n_members"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("cvec"),
+        F.max("n_members").alias("n_members"),
+    )
+
+
+def label_centroid_outliers(
+    emb: DataFrame, *, k: int = 5, n_buckets: int = 64
+) -> DataFrame:
+    """Confident-learning-style mislabel audit: for each label, the ``k``
+    members FARTHEST from their own label centroid by cosine — (label,
+    n_members, vec_id, cosine, rank), rank 1 = most centroid-distant.
+    A member anti-correlated with its class mean is the classic
+    wrong-label / outlier candidate a labelled-corpus pipeline routes to
+    review before the labels feed stratified sampling or distillation.
+
+    Scale: centroids come from ``label_centroids`` (bounded two-level
+    fold, n_labels rows) and broadcast; scoring is per-row expression
+    work in the scan stage; the bottom-k is a per-label window over the
+    scored rows — partitioned on the few-valued label key, never a global
+    sort.  At 1e9 rows/label the window input would first be cut by a
+    coarse threshold filter on the rounded cosine (same
+    round-then-threshold contract), keeping the per-partition sort small.
+
+    Cross-engine: centroid components arrive rounded to 6 from
+    ``label_centroids``, so both engines compute cosine over identical
+    doubles in identical fold order; cosine rounds to 6 BEFORE ranking,
+    vec_id tiebreak.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    cent = label_centroids(emb, n_buckets=n_buckets).withColumn(
+        "cnrm", norm(F.col("cvec"))
+    )
+    vecs = _with_vec_label(emb)
+    scored = vecs.join(F.broadcast(cent), "label").select(
+        "label",
+        "n_members",
+        "vec_id",
+        F.round(
+            dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("label", "n_members", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_stratified_sample(
+    emb: DataFrame, *, n_planes: int = N_PLANES, table: int = 0
+) -> DataFrame:
+    """Diversity sample by angular stratification: one deterministic
+    representative (min vec_id) per sign-of-projection LSH cell, with the
+    cell's population and coverage share — (bucket, n_members,
+    rep_vec_id, frac).
+
+    The scalable stand-in for k-center/facility-location diversity
+    selection: the 2^n_planes hyperplane cells partition the embedding
+    sphere into angular regions, so taking one member per occupied cell
+    yields a spread-out subset in ONE scan + one bounded-key groupBy —
+    no pairwise distances, no iterations.  Raising ``n_planes`` refines
+    the stratification (more, smaller cells); ``table`` selects an
+    independent hyperplane set so repeated draws decorrelate.
+
+    Scale: projections are per-row expression work over plan-literal
+    planes; the groupBy keys on at most 2^n_planes values (map-side
+    combinable min/count); `frac` joins ONE broadcast total row.  Output
+    is <= 2^n_planes rows regardless of corpus size.
+
+    Cross-engine: n_members/rep are exact integers; frac = exact-integer
+    ratio rounded to 6.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    b = lsh_buckets(emb, n_planes=n_planes, table=table)
+    cells = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("rep_vec_id"),
+    )
+    total = cells.agg(F.sum("n_members").alias("_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_members",
+        "rep_vec_id",
+        F.round(F.col("n_members").cast("double") / F.col("_total"), 6).alias(
+            "frac"
+        ),
+    )

@@ -1016,3 +1016,78 @@ def gopher_rules(
         * F.col("r_stopwords")
     ).cast("int")
     return out.select("*", keep.alias("keep"))
+
+
+def pmi_collocations(
+    docs: DataFrame, *, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — (w1, w2, c2, pmi), the adjacent word pairs
+    that co-occur far above chance.  The vocabulary-induction /
+    tokenizer-merge signal: high-PMI pairs are the multi-word units a
+    BPE-style merge step would fuse first, and low-count-high-PMI pairs
+    flag templated boilerplate.
+
+        pmi = ln( (c2/Nb) / ((c1(w1)/Nt) * (c1(w2)/Nt)) )
+
+    with c2 the bigram count, c1 unigram counts, Nb/Nt total bigrams/
+    tokens; ``min_count`` suppresses the unstable low-count tail (the
+    standard Church-Hanks guard).
+
+    Scale: unigram/bigram counts are map-side-combinable groupBys on
+    token keys; the two marginal lookups are equi-joins against the
+    vocabulary-sized unigram table (far smaller than the corpus); totals
+    are 1-row broadcast crosses; the final top-k is an orderBy+limit
+    (TakeOrderedAndProject — per-partition heads, never a global sort).
+
+    Cross-engine: counts are exact BIGINTs; both engines evaluate the
+    identical division tree on identical doubles, and ln's <=1-ulp
+    libm difference is absorbed by rounding to 6; deterministic
+    (pmi desc, w1, w2) ordering makes the limit boundary stable.  No
+    counterpart in the reference (SURVEY.md section 2.1).
+    """
+    toks = F.split("text", " ")
+    bigrams = docs.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+            )
+        ).alias("pos", "z"),
+    ).select(F.col("z.a").alias("w1"), F.col("z.b").alias("w2"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    nt = uni.agg(F.sum("c1").alias("_nt"))
+    nb = bigrams.agg(F.count(F.lit(1)).alias("_nb"))
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("_c1a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("_c1b")), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") / F.col("_nb").cast("double"))
+                    / (
+                        (F.col("_c1a").cast("double") / F.col("_nt").cast("double"))
+                        * (F.col("_c1b").cast("double") / F.col("_nt").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

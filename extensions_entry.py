@@ -814,6 +814,16 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 5: inter-source duplication matrix over verified pairs
         "dedup_cross_source": lambda s, d: dd.cross_source_matrix(_docs(s, d)),
+        # round 5: per-label centroid-distance mislabel audit (exact
+        # two-level-fold centroids, broadcast to the scoring scan)
+        "sim_label_outliers": lambda s, d: sim.label_centroid_outliers(
+            _emb(s, d)
+        ),
+        # round 5: angular-cell stratified diversity sample (one rep per
+        # LSH cell — the one-scan stand-in for k-center selection)
+        "sim_lsh_sample": lambda s, d: sim.lsh_stratified_sample(_emb(s, d)),
+        # round 5: Church-Hanks PMI collocations (vocabulary induction)
+        "text_pmi_collocations": lambda s, d: tx.pmi_collocations(_docs(s, d)),
     }
 
 
@@ -2927,5 +2937,94 @@ lab AS (
 SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(jaccard), 6) AS mean_jaccard
 FROM lab GROUP BY 1, 2
+"""
+    # round 5: label-centroid mislabel audit — two-level md5-bucket fold
+    # twin of label_centroids (vec_id order within buckets, bucket order
+    # across), centroid components rounded to 6 before the cosine
+    o["sim_label_outliers"] = f"""
+WITH {_LVEC},
+x AS (
+  SELECT vec_id, label, generate_subscripts(vec, 1) - 1 AS dim,
+         unnest(vec) AS x
+  FROM lnv
+),
+bkt AS (
+  SELECT *, {_MD5H.format(x="CAST(vec_id AS VARCHAR)")} % 64 AS bucket FROM x
+),
+p AS (
+  SELECT label, dim, bucket,
+         list_aggregate(list(x ORDER BY vec_id), 'sum') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bkt GROUP BY 1, 2, 3
+),
+pd AS (
+  SELECT label, dim,
+         ROUND(list_aggregate(list(s ORDER BY bucket), 'sum')
+               / CAST(SUM(n) AS DOUBLE), 6) AS cv,
+         CAST(SUM(n) AS BIGINT) AS n_members
+  FROM p GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(cv ORDER BY dim) AS cvec, MAX(n_members) AS n_members
+  FROM pd GROUP BY 1
+),
+cn AS (
+  SELECT label, cvec, n_members,
+         sqrt(list_aggregate(list_transform(cvec, x -> x * x), 'sum')) AS cnrm
+  FROM cent
+),
+s AS (
+  SELECT v.label, cn.n_members, v.vec_id,
+         ROUND(list_dot_product(v.vec, cn.cvec) / (v.nrm * cn.cnrm), 6) AS cosine
+  FROM lnv v JOIN cn USING (label)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosine ASC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT label, n_members, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+"""
+    # round 5: angular-cell stratified diversity sample over the shared
+    # hyperplane bucket CTE
+    o["sim_lsh_sample"] = f"""
+WITH {_BUCKET_CTE},
+cells AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_members,
+         MIN(vec_id) AS rep_vec_id
+  FROM buckets GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_members) AS BIGINT) AS total FROM cells)
+SELECT bucket, n_members, rep_vec_id,
+       ROUND(CAST(n_members AS DOUBLE) / total, 6) AS frac
+FROM cells CROSS JOIN t
+"""
+    # round 5: Church-Hanks PMI collocations — exact BIGINT counts into an
+    # identical division tree; LN's libm ulp absorbed by ROUND 6
+    o["text_pmi_collocations"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks),
+bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM idx),
+u AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+nt AS (SELECT CAST(SUM(c1) AS BIGINT) AS _nt FROM uc),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS _nb FROM bg),
+s AS (
+  SELECT bc.w1, bc.w2, bc.c2,
+         ROUND(LN((CAST(c2 AS DOUBLE) / CAST(_nb AS DOUBLE))
+               / ((CAST(ua.c1 AS DOUBLE) / CAST(_nt AS DOUBLE))
+                  * (CAST(ub.c1 AS DOUBLE) / CAST(_nt AS DOUBLE)))), 6) AS pmi
+  FROM bc
+  JOIN uc ua ON bc.w1 = ua.w
+  JOIN uc ub ON bc.w2 = ub.w
+  CROSS JOIN nt CROSS JOIN nb
+)
+SELECT w1, w2, c2, pmi FROM s ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
     return o

@@ -714,3 +714,115 @@ def test_cross_source_matrix_cells(spark):
     assert ("s3", "s3") not in cells
     # unordered key: no cell with source_a > source_b
     assert (out.source_a <= out.source_b).all()
+
+
+# ---------------------------------------------------------------------------
+# label_centroids / label_centroid_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_match_numpy_mean(spark):
+    from dask_mwu_spark.operators.similarity import label_centroids
+
+    base = rng.normal(size=(24, 8))
+    labels = [i % 2 for i in range(24)]
+    out = (
+        label_centroids(_emb_labelled(spark, base, labels))
+        .toPandas()
+        .set_index("label")
+    )
+    f32 = base.astype(np.float32).astype(np.float64)
+    for lab in (0, 1):
+        want = np.round(f32[np.array(labels) == lab].mean(axis=0), 6)
+        got = np.asarray(out.loc[lab].cvec)
+        assert np.allclose(got, want, atol=2e-6)
+        assert out.loc[lab].n_members == 12
+
+
+def test_label_outliers_flag_planted_mislabel(spark):
+    from dask_mwu_spark.operators.similarity import label_centroid_outliers
+
+    # cluster of label-0 vectors near +e0; one "label 0" vector pointing
+    # the OPPOSITE way is the planted mislabel -> must rank 1 (most
+    # centroid-distant by cosine)
+    vecs = [[1.0, 0.05 * i, 0.0] for i in range(9)] + [[-1.0, 0.0, 0.0]]
+    labels = [0] * 10
+    out = label_centroid_outliers(
+        _emb_labelled(spark, vecs, labels), k=3
+    ).toPandas()
+    top = out[out["rank"] == 1].iloc[0]
+    assert top.vec_id == 9
+    assert top.cosine < 0
+    assert (out.n_members == 10).all()
+
+
+# ---------------------------------------------------------------------------
+# lsh_stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_sample_covers_corpus_and_reps_are_min(spark):
+    from dask_mwu_spark.operators.similarity import (
+        lsh_buckets,
+        lsh_stratified_sample,
+    )
+
+    base = rng.normal(size=(60, 64))
+    emb = _emb(spark, base)
+    out = lsh_stratified_sample(emb).toPandas()
+    # cells partition the corpus: populations sum to n, fracs to ~1
+    assert out.n_members.sum() == 60
+    assert abs(out.frac.sum() - 1.0) < 1e-4
+    # rep = min vec_id of its cell, and every rep is in its own cell
+    cells = lsh_buckets(emb).toPandas().groupby("bucket").vec_id.min()
+    for row in out.itertuples():
+        assert row.rep_vec_id == cells.loc[row.bucket]
+
+
+def test_lsh_sample_tables_decorrelate(spark):
+    from dask_mwu_spark.operators.similarity import lsh_stratified_sample
+
+    base = rng.normal(size=(60, 64))
+    emb = _emb(spark, base)
+    a = lsh_stratified_sample(emb, table=0).toPandas()
+    b = lsh_stratified_sample(emb, table=1).toPandas()
+    # an independent hyperplane set re-partitions the sphere: the cell
+    # population multiset should differ (probability ~0 it coincides)
+    assert sorted(a.n_members) != sorted(b.n_members) or set(
+        a.rep_vec_id
+    ) != set(b.rep_vec_id)
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_matches_hand_computation(spark):
+    from dask_mwu_spark.operators.text import pmi_collocations
+
+    # "aa bb" always adjacent (8x), "cc" background noise
+    rows = []
+    for i in range(8):
+        rows.append((i, "aa bb cc cc cc", "en", "s", 14))
+    out = pmi_collocations(_docs(spark, rows), k=5, min_count=2).toPandas()
+    nt = 8 * 5  # total tokens
+    nb = 8 * 4  # total bigrams
+    got = out[(out.w1 == "aa") & (out.w2 == "bb")].iloc[0]
+    assert got.c2 == 8
+    want = math.log((8 / nb) / ((8 / nt) * (8 / nt)))
+    assert abs(got.pmi - round(want, 6)) < 2e-6
+    # the always-adjacent pair beats the repeated background pair
+    cc = out[(out.w1 == "cc") & (out.w2 == "cc")].iloc[0]
+    assert got.pmi > cc.pmi
+
+
+def test_pmi_min_count_suppresses_rare_pairs(spark):
+    from dask_mwu_spark.operators.text import pmi_collocations
+
+    rows = [(0, "xx yy", "en", "s", 5)] + [
+        (i, "aa bb aa bb", "en", "s", 11) for i in range(1, 4)
+    ]
+    out = pmi_collocations(_docs(spark, rows), k=10, min_count=3).toPandas()
+    assert not ((out.w1 == "xx") & (out.w2 == "yy")).any()
+    assert (out.c2 >= 3).all()
