@@ -1033,7 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cur_curate — each driver-attested in 2+ prior rounds with
         # unchanged code) ---
         "sim_label_outliers", "sim_lsh_sample", "text_pmi_collocations",
-        # --- cross-family core-regression sample (16): flagship MWU
+        # --- and the experiment/trend additions (two more core-sample
+        # slots ceded: dedup_simhash_pairs, sim_semantic_dedup — each
+        # driver-attested in 2+ prior rounds with unchanged code) ---
+        "events_ab_test", "lineitem_price_trend",
+        # --- cross-family core-regression sample (14): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1046,9 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg",
         "events_window_dedup",
         "dedup_minhash_lsh",
-        "dedup_simhash_pairs", "dedup_dup_spans",
+        "dedup_dup_spans",
         "dedup_tfidf_cosine", "dedup_incremental",
-        "sim_ivf_topk", "sim_semantic_dedup",
+        "sim_ivf_topk",
         "text_bm25_topk",
         "cur_token_shards",
         "lineitem_bloom_semi", "mm_real_decode_stats",

@@ -794,3 +794,53 @@ def _exact_quantile_by_group_impl(
     # can be dropped without a recompute
     out = per_group.select(*g, quantile.alias("quantile")).localCheckpoint()
     return out
+
+
+def price_trend(
+    lineitem: DataFrame, *, k: int = 20, min_rows: int = 5
+) -> DataFrame:
+    """Per-part OLS price-over-time slope in EXACT integer arithmetic,
+    top-``k`` steepest risers — (l_partkey, n, slope_per_day).  The
+    price-drift monitor: a part whose extended price trends hard against
+    its peers flags re-pricing, data-entry drift, or a supplier squeeze.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = days since epoch (exact INT) and y = price in CENTS (exact
+    BIGINT via round(price·100)), so every sum, product, and difference
+    is integer-exact on any engine and under any partitioning — the ONLY
+    float op is the final cents→currency division, rounded to 6.  (At
+    1e5+ rows per group the int64 headroom for n·Σxy runs out; the
+    128-bit/decimal widening is the documented escape hatch.)
+
+    Scale: ONE map-side-combinable groupBy on the part key carrying five
+    integer aggregates; the top-k is an orderBy+limit
+    (TakeOrderedAndProject — per-partition heads, never a global sort).
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    x = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = (
+        lineitem.select("l_partkey", x.alias("x"), y.alias("y"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= min_rows)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    scored = agg.where(den != 0).select(
+        "l_partkey",
+        "n",
+        F.round(
+            num.cast("double") / den.cast("double") / F.lit(100.0), 6
+        ).alias("slope_per_day"),
+    )
+    return scored.orderBy(
+        F.col("slope_per_day").desc(), F.col("l_partkey").asc()
+    ).limit(k)

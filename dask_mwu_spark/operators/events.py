@@ -448,3 +448,72 @@ def markov_transitions(
             F.col("n_transitions").cast("double") / F.col("n_from"), 6
         ).alias("p"),
     )
+
+
+def ab_test(events: DataFrame) -> DataFrame:
+    """Per-event-type two-proportion z-test over a deterministic 50/50
+    hash split of the user base — (event_type, n_a, n_b, x_a, x_b, p_a,
+    p_b, z, p_value).  Arm = md5(user_id) % 2 (retry-stable, no rand()),
+    conversion = the user emitted >= 1 event of that type, pooled-variance
+    z with a two-sided normal p-value — the standard experiment readout;
+    run against a PRE-experiment window it doubles as the A/A sanity
+    check (every p should be well above alpha).
+
+    Scale: the user->arm table derives from ONE distinct over user keys;
+    per-type converted-user counts are a distinct + map-side-combinable
+    groupBy on the (type, arm) key; arm sizes are a 2-row broadcast.
+    Everything downstream is arithmetic on an n_types-row table, where
+    the one Python boundary (the Arrow-batched erfc UDF, the exact
+    mwu-pipeline seam) costs nothing.
+
+    Cross-engine: counts are exact BIGINTs; z's division tree is written
+    identically on both engines (IEEE /,*,sqrt are correctly rounded, so
+    z is bit-identical pre-round); math.erfc vs the oracle's pure-SQL
+    erfc agree to ~2e-15, absorbed by rounding p to 6 (the
+    mwu_full_rounded contract).  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    from dask_mwu_spark.functions.hashing import md5_long
+    from dask_mwu_spark.functions.stats import two_sided_p_from_z
+
+    arms = (
+        events.select("user_id")
+        .distinct()
+        .withColumn(
+            "arm", F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2))
+        )
+    )
+    sizes = arms.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    conv = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .join(arms, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("x_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("x_b"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("x_a").cast("double") / na
+    pb = F.col("x_b").cast("double") / nb
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (pa - pb) / se)
+    return conv.crossJoin(F.broadcast(sizes)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p_from_z(F.abs(z)), 6).alias("p_value"),
+    )

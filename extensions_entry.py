@@ -824,6 +824,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_sample": lambda s, d: sim.lsh_stratified_sample(_emb(s, d)),
         # round 5: Church-Hanks PMI collocations (vocabulary induction)
         "text_pmi_collocations": lambda s, d: tx.pmi_collocations(_docs(s, d)),
+        # round 5: two-proportion z-test per event type over a hash-split
+        # user base (the experiment readout / A/A sanity check)
+        "events_ab_test": lambda s, d: ev.ab_test(
+            load_table(s, d, "events")
+        ),
+        # round 5: exact-integer per-part OLS price slope, top movers
+        "lineitem_price_trend": lambda s, d: au.price_trend(
+            load_table(s, d, "lineitem")
+        ),
     }
 
 
@@ -3026,5 +3035,75 @@ s AS (
   CROSS JOIN nt CROSS JOIN nb
 )
 SELECT w1, w2, c2, pmi FROM s ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+    # round 5: two-proportion z-test — z's division tree is written
+    # identically on both engines (bit-identical pre-round); the pure-SQL
+    # erfc twin (~2e-15 of math.erfc) is absorbed by ROUND 6, the
+    # mwu_full_rounded contract.  Deferred import: __spark_entry__ imports
+    # this module at load time, but oracle_sql() only runs afterwards.
+    from __spark_entry__ import _erfc_sql
+
+    o["events_ab_test"] = f"""
+WITH arms AS (
+  SELECT user_id, {_MD5H.format(x="CAST(user_id AS VARCHAR)")} % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+sizes AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+),
+conv AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+  FROM (SELECT DISTINCT event_type, user_id FROM events) e
+  JOIN arms USING (user_id)
+  GROUP BY 1
+),
+s AS (
+  SELECT event_type, n_a, n_b, x_a, x_b,
+         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+  FROM conv CROSS JOIN sizes
+),
+zt AS (
+  SELECT *, sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM s
+),
+zz AS (SELECT *, CASE WHEN se > 0 THEN (pa - pb) / se END AS z FROM zt)
+SELECT event_type, n_a, n_b, x_a, x_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, ROUND(z, 6) AS z,
+       CASE WHEN z IS NULL THEN NULL
+            ELSE ROUND(LEAST(1.0, {_erfc_sql("ABS(z) / SQRT(2.0)")}), 6)
+       END AS p_value
+FROM zz
+"""
+    # round 5: exact-integer OLS — x = epoch days (INT), y = price cents
+    # (BIGINT); every sum/product integer-exact, one final double division
+    o["lineitem_price_trend"] = """
+WITH pts AS (
+  SELECT l_partkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+agg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1 HAVING COUNT(*) >= 5
+),
+s AS (
+  SELECT l_partkey, n,
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day
+  FROM agg WHERE n * sxx - sx * sx != 0
+)
+SELECT l_partkey, n, slope_per_day FROM s
+ORDER BY slope_per_day DESC, l_partkey ASC LIMIT 20
 """
     return o

@@ -826,3 +826,70 @@ def test_pmi_min_count_suppresses_rare_pairs(spark):
     out = pmi_collocations(_docs(spark, rows), k=10, min_count=3).toPandas()
     assert not ((out.w1 == "xx") & (out.w2 == "yy")).any()
     assert (out.c2 >= 3).all()
+
+
+# ---------------------------------------------------------------------------
+# ab_test / price_trend
+# ---------------------------------------------------------------------------
+
+
+def test_ab_test_matches_hand_computation(spark):
+    from dask_mwu_spark.functions.hashing import md5_long  # noqa: F401
+    from dask_mwu_spark.operators.events import ab_test
+
+    users = list(range(40))
+    # every user emits "base"; users with even id also emit "conv"
+    rows = [(u, "base") for u in users] + [(u, "conv") for u in users if u % 2 == 0]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "event_type"]))
+    out = ab_test(ev).toPandas().set_index("event_type")
+    na, nb = int(out.iloc[0].n_a), int(out.iloc[0].n_b)
+    assert na + nb == 40
+    # "base" converts EVERY user in both arms -> se = 0 -> NULL z/p
+    base = out.loc["base"]
+    assert base.x_a == na and base.x_b == nb
+    assert pd.isna(base.z) and pd.isna(base.p_value)
+    # "conv": hand-compute the pooled z from the returned counts
+    conv = out.loc["conv"]
+    xa, xb = int(conv.x_a), int(conv.x_b)
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    se = math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    want_z = (pa - pb) / se
+    assert abs(conv.z - round(want_z, 6)) <= 2e-6
+    want_p = min(1.0, math.erfc(abs(want_z) / math.sqrt(2)))
+    assert abs(conv.p_value - round(want_p, 6)) <= 2e-6
+
+
+def test_ab_test_aa_split_is_balanced(spark):
+    from dask_mwu_spark.operators.events import ab_test
+
+    # A/A: a deterministic hash split of 2000 users should be near 50/50
+    rows = [(u, "e") for u in range(2000)]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "event_type"]))
+    out = ab_test(ev).toPandas().iloc[0]
+    assert abs(out.n_a - out.n_b) < 200  # ~4.5 sigma
+    # everyone converted in both arms -> identical proportions
+    assert out.p_a == 1.0 and out.p_b == 1.0
+
+
+def test_price_trend_matches_numpy_ols(spark):
+    from dask_mwu_spark.operators.audit import price_trend
+
+    # part 1: price rises 10.00/day; part 2: flat; part 3: too few rows
+    rows = []
+    for i in range(10):
+        rows.append((1, f"1995-01-{i+1:02d}", 100.00 + 10.0 * i))
+        rows.append((2, f"1995-01-{i+1:02d}", 500.00))
+    rows.append((3, "1995-01-01", 1.00))
+    pdf = pd.DataFrame(rows, columns=["l_partkey", "d", "l_extendedprice"])
+    pdf["l_shipdate"] = pd.to_datetime(pdf.pop("d"))
+    li = spark.createDataFrame(pdf)
+    out = price_trend(li, k=10, min_rows=5).toPandas().set_index("l_partkey")
+    assert 3 not in out.index  # min_rows filter
+    assert abs(out.loc[1].slope_per_day - 10.0) < 1e-6
+    assert out.loc[2].slope_per_day == 0.0
+    # cross-check part 1 against numpy lstsq on the same points
+    x = np.arange(10)
+    y = 100.0 + 10.0 * x
+    want = np.polyfit(x, y, 1)[0]
+    assert abs(out.loc[1].slope_per_day - round(want, 6)) < 1e-6
