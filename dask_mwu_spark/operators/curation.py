@@ -1075,3 +1075,44 @@ def temperature_mixture(
             ).alias("epochs"),
         )
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """Training docs surviving n-gram decontamination, with the corpus
+    side pre-pruned by a Bloom filter over the eval shingle set — the
+    100 TB form of ``decontaminate``.
+
+    ``decontaminate`` broadcasts the distinct eval shingles to every
+    executor; fine for a benchmark suite, but a large held-out corpus
+    (dedup-against-validation, cross-pipeline exclusion lists) has more
+    shingles than a broadcast can carry.  Here the eval set compresses to
+    a fixed-size bit table (``build_bloom``, <=8 MB at the default
+    sizing) that prunes the TRAIN shingle stream in the scan stage via k
+    broadcast bit-word joins; only the surviving ~FPR + true-hit
+    candidates shuffle into the exact verify join, so the expensive
+    equi-join's left side drops from corpus-scale to candidate-scale.
+    The final answer is EXACT — the Bloom stage only discards true
+    negatives, the verify join removes its false positives — so the
+    oracle is the plain exact-decontamination SQL (same contract as
+    ``lineitem_bloom_semi``).
+
+    Returns the surviving train rows (same schema as ``train``).
+    """
+    from dask_mwu_spark.operators.bloom import (
+        DEFAULT_M_BITS,
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    mb = DEFAULT_M_BITS if m_bits is None else m_bits
+    ev_sh = shingles(eval_docs, n=n).select("shingle").distinct()
+    bloom = build_bloom(ev_sh, "shingle", m_bits=mb)
+    cand = bloom_might_contain(shingles(train, n=n), "shingle", bloom, m_bits=mb)
+    bad = cand.join(ev_sh, "shingle").select("doc_id").distinct()
+    return train.join(bad, "doc_id", "left_anti")

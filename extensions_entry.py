@@ -833,6 +833,19 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_price_trend": lambda s, d: au.price_trend(
             load_table(s, d, "lineitem")
         ),
+        # round 5: bloom-prefiltered exact decontamination (the 100 TB
+        # form: fixed-size bit table prunes the corpus shingle stream,
+        # exact verify join removes bloom false positives) — same
+        # every-50th-doc eval split as cur_contamination
+        "cur_bloom_decontaminate": lambda s, d: cur.bloom_decontaminate(
+            _docs(s, d).where(F.col("doc_id") % 50 != 0),
+            _docs(s, d).where(F.col("doc_id") % 50 == 0),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        ),
     }
 
 
@@ -3105,5 +3118,24 @@ s AS (
 )
 SELECT l_partkey, n, slope_per_day FROM s
 ORDER BY slope_per_day DESC, l_partkey ASC LIMIT 20
+"""
+    # round 5: bloom decontamination — the bloom stage only discards true
+    # negatives and the verify join removes its false positives, so the
+    # oracle is the PLAIN exact-decontamination result (the
+    # lineitem_bloom_semi contract)
+    o["cur_bloom_decontaminate"] = f"""
+WITH {_SHINGLE_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+bad AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle)
+  WHERE sh.doc_id % 50 <> 0
+),
+keep AS (
+  SELECT * FROM documents
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM keep GROUP BY 1
 """
     return o

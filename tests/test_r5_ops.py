@@ -8,6 +8,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dask_mwu_spark.operators.curation import N_DSIR_BUCKETS, dsir_weights
 from dask_mwu_spark.operators.similarity import matryoshka_recall
@@ -893,3 +894,34 @@ def test_price_trend_matches_numpy_ols(spark):
     y = 100.0 + 10.0 * x
     want = np.polyfit(x, y, 1)[0]
     assert abs(out.loc[1].slope_per_day - round(want, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_equals_exact_path(spark, sf_dir):
+    from dask_mwu_spark.operators.curation import bloom_decontaminate, decontaminate
+    from dask_mwu_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    a = sorted(r.doc_id for r in bloom_decontaminate(train, ev).select("doc_id").collect())
+    b = sorted(r.doc_id for r in decontaminate(train, ev).select("doc_id").collect())
+    assert a == b
+
+
+def test_bloom_decontaminate_drops_planted_contamination(spark):
+    from dask_mwu_spark.operators.curation import bloom_decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    clean = "one two three four five six seven"
+    train = _docs(
+        spark,
+        [(1, leak, "en", "s", len(leak)), (2, clean, "en", "s", len(clean))],
+    )
+    ev = _docs(spark, [(100, leak, "en", "s", len(leak))])
+    kept = bloom_decontaminate(train, ev).toPandas()
+    assert list(kept.doc_id) == [2]
