@@ -1040,7 +1040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- bloom decontamination (one more ceded slot: mwu_topk, with
         # driver-attested rows in every prior round and unchanged code) ---
         "cur_bloom_decontaminate",
-        # --- cross-family core-regression sample (13): flagship MWU
+        # --- TextRank + basket lift (two more ceded slots:
+        # dedup_minhash_lsh, text_bm25_topk — driver-attested in 2+ prior
+        # rounds, unchanged code) ---
+        "text_textrank", "lineitem_basket_lift",
+        # --- cross-family core-regression sample (11): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1051,11 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_core", "mwu_full_rounded",
         "stream_windowed_agg",
         "events_window_dedup",
-        "dedup_minhash_lsh",
         "dedup_dup_spans",
         "dedup_tfidf_cosine", "dedup_incremental",
         "sim_ivf_topk",
-        "text_bm25_topk",
         "cur_token_shards",
         "lineitem_bloom_semi", "mm_real_decode_stats",
     ]

@@ -1091,3 +1091,46 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def textrank_keywords(
+    docs: DataFrame, *, k: int = 20, n_iter: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank
+    centrality over the corpus word co-occurrence graph (adjacent-token
+    edges, undirected, deduped), top-``k`` words — (word, rank).  The
+    unsupervised keyword/keyphrase seed: words central to the
+    co-occurrence topology rather than merely frequent (the paper's win
+    over raw TF), here run corpus-level as the vocabulary-salience audit.
+
+    Composes two proven pieces: the zip-shift bigram generator (scan-stage,
+    no position shuffle — ``lm_bigram_score``) and ``graph.pagerank``'s
+    fixed-round, ordered-fold power iteration (exact-oracle iterative
+    PageRank; see graph.py for the checkpoint/lineage discipline).  The
+    edge table is vocabulary-bounded (distinct adjacent pairs), so the
+    iteration cost is independent of corpus size after the one counting
+    scan.
+
+    Cross-engine: identical to ``graph_pagerank`` — per-node contribution
+    sums fold in ascending neighbor order (word strings compare binary on
+    both engines), rank rounds to 6, and the top-k boundary is
+    deterministic via the word tiebreak.  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    from dask_mwu_spark.operators.graph import pagerank
+
+    toks = F.split("text", " ")
+    pairs = docs.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+            )
+        ).alias("pos", "z"),
+    ).select(F.col("z.a").alias("w1"), F.col("z.b").alias("w2"))
+    pr = pagerank(pairs, n_iter=n_iter, damping=damping, src="w1", dst="w2")
+    return (
+        pr.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("word").asc())
+        .limit(k)
+    )

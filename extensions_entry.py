@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
 from dask_mwu_spark.sources.loaders import load_table
+from dask_mwu_spark.operators import affinity as af
 from dask_mwu_spark.operators import audit as au
 from dask_mwu_spark.operators import bloom as bl
 from dask_mwu_spark.operators import curation as cur
@@ -145,11 +146,13 @@ def _rp_planes_sql(k: int = 16) -> str:
     return f"rp(j, w) AS (VALUES {','.join(rows)})"
 
 
-def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
-    """Unrolled fixed-round PageRank over the LSH dup graph — one CTE block
-    per iteration, float literals emitted with repr() so the DuckDB doubles
-    are bit-identical to the engine's plan literals (1 - 0.85 !=
-    0.15 exactly in binary)."""
+def _pagerank_rounds_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-round PageRank iteration blocks — one CTE block per
+    round, float literals emitted with repr() so the DuckDB doubles are
+    bit-identical to the engine's plan literals (1 - 0.85 != 0.15 exactly
+    in binary).  Generic over the graph: the caller's prelude must define
+    ``directed`` (e_src, e_dst), ``out_deg``, ``nodes``, ``nn``, and
+    ``r0`` CTEs; the final rank table is ``r{n_iter}``."""
     blocks = []
     prev = "r0"
     for i in range(1, n_iter + 1):
@@ -183,6 +186,12 @@ r{i} AS MATERIALIZED (
   CROSS JOIN nn CROSS JOIN d{i}
 )""")
         prev = f"r{i}"
+    return "".join(blocks)
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """The dup-graph instantiation: LSH candidate pairs -> canonical
+    undirected edges -> the generic unrolled rounds."""
     return (
         f"""
 WITH {_BANDS_CTE},
@@ -212,7 +221,7 @@ out_deg AS MATERIALIZED (SELECT e_src, CAST(COUNT(*) AS BIGINT) AS out_deg
 nodes AS MATERIALIZED (SELECT DISTINCT e_src AS node FROM directed),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
 r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n_nodes AS rank FROM nodes CROSS JOIN nn)"""
-        + "".join(blocks)
+        + _pagerank_rounds_sql(n_iter, damping)
         + f"""
 SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}
 """
@@ -845,6 +854,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_chars").alias("sum_chars"),
+        ),
+        # round 5: TextRank keyword centrality (pagerank over the word
+        # co-occurrence graph — composes the exact-oracle iterative core)
+        "text_textrank": lambda s, d: tx.textrank_keywords(_docs(s, d)),
+        # round 5: market-basket brand lift (order-level co-occurrence)
+        "lineitem_basket_lift": lambda s, d: af.basket_lift(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
         ),
     }
 
@@ -3137,5 +3153,58 @@ keep AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM keep GROUP BY 1
+"""
+    # round 5: TextRank — the generic unrolled pagerank rounds over the
+    # adjacent-word co-occurrence graph (word strings compare binary on
+    # both engines, so the neighbor-order folds agree)
+    o["text_textrank"] = (
+        """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks),
+bg AS (SELECT w[i] AS a, w[i + 1] AS b FROM idx),
+canon AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM bg WHERE a <> b
+),
+directed AS MATERIALIZED (
+  SELECT u AS e_src, v AS e_dst FROM canon
+  UNION ALL
+  SELECT v AS e_src, u AS e_dst FROM canon
+),
+out_deg AS MATERIALIZED (
+  SELECT e_src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM directed GROUP BY 1
+),
+nodes AS MATERIALIZED (SELECT DISTINCT e_src AS node FROM directed),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n_nodes AS rank FROM nodes CROSS JOIN nn)"""
+        + _pagerank_rounds_sql(n_iter=5, damping=0.85)
+        + """
+SELECT node AS word, ROUND(rank, 6) AS rank FROM r5
+ORDER BY ROUND(rank, 6) DESC, node ASC LIMIT 20
+"""
+    )
+    # round 5: market-basket brand lift — exact integer products into one
+    # rounded division
+    o["lineitem_basket_lift"] = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS _n FROM items),
+marg AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT brand_a, brand_b, n_both,
+       ROUND(CAST(n_both * _n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE), 6)
+         AS lift,
+       ROUND(CAST(n_both AS DOUBLE) / CAST(_n AS DOUBLE), 6) AS support
+FROM pairs
+JOIN marg ca ON pairs.brand_a = ca.p_brand
+JOIN marg cb ON pairs.brand_b = cb.p_brand
+CROSS JOIN n
 """
     return o

@@ -925,3 +925,61 @@ def test_bloom_decontaminate_drops_planted_contamination(spark):
     ev = _docs(spark, [(100, leak, "en", "s", len(leak))])
     kept = bloom_decontaminate(train, ev).toPandas()
     assert list(kept.doc_id) == [2]
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords / basket_lift
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_hub_word_outranks_chain_words(spark):
+    from dask_mwu_spark.operators.text import textrank_keywords
+
+    # "hub" touches 8 distinct neighbours; the chain words touch <= 2
+    text = "hub n1 hub n2 hub n3 hub n4 hub n5 hub n6 hub n7 hub n8"
+    out = textrank_keywords(
+        _docs(spark, [(1, text, "en", "s", len(text))]), k=20
+    ).toPandas()
+    assert out.iloc[0].word == "hub"
+    assert (out.iloc[0]["rank"] > out[out.word != "hub"]["rank"]).all()
+    # fixed-round pagerank over a connected graph: total rank mass ~ 1
+    assert abs(out["rank"].sum() - 1.0) < 0.01
+
+
+def test_basket_lift_hand_computed(spark):
+    from dask_mwu_spark.operators.affinity import basket_lift
+
+    # 6 orders: A+B together in 4, C alone in 2 -> lift(A,B) = (4*6)/(4*4)
+    li, pt = [], [(1, "A"), (2, "B"), (3, "C")]
+    for o in range(4):
+        li += [(o, 1), (o, 2)]
+    for o in (4, 5):
+        li += [(o, 3)]
+    li_df = spark.createDataFrame(
+        pd.DataFrame(li, columns=["l_orderkey", "l_partkey"])
+    )
+    pt_df = spark.createDataFrame(
+        pd.DataFrame(pt, columns=["p_partkey", "p_brand"])
+    )
+    out = basket_lift(li_df, pt_df, min_pair_orders=1).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.brand_a, row.brand_b, row.n_both) == ("A", "B", 4)
+    assert abs(row.lift - round(4 * 6 / (4 * 4), 6)) < 1e-9
+    assert abs(row.support - round(4 / 6, 6)) < 1e-9
+
+
+def test_basket_lift_line_level_dups_do_not_inflate(spark):
+    from dask_mwu_spark.operators.affinity import basket_lift
+
+    # the same brand appearing on 3 lines of one order counts ONCE
+    li = [(0, 1), (0, 1), (0, 1), (0, 2)]
+    pt = [(1, "A"), (2, "B")]
+    li_df = spark.createDataFrame(
+        pd.DataFrame(li, columns=["l_orderkey", "l_partkey"])
+    )
+    pt_df = spark.createDataFrame(
+        pd.DataFrame(pt, columns=["p_partkey", "p_brand"])
+    )
+    out = basket_lift(li_df, pt_df, min_pair_orders=1).toPandas()
+    assert out.iloc[0].n_both == 1
