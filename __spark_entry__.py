@@ -1044,7 +1044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_minhash_lsh, text_bm25_topk — driver-attested in 2+ prior
         # rounds, unchanged code) ---
         "text_textrank", "lineitem_basket_lift",
-        # --- cross-family core-regression sample (11): flagship MWU
+        # --- dominant-PC power iteration (ceded: dedup_tfidf_cosine,
+        # driver-attested r04 + FULL artifacts, unchanged code) ---
+        "sim_dominant_pc",
+        # --- cross-family core-regression sample (10): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1056,7 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg",
         "events_window_dedup",
         "dedup_dup_spans",
-        "dedup_tfidf_cosine", "dedup_incremental",
+        "dedup_incremental",
         "sim_ivf_topk",
         "cur_token_shards",
         "lineitem_bloom_semi", "mm_real_decode_stats",

@@ -1359,3 +1359,111 @@ def lsh_stratified_sample(
             "frac"
         ),
     )
+
+
+def dominant_pc(
+    emb: DataFrame, *, n_iter: int = 3, n_buckets: int = 64
+) -> DataFrame:
+    """Dominant principal component of the (mean-centered) embedding
+    cloud via FIXED-ROUND power iteration — (dim, loading, eigval), with
+    ``eigval`` the final iterate's Rayleigh-style gain ||X'Xv|| before
+    normalization.  The embedding anisotropy audit (Mu & Viswanath
+    ICLR'18 "all-but-the-top"): a dominant direction carrying a large
+    share of variance is the common-mean artifact that depresses cosine
+    contrast, and this loading vector is exactly what the post-processing
+    step would subtract.
+
+    Never materializes the d x d covariance: each round computes
+    ``w = X'(Xv)`` as (1) per-row dot s_i = x'_i . v — scan-stage
+    expression work against the broadcast d-vector — and (2) per-dim
+    sums of x'_id * s_i.  Those per-dim float sums use the repo's
+    two-level md5-bucket ordered fold (``label_centroids``), so even this
+    ITERATIVE linear-algebra op is engine- and partitioning-exact: w is
+    rounded to 6 per round, the norm folds over the rounded w in dim
+    order, and v_{i+1} = round(w/||w||, 6) — both engines carry
+    bit-identical iterates (the ``pagerank`` discipline, unrolled
+    ``AS MATERIALIZED`` rounds on the oracle side).
+
+    Fixed v0 = 1/sqrt(d) (exactly 0.125 at d=64 — a clean plan literal)
+    makes the sign and the trajectory deterministic.  Per round: one
+    vec_id-keyed equi-join (exploded coords x the s table) and bounded
+    (dim, bucket) aggregations; the d-row result assembles driver-free
+    and broadcasts into the next round.  localCheckpoint per round
+    truncates lineage (2^n plan growth otherwise — see pagerank).
+
+    Scale: cx is checkpointed once; each round touches the corpus twice
+    (dot scan + product shuffle on vec_id) with all reduction state
+    bounded by d x n_buckets.  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    assert EMB_DIM == 64, "v0 literal assumes d=64 (1/sqrt(64) = 0.125)"
+    mean = label_centroids(
+        emb.select("vec_id", "embedding", F.lit(0).alias("label")),
+        n_buckets=n_buckets,
+    )
+    vecs = _with_vec(emb)
+    cx = (
+        vecs.crossJoin(F.broadcast(mean.select("cvec")))
+        .select(
+            "vec_id",
+            F.zip_with("vec", "cvec", lambda x, m: x - m).alias("cx"),
+        )
+        .localCheckpoint()
+    )
+    cxe = cx.select(
+        "vec_id", F.posexplode("cx").alias("dim", "xd")
+    ).withColumn(
+        "bucket", F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets)
+    )
+    spark = emb.sparkSession
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(0.125).cast("double")] * EMB_DIM).alias("vl")
+    )
+    eig = None
+    for _ in range(n_iter):
+        sdf = cx.crossJoin(F.broadcast(vdf.select("vl"))).select(
+            "vec_id", dot(F.col("cx"), F.col("vl")).alias("s")
+        )
+        partial = (
+            cxe.join(sdf, "vec_id")
+            .groupBy("dim", "bucket")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "vec_id", (F.col("xd") * F.col("s")).alias("t")
+                            )
+                        )
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc + s["t"],
+                ).alias("ps")
+            )
+        )
+        w = partial.groupBy("dim").agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("bucket", "ps"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc + s["ps"],
+                ),
+                6,
+            ).alias("w")
+        )
+        arr = w.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "w"))),
+                lambda s: s["w"],
+            ).alias("warr")
+        )
+        vdf = arr.select(
+            F.transform(
+                "warr", lambda x: F.round(x / norm(F.col("warr")), 6)
+            ).alias("vl"),
+            F.round(norm(F.col("warr")), 6).alias("eigval"),
+        ).localCheckpoint()
+        eig = vdf
+    return eig.select(
+        F.posexplode("vl").alias("dim", "loading"), "eigval"
+    ).select("dim", "loading", "eigval")

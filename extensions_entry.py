@@ -189,6 +189,70 @@ r{i} AS MATERIALIZED (
     return "".join(blocks)
 
 
+def _power_iter_sql(n_iter: int = 3, n_buckets: int = 64) -> str:
+    """Unrolled fixed-round power iteration for the dominant PC — mirrors
+    ``similarity.dominant_pc`` exactly: two-level md5-bucket ordered folds
+    for every per-dim float sum, w rounded to 6 per round, norm folded
+    over the rounded w in dim order, v = ROUND(w/nrm, 6).  AS MATERIALIZED
+    per round (plain CTEs inline per reference — the same 2^n blowup the
+    engine avoids with localCheckpoint)."""
+    md5v = _MD5H.format(x="CAST(vec_id AS VARCHAR)")
+    blocks = []
+    prev = "v0"
+    for i in range(1, n_iter + 1):
+        blocks.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT vec_id,
+         list_aggregate(list(cx * v ORDER BY dim), 'sum') AS s
+  FROM cxe JOIN {prev} USING (dim) GROUP BY vec_id
+),
+pw{i} AS (
+  SELECT dim, bucket,
+         list_aggregate(list(cx * s ORDER BY vec_id), 'sum') AS ps
+  FROM cxe JOIN s{i} USING (vec_id) GROUP BY dim, bucket
+),
+w{i} AS MATERIALIZED (
+  SELECT dim, ROUND(list_aggregate(list(ps ORDER BY bucket), 'sum'), 6) AS w
+  FROM pw{i} GROUP BY dim
+),
+nrm{i} AS (
+  SELECT sqrt(list_aggregate(list(w * w ORDER BY dim), 'sum')) AS nrm FROM w{i}
+),
+v{i} AS MATERIALIZED (
+  SELECT dim, ROUND(w / nrm, 6) AS v FROM w{i} CROSS JOIN nrm{i}
+)""")
+        prev = f"v{i}"
+    return (
+        f"""
+WITH ve AS (
+  SELECT vec_id, generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS x
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings)
+),
+bk AS (SELECT *, {md5v} % {n_buckets} AS bucket FROM ve),
+mp AS (
+  SELECT dim, bucket, list_aggregate(list(x ORDER BY vec_id), 'sum') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bk GROUP BY 1, 2
+),
+md AS (
+  SELECT dim, ROUND(list_aggregate(list(s ORDER BY bucket), 'sum')
+                    / CAST(SUM(n) AS DOUBLE), 6) AS m
+  FROM mp GROUP BY 1
+),
+cxe AS MATERIALIZED (
+  SELECT vec_id, bk.dim, x - m AS cx, bucket FROM bk JOIN md USING (dim)
+),
+v0 AS (SELECT DISTINCT dim, 0.125 AS v FROM ve)"""
+        + "".join(blocks)
+        + f"""
+SELECT dim, v AS loading,
+       (SELECT ROUND(nrm, 6) FROM nrm{n_iter}) AS eigval
+FROM v{n_iter}
+"""
+    )
+
+
 def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     """The dup-graph instantiation: LSH candidate pairs -> canonical
     undirected edges -> the generic unrolled rounds."""
@@ -862,6 +926,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_basket_lift": lambda s, d: af.basket_lift(
             load_table(s, d, "lineitem"), load_table(s, d, "part")
         ),
+        # round 5: dominant principal component by fixed-round power
+        # iteration (the anisotropy audit — iterative linear algebra with
+        # an exact unrolled oracle, the pagerank discipline)
+        "sim_dominant_pc": lambda s, d: sim.dominant_pc(_emb(s, d)),
     }
 
 
@@ -3207,4 +3275,6 @@ JOIN marg ca ON pairs.brand_a = ca.p_brand
 JOIN marg cb ON pairs.brand_b = cb.p_brand
 CROSS JOIN n
 """
+    # round 5: dominant PC — the unrolled power-iteration twin
+    o["sim_dominant_pc"] = _power_iter_sql(n_iter=3, n_buckets=64)
     return o

@@ -983,3 +983,44 @@ def test_basket_lift_line_level_dups_do_not_inflate(spark):
     )
     out = basket_lift(li_df, pt_df, min_pair_orders=1).toPandas()
     assert out.iloc[0].n_both == 1
+
+
+# ---------------------------------------------------------------------------
+# dominant_pc
+# ---------------------------------------------------------------------------
+
+
+def test_dominant_pc_recovers_planted_direction(spark):
+    from dask_mwu_spark.operators.similarity import dominant_pc
+
+    # isotropic noise + a strong planted direction along e0+e1
+    planted = np.zeros(64)
+    planted[0] = planted[1] = 1 / math.sqrt(2)
+    coefs = rng.normal(size=(80, 1)) * 8.0
+    base = rng.normal(size=(80, 64)) * 0.3 + coefs * planted
+    out = dominant_pc(_emb(spark, base)).toPandas().sort_values("dim")
+    v = out.loading.to_numpy()
+    # unit norm (loadings are round-6 of w/||w||)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # aligned with the planted direction (sign-free)
+    assert abs(float(v @ planted)) > 0.95
+    # eigval constant across rows and positive
+    assert out.eigval.nunique() == 1 and out.eigval.iloc[0] > 0
+
+
+def test_dominant_pc_matches_numpy_power_iteration(spark):
+    from dask_mwu_spark.operators.similarity import dominant_pc
+
+    base = rng.normal(size=(30, 64))
+    out = dominant_pc(_emb(spark, base), n_iter=3).toPandas().sort_values("dim")
+    # replicate: float32-cast input, round-6 mean, 3 rounds with round-6
+    # w and v (engine fold order differences are below the rounding)
+    x = base.astype(np.float32).astype(np.float64)
+    cx = x - np.round(x.mean(axis=0), 6)
+    v = np.full(64, 0.125)
+    for _ in range(3):
+        w = np.round(cx.T @ (cx @ v), 6)
+        nrm = np.linalg.norm(w)
+        v = np.round(w / nrm, 6)
+    assert np.allclose(out.loading.to_numpy(), v, atol=5e-6)
+    assert abs(out.eigval.iloc[0] - round(nrm, 6)) < 5e-6
