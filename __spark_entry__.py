@@ -1047,7 +1047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dominant-PC power iteration (ceded: dedup_tfidf_cosine,
         # driver-attested r04 + FULL artifacts, unchanged code) ---
         "sim_dominant_pc",
-        # --- cross-family core-regression sample (10): flagship MWU
+        # --- attribution + cadence (two ceded slots: dedup_dup_spans,
+        # dedup_incremental — driver-attested in 2+ prior rounds,
+        # unchanged code) ---
+        "events_attribution", "events_gap_profile",
+        # --- cross-family core-regression sample (8): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1058,8 +1062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_core", "mwu_full_rounded",
         "stream_windowed_agg",
         "events_window_dedup",
-        "dedup_dup_spans",
-        "dedup_incremental",
         "sim_ivf_topk",
         "cur_token_shards",
         "lineitem_bloom_semi", "mm_real_decode_stats",

@@ -517,3 +517,97 @@ def ab_test(events: DataFrame) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.round(two_sided_p_from_z(F.abs(z)), 6).alias("p_value"),
     )
+
+
+def first_touch_attribution(
+    events: DataFrame, *, conversion_type: str = "purchase"
+) -> DataFrame:
+    """First-touch conversion attribution: every user's FIRST event type
+    (by (ts, event_id) — deterministic under ties) credited with whether
+    the user ever converted — (first_touch, n_users, n_converted,
+    conv_rate).  The acquisition-channel readout: which entry action
+    leads to converting users, the complement of ``funnel``'s
+    fixed-sequence view.
+
+    Scale: the per-user first event is ONE map-side-combinable
+    ``min(struct(ts, event_id, type))`` — no per-user sort, no window;
+    converted users are a distinct over the (small) conversion slice; the
+    final join keys on user and the rollup on the few-valued type.
+
+    Cross-engine: nanos timestamps are exact BIGINTs, the min-struct
+    tiebreak is total (event_id unique), conv_rate = exact-integer ratio
+    rounded to 6.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    firsts = (
+        events.select(
+            "user_id", F.struct("ts", "event_id", "event_type").alias("_e")
+        )
+        .groupBy("user_id")
+        .agg(F.min("_e").alias("_f"))
+        .select("user_id", F.col("_f.event_type").alias("first_touch"))
+    )
+    conv = (
+        events.where(F.col("event_type") == conversion_type)
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias(
+                "n_converted"
+            ),
+        )
+        .select(
+            "first_touch",
+            "n_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_users"), 6
+            ).alias("conv_rate"),
+        )
+    )
+
+
+def inter_event_gaps(events: DataFrame) -> DataFrame:
+    """Per-type inter-arrival profile: gaps between a user's consecutive
+    events of the SAME type — (event_type, n_gaps, mean_gap_s, min_gap_s,
+    max_gap_s).  The cadence audit behind sessionization windows, rate
+    alerting, and bot detection (machine traffic shows near-constant
+    sub-second gaps; organic use is heavy-tailed).
+
+    Scale: ONE window pass partitioned on the (user, type) key — per-user
+    state, never a global sort; the rollup is a map-side-combinable
+    groupBy on the type vocabulary.
+
+    Cross-engine: nanos timestamps subtract as exact BIGINTs; min/max are
+    exact; the mean divides two exact integers (then by 1e9), each
+    division rounded to 6.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select("event_type", (F.col("ts") - F.col("_prev")).alias("gap_ns"))
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum("gap_ns").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1.0e9),
+            6,
+        ).alias("mean_gap_s"),
+        F.round(F.min("gap_ns").cast("double") / F.lit(1.0e9), 6).alias(
+            "min_gap_s"
+        ),
+        F.round(F.max("gap_ns").cast("double") / F.lit(1.0e9), 6).alias(
+            "max_gap_s"
+        ),
+    )

@@ -930,6 +930,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iteration (the anisotropy audit — iterative linear algebra with
         # an exact unrolled oracle, the pagerank discipline)
         "sim_dominant_pc": lambda s, d: sim.dominant_pc(_emb(s, d)),
+        # round 5: first-touch conversion attribution
+        "events_attribution": lambda s, d: ev.first_touch_attribution(
+            load_table(s, d, "events")
+        ),
+        # round 5: per-type inter-arrival cadence profile
+        "events_gap_profile": lambda s, d: ev.inter_event_gaps(
+            load_table(s, d, "events")
+        ),
     }
 
 
@@ -3277,4 +3285,46 @@ CROSS JOIN n
 """
     # round 5: dominant PC — the unrolled power-iteration twin
     o["sim_dominant_pc"] = _power_iter_sql(n_iter=3, n_buckets=64)
+    # round 5: first-touch attribution — the min-(ts,event_id) row via
+    # row_number (event_id unique => same row as the engine's min-struct)
+    o["events_attribution"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type FROM events
+),
+f AS (
+  SELECT user_id, event_type AS first_touch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS rn
+  FROM ev
+),
+firsts AS (SELECT user_id, first_touch FROM f WHERE rn = 1),
+conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS conv_rate
+FROM firsts LEFT JOIN conv USING (user_id)
+GROUP BY 1
+"""
+    # round 5: inter-arrival gaps — exact BIGINT nano diffs, two rounded
+    # divisions
+    o["events_gap_profile"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type FROM events
+),
+g AS (
+  SELECT event_type,
+         tsn - lag(tsn) OVER (PARTITION BY user_id, event_type
+                              ORDER BY tsn, event_id) AS gap_ns
+  FROM ev
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap_ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000000.0, 6) AS mean_gap_s,
+       ROUND(CAST(MIN(gap_ns) AS DOUBLE) / 1000000000.0, 6) AS min_gap_s,
+       ROUND(CAST(MAX(gap_ns) AS DOUBLE) / 1000000000.0, 6) AS max_gap_s
+FROM g WHERE gap_ns IS NOT NULL
+GROUP BY 1
+"""
     return o

@@ -1024,3 +1024,57 @@ def test_dominant_pc_matches_numpy_power_iteration(spark):
         v = np.round(w / nrm, 6)
     assert np.allclose(out.loading.to_numpy(), v, atol=5e-6)
     assert abs(out.eigval.iloc[0] - round(nrm, 6)) < 5e-6
+
+
+# ---------------------------------------------------------------------------
+# first_touch_attribution / inter_event_gaps
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+    )
+
+
+def test_first_touch_attribution_hand_built(spark):
+    from dask_mwu_spark.operators.events import first_touch_attribution
+
+    rows = [
+        # user 1: first touch "view", converts
+        (1, "view", 10, 100), (1, "purchase", 20, 101),
+        # user 2: first touch "view", does not convert
+        (2, "view", 10, 200), (2, "click", 30, 201),
+        # user 3: first touch "click" (ts tie broken by event_id), converts
+        (3, "click", 10, 300), (3, "view", 10, 301), (3, "purchase", 50, 302),
+    ]
+    out = (
+        first_touch_attribution(_ev(spark, rows))
+        .toPandas()
+        .set_index("first_touch")
+    )
+    assert out.loc["view"].n_users == 2
+    assert out.loc["view"].n_converted == 1
+    assert out.loc["view"].conv_rate == 0.5
+    assert out.loc["click"].n_users == 1
+    assert out.loc["click"].conv_rate == 1.0
+    assert "purchase" not in out.index or out.loc["purchase"].n_users == 0
+
+
+def test_inter_event_gaps_hand_built(spark):
+    from dask_mwu_spark.operators.events import inter_event_gaps
+
+    s = 1_000_000_000  # 1 second in nanos
+    rows = [
+        # user 1 "click": gaps of 2s and 4s; user 2 "click": gap 10s
+        (1, "click", 0 * s, 1), (1, "click", 2 * s, 2), (1, "click", 6 * s, 3),
+        (2, "click", 0 * s, 4), (2, "click", 10 * s, 5),
+        # single event -> no gap
+        (3, "view", 0 * s, 6),
+    ]
+    out = inter_event_gaps(_ev(spark, rows)).toPandas().set_index("event_type")
+    assert "view" not in out.index
+    c = out.loc["click"]
+    assert c.n_gaps == 3
+    assert abs(c.mean_gap_s - round((2 + 4 + 10) / 3, 6)) < 1e-9
+    assert c.min_gap_s == 2.0 and c.max_gap_s == 10.0
