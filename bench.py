@@ -61,6 +61,15 @@ BENCH_QUERIES = [
     "text_gopher_rules",
     "cur_dsir_weights",
     "cur_fuzzy_contamination",
+    # round-5 late additions, heaviest first: power-iteration dominant PC
+    # (3 corpus passes + d x bucket folds), bloom-prefiltered exact
+    # decontamination (shingle scan + bit-table probes + verify join),
+    # TextRank (word-graph pagerank), label-centroid outlier audit
+    # (exploded two-level folds + broadcast-centroid scoring)
+    "sim_dominant_pc",
+    "cur_bloom_decontaminate",
+    "text_textrank",
+    "sim_label_outliers",
 ]
 
 
