@@ -1051,7 +1051,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_incremental — driver-attested in 2+ prior rounds,
         # unchanged code) ---
         "events_attribution", "events_gap_profile",
-        # --- cross-family core-regression sample (8): flagship MWU
+        # --- anisotropy gate, quality-canonical dedup, activation
+        # latency (three ceded slots: stream_windowed_agg,
+        # events_window_dedup, cur_token_shards — driver-attested in 2+
+        # prior rounds, unchanged code) ---
+        "sim_anisotropy", "dedup_canonical_quality",
+        "events_time_to_convert",
+        # --- cross-family core-regression sample (5): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
         # the round-5 additions — mwu_bh_adjust, events_anomaly,
@@ -1060,10 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_lm_score — each have 2+ prior driver-attested rows
         # (r04 + FULL artifacts + judge re-runs) and unchanged code) ---
         "wilcoxon_core", "mwu_full_rounded",
-        "stream_windowed_agg",
-        "events_window_dedup",
         "sim_ivf_topk",
-        "cur_token_shards",
         "lineitem_bloom_semi", "mm_real_decode_stats",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)

@@ -1239,3 +1239,44 @@ def cross_source_matrix(docs: DataFrame, **vp_kwargs) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
     )
+
+
+def canonical_by_quality(docs: DataFrame, **pair_kwargs) -> DataFrame:
+    """Quality-aware canonical selection: for each near-dup component, keep
+    the HIGHEST-quality member instead of the smallest doc_id — (component,
+    n_members, kept_doc, quality).  Min-id survival (``dup_purge``) is
+    arbitrary; a production dedup keeps the best version of the duplicated
+    content (longest / cleanest / least boilerplate), which is exactly the
+    composite ``text.quality_scores`` ranks.
+
+    Scale: components come from the LSH pair chain (bounded); quality is
+    scan-stage row expressions; the winner per component is ONE
+    map-side-combinable ``max(struct(quality, -doc_id))`` — no per-component
+    sort or window, tiebreak = smaller doc_id on equal quality.
+
+    Cross-engine: quality arrives rounded to 6 from ``quality_scores``;
+    counts exact.  Reference keeps first-occurrence only (SURVEY.md
+    section 2.1 — no quality notion exists there).
+    """
+    from dask_mwu_spark.operators.text import quality_scores
+
+    comps = dup_components(minhash_lsh_pairs(docs, **pair_kwargs))
+    q = quality_scores(docs).select("doc_id", "quality")
+    return (
+        comps.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col("doc_id")).alias("_nid")
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("_b._nid")).alias("kept_doc"),
+            F.col("_b.quality").alias("quality"),
+        )
+    )

@@ -611,3 +611,59 @@ def inter_event_gaps(events: DataFrame) -> DataFrame:
             "max_gap_s"
         ),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    *,
+    start_type: str = "signup",
+    end_type: str = "purchase",
+) -> DataFrame:
+    """Activation latency: per user, first ``start_type`` to first
+    ``end_type`` (only when the conversion follows the start) — ONE
+    summary row (n_started, n_converted, conv_rate, mean_s, min_s,
+    max_s).  The onboarding-health number product teams watch weekly;
+    pairs with ``first_touch_attribution`` (who converts) by answering
+    how fast.
+
+    Scale: two filtered min-aggregates on the user key (combinable, no
+    windows), one 1-row rollup.  Cross-engine: nanos are exact BIGINTs;
+    mean divides exact integers; each edge division rounded to 6.  No
+    counterpart in the reference (SURVEY.md section 2.1).
+    """
+    firsts = (
+        events.where(F.col("event_type").isin(start_type, end_type))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == start_type, F.col("ts"))
+            ).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == end_type, F.col("ts"))
+            ).alias("t1"),
+        )
+        .where(F.col("t0").isNotNull())
+    )
+    lat = firsts.select(
+        "user_id",
+        F.when(
+            F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")),
+            F.col("t1") - F.col("t0"),
+        ).alias("lat_ns"),
+    )
+    return lat.groupBy().agg(
+        F.count(F.lit(1)).alias("n_started"),
+        F.count("lat_ns").alias("n_converted"),
+        F.round(
+            F.count("lat_ns").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("conv_rate"),
+        F.round(
+            F.sum("lat_ns").cast("double")
+            / F.count("lat_ns").cast("double")
+            / F.lit(1.0e9),
+            6,
+        ).alias("mean_s"),
+        F.round(F.min("lat_ns").cast("double") / F.lit(1.0e9), 6).alias("min_s"),
+        F.round(F.max("lat_ns").cast("double") / F.lit(1.0e9), 6).alias("max_s"),
+    )

@@ -1361,6 +1361,36 @@ def lsh_stratified_sample(
     )
 
 
+def _centered_coords(
+    emb: DataFrame, *, n_buckets: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Mean-centered embedding coordinates, shared by the spectral ops:
+    ``cx`` (vec_id, cx: array<double>) checkpointed, and ``cxe`` its
+    exploded (vec_id, dim, xd, bucket) form with the md5 fold bucket.
+    The mean is the exact two-level-fold global centroid
+    (``label_centroids`` with a constant label), components rounded to 6
+    so both engines center on identical doubles."""
+    mean = label_centroids(
+        emb.select("vec_id", "embedding", F.lit(0).alias("label")),
+        n_buckets=n_buckets,
+    )
+    vecs = _with_vec(emb)
+    cx = (
+        vecs.crossJoin(F.broadcast(mean.select("cvec")))
+        .select(
+            "vec_id",
+            F.zip_with("vec", "cvec", lambda x, m: x - m).alias("cx"),
+        )
+        .localCheckpoint()
+    )
+    cxe = cx.select(
+        "vec_id", F.posexplode("cx").alias("dim", "xd")
+    ).withColumn(
+        "bucket", F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets)
+    )
+    return cx, cxe
+
+
 def dominant_pc(
     emb: DataFrame, *, n_iter: int = 3, n_buckets: int = 64
 ) -> DataFrame:
@@ -1397,24 +1427,7 @@ def dominant_pc(
     (SURVEY.md section 2.1).
     """
     assert EMB_DIM == 64, "v0 literal assumes d=64 (1/sqrt(64) = 0.125)"
-    mean = label_centroids(
-        emb.select("vec_id", "embedding", F.lit(0).alias("label")),
-        n_buckets=n_buckets,
-    )
-    vecs = _with_vec(emb)
-    cx = (
-        vecs.crossJoin(F.broadcast(mean.select("cvec")))
-        .select(
-            "vec_id",
-            F.zip_with("vec", "cvec", lambda x, m: x - m).alias("cx"),
-        )
-        .localCheckpoint()
-    )
-    cxe = cx.select(
-        "vec_id", F.posexplode("cx").alias("dim", "xd")
-    ).withColumn(
-        "bucket", F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets)
-    )
+    cx, cxe = _centered_coords(emb, n_buckets=n_buckets)
     spark = emb.sparkSession
     vdf = spark.range(1).select(
         F.array(*[F.lit(0.125).cast("double")] * EMB_DIM).alias("vl")
@@ -1467,3 +1480,62 @@ def dominant_pc(
     return eig.select(
         F.posexplode("vl").alias("dim", "loading"), "eigval"
     ).select("dim", "loading", "eigval")
+
+
+def anisotropy(
+    emb: DataFrame, *, n_iter: int = 3, n_buckets: int = 64
+) -> DataFrame:
+    """Top-PC variance share of the centered embedding cloud — ONE row
+    (eigval, trace, anisotropy): ``eigval`` is ``dominant_pc``'s final
+    gain ||X'Xv|| (~the top scatter eigenvalue), ``trace`` the total
+    scatter Σ_i ||x'_i||² (= Σ of all eigenvalues), and ``anisotropy``
+    their ratio.  The single-number deploy gate on the Mu & Viswanath
+    common-direction pathology: near-isotropic clouds score ~1/d, a
+    dominant mean artifact pushes the share toward 1 and says "subtract
+    the top direction before trusting cosine".
+
+    Scale/exactness contract = ``dominant_pc`` plus one more per-dim
+    two-level md5-bucket fold for the scatter diagonal (rounded to 6 per
+    dim, folded in dim order, rounded again); the ratio divides two
+    already-rounded doubles.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    pc = dominant_pc(emb, n_iter=n_iter, n_buckets=n_buckets)
+    eig = pc.groupBy().agg(F.max("eigval").alias("eigval"))
+    _, cxe = _centered_coords(emb, n_buckets=n_buckets)
+    per_dim = cxe.groupBy("dim", "bucket").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("vec_id", (F.col("xd") * F.col("xd")).alias("t"))
+                )
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["t"],
+        ).alias("ps")
+    )
+    tr_dim = per_dim.groupBy("dim").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bucket", "ps"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["ps"],
+            ),
+            6,
+        ).alias("t")
+    )
+    trace = tr_dim.groupBy().agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("dim", "t"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["t"],
+            ),
+            6,
+        ).alias("trace")
+    )
+    return eig.crossJoin(F.broadcast(trace)).select(
+        "eigval",
+        "trace",
+        F.round(F.col("eigval") / F.col("trace"), 6).alias("anisotropy"),
+    )

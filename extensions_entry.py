@@ -189,7 +189,9 @@ r{i} AS MATERIALIZED (
     return "".join(blocks)
 
 
-def _power_iter_sql(n_iter: int = 3, n_buckets: int = 64) -> str:
+def _power_iter_sql(
+    n_iter: int = 3, n_buckets: int = 64, final: str | None = None
+) -> str:
     """Unrolled fixed-round power iteration for the dominant PC — mirrors
     ``similarity.dominant_pc`` exactly: two-level md5-bucket ordered folds
     for every per-dim float sum, w rounded to 6 per round, norm folded
@@ -245,11 +247,15 @@ cxe AS MATERIALIZED (
 ),
 v0 AS (SELECT DISTINCT dim, 0.125 AS v FROM ve)"""
         + "".join(blocks)
-        + f"""
+        + (
+            final
+            if final is not None
+            else f"""
 SELECT dim, v AS loading,
        (SELECT ROUND(nrm, 6) FROM nrm{n_iter}) AS eigval
 FROM v{n_iter}
 """
+        )
     )
 
 
@@ -936,6 +942,16 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 5: per-type inter-arrival cadence profile
         "events_gap_profile": lambda s, d: ev.inter_event_gaps(
+            load_table(s, d, "events")
+        ),
+        # round 5: top-PC variance share (the one-number anisotropy gate)
+        "sim_anisotropy": lambda s, d: sim.anisotropy(_emb(s, d)),
+        # round 5: quality-aware canonical selection per dup component
+        "dedup_canonical_quality": lambda s, d: dd.canonical_by_quality(
+            _docs(s, d), est_threshold=0.25
+        ),
+        # round 5: signup->purchase activation latency summary
+        "events_time_to_convert": lambda s, d: ev.time_to_convert(
             load_table(s, d, "events")
         ),
     }
@@ -3326,5 +3342,84 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        ROUND(CAST(MAX(gap_ns) AS DOUBLE) / 1000000000.0, 6) AS max_gap_s
 FROM g WHERE gap_ns IS NOT NULL
 GROUP BY 1
+"""
+    # round 5: anisotropy — power-iteration body + a scatter-trace tail
+    # (same two-level fold discipline, ratio of already-rounded doubles)
+    o["sim_anisotropy"] = _power_iter_sql(
+        n_iter=3,
+        n_buckets=64,
+        final=""",
+trp AS (
+  SELECT dim, bucket,
+         list_aggregate(list(cx * cx ORDER BY vec_id), 'sum') AS s
+  FROM cxe GROUP BY 1, 2
+),
+trd AS (
+  SELECT dim, ROUND(list_aggregate(list(s ORDER BY bucket), 'sum'), 6) AS t
+  FROM trp GROUP BY 1
+),
+tr AS (
+  SELECT ROUND(list_aggregate(list(t ORDER BY dim), 'sum'), 6) AS trace
+  FROM trd
+)
+SELECT (SELECT ROUND(nrm, 6) FROM nrm3) AS eigval,
+       tr.trace AS trace,
+       ROUND((SELECT ROUND(nrm, 6) FROM nrm3) / tr.trace, 6) AS anisotropy
+FROM tr
+""",
+    )
+    # round 5: quality-aware canonical per component — components CTE +
+    # the text_quality composite, winner by (quality DESC, doc_id ASC)
+    o["dedup_canonical_quality"] = f"""
+WITH {_CC_CTE},
+q AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+               + 0.3 * LEAST(1.0, 5.0 * (CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ({", ".join(repr(w) for w in tx.STOPWORDS)}))) AS DOUBLE)
+                     / len(string_split(text, ' '))))
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(text)), 6) AS quality
+  FROM documents
+),
+m AS (
+  SELECT CAST(cc.node AS BIGINT) AS doc_id, CAST(cc.comp AS BIGINT) AS component,
+         q.quality
+  FROM cc JOIN q ON q.doc_id = cc.node
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY quality DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n_members
+  FROM m
+)
+SELECT component, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS kept_doc, quality
+FROM r WHERE rn = 1
+"""
+    # round 5: activation latency — exact BIGINT nanos, rounded edges
+    o["events_time_to_convert"] = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t1
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY 1 HAVING MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END)
+                    IS NOT NULL
+),
+lat AS (
+  SELECT user_id,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0 THEN t1 - t0 END AS lat_ns
+  FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_started,
+       CAST(COUNT(lat_ns) AS BIGINT) AS n_converted,
+       ROUND(CAST(COUNT(lat_ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS conv_rate,
+       ROUND(CAST(SUM(lat_ns) AS DOUBLE) / CAST(COUNT(lat_ns) AS DOUBLE)
+             / 1000000000.0, 6) AS mean_s,
+       ROUND(CAST(MIN(lat_ns) AS DOUBLE) / 1000000000.0, 6) AS min_s,
+       ROUND(CAST(MAX(lat_ns) AS DOUBLE) / 1000000000.0, 6) AS max_s
+FROM lat
 """
     return o

@@ -1078,3 +1078,71 @@ def test_inter_event_gaps_hand_built(spark):
     assert c.n_gaps == 3
     assert abs(c.mean_gap_s - round((2 + 4 + 10) / 3, 6)) < 1e-9
     assert c.min_gap_s == 2.0 and c.max_gap_s == 10.0
+
+
+# ---------------------------------------------------------------------------
+# anisotropy / canonical_by_quality / time_to_convert
+# ---------------------------------------------------------------------------
+
+
+def test_anisotropy_dominant_direction_scores_high(spark):
+    from dask_mwu_spark.operators.similarity import anisotropy
+
+    planted = np.zeros(64)
+    planted[0] = 1.0
+    strong = rng.normal(size=(60, 1)) * 10.0 * planted + rng.normal(
+        size=(60, 64)
+    ) * 0.2
+    iso = rng.normal(size=(60, 64))
+    a_strong = anisotropy(_emb(spark, strong)).toPandas().iloc[0]
+    a_iso = anisotropy(_emb(spark, iso)).toPandas().iloc[0]
+    assert a_strong.anisotropy > 0.9
+    assert a_iso.anisotropy < 0.2
+    # trace bounds the top eigenvalue
+    assert 0 < a_strong.eigval <= a_strong.trace * 1.000001
+
+
+def test_canonical_by_quality_keeps_best_member(spark):
+    from dask_mwu_spark.operators.dedup import canonical_by_quality
+    from dask_mwu_spark.operators.text import quality_scores
+
+    # three near-identical docs; doc 3 carries extra stopword-rich text
+    # so its composite quality is highest; doc 9 unrelated
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    richer = base + " the and that have with"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),
+        (3, richer, "en", "s", len(richer)),
+        (9, "one two three four five six seven eight nine ten", "en", "s", 49),
+    ]
+    docs = _docs(spark, rows)
+    out = canonical_by_quality(docs, est_threshold=0.25).toPandas()
+    assert len(out) == 1  # docs 1-3 cluster; doc 9 has no pair
+    row = out.iloc[0]
+    assert row.n_members == 3
+    assert row.kept_doc == 3
+    q = quality_scores(docs).toPandas().set_index("doc_id")
+    assert row.quality == q.loc[3].quality
+    assert q.loc[3].quality > q.loc[1].quality
+
+
+def test_time_to_convert_hand_built(spark):
+    from dask_mwu_spark.operators.events import time_to_convert
+
+    s = 1_000_000_000
+    rows = [
+        # user 1: signup at 0, purchase at 10s -> 10s latency
+        (1, "signup", 0, 1), (1, "purchase", 10 * s, 2),
+        # user 2: signup, never purchases
+        (2, "signup", 0, 3),
+        # user 3: purchase BEFORE signup -> not a conversion
+        (3, "purchase", 0, 4), (3, "signup", 5 * s, 5),
+        # user 4: purchase only (never started) -> excluded entirely
+        (4, "purchase", 0, 6),
+    ]
+    out = time_to_convert(_ev(spark, rows)).toPandas().iloc[0]
+    assert out.n_started == 3
+    assert out.n_converted == 1
+    assert abs(out.conv_rate - round(1 / 3, 6)) < 1e-9
+    assert out.mean_s == 10.0 and out.min_s == 10.0 and out.max_s == 10.0
