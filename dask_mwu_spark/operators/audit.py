@@ -844,3 +844,124 @@ def price_trend(
     return scored.orderBy(
         F.col("slope_per_day").desc(), F.col("l_partkey").asc()
     ).limit(k)
+
+
+def return_rates_wilson(
+    lineitem: DataFrame, part: DataFrame, *, z: float = 1.96
+) -> DataFrame:
+    """Per-brand return rate with the Wilson-score LOWER bound — (p_brand,
+    n_lines, n_returned, rate, wilson_low), the shrinkage-aware ranking
+    statistic: sorting suppliers/brands by raw return rate rewards tiny
+    samples, while the Wilson lower bound (Agresti-Coull family) penalizes
+    uncertainty so a 3/4 disaster doesn't outrank a 400/1000 one.
+
+        wl = (p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+
+    Scale: one combinable groupBy on the ~25-value brand key after the
+    part equi-join; everything downstream is per-row arithmetic on a
+    vocabulary-sized table.
+
+    Cross-engine: counts exact BIGINTs; the Wilson expression is a fixed
+    IEEE tree (/,*,sqrt are correctly rounded) evaluated identically on
+    both engines, rounded to 6.  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    agg = (
+        lineitem.select("l_partkey", "l_returnflag")
+        .join(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+                "n_returned"
+            ),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_returned").cast("double") / n
+    zz = F.lit(float(z) * float(z))
+    zl = F.lit(float(z))
+    wl = (
+        p
+        + zz / (F.lit(2.0) * n)
+        - zl * F.sqrt(p * (F.lit(1.0) - p) / n + zz / (F.lit(4.0) * n * n))
+    ) / (F.lit(1.0) + zz / n)
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        F.round(p, 6).alias("rate"),
+        F.round(wl, 6).alias("wilson_low"),
+    )
+
+
+def revenue_concentration(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Revenue share by customer nation plus the Herfindahl-Hirschman
+    concentration index — (n_name, revenue, share, hhi), ``hhi`` the
+    constant Σ share² (1/n_nations = perfectly even, 1 = single-market).
+    The market-concentration audit: a corpus (or revenue base) dominated
+    by one segment is a diversification risk the mixture/treasury review
+    flags the same way.
+
+    Scale: orders→customer→nation equi-joins (dims broadcastable), one
+    combinable groupBy on the ~25-value nation key; money sums in
+    DECIMAL(18,2) so the totals are exact under any partitioning (the
+    repo's money recipe — never round a large double sum).
+
+    Cross-engine: shares divide two exactly-equal DECIMAL-derived
+    doubles; hhi folds the ROUNDED shares in ascending nation order (a
+    ≤25-entry fold).  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    rev = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+        )
+    )
+    total = rev.agg(F.sum("_rev").alias("_total"))
+    shared = rev.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("share"),
+    )
+    hhi = shared.groupBy().agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "n_name",
+                            (F.col("share") * F.col("share")).alias("s2"),
+                        )
+                    )
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["s2"],
+            ),
+            6,
+        ).alias("hhi")
+    )
+    return shared.crossJoin(F.broadcast(hhi))

@@ -954,6 +954,16 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": lambda s, d: ev.time_to_convert(
             load_table(s, d, "events")
         ),
+        # round 5: Wilson-lower-bound return-rate ranking per brand
+        "lineitem_return_wilson": lambda s, d: au.return_rates_wilson(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
+        # round 5: revenue share by nation + HHI concentration index
+        "orders_revenue_hhi": lambda s, d: au.revenue_concentration(
+            load_table(s, d, "orders"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "nation"),
+        ),
     }
 
 
@@ -3421,5 +3431,49 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_started,
        ROUND(CAST(MIN(lat_ns) AS DOUBLE) / 1000000000.0, 6) AS min_s,
        ROUND(CAST(MAX(lat_ns) AS DOUBLE) / 1000000000.0, 6) AS max_s
 FROM lat
+"""
+    # round 5: Wilson lower bound — fixed IEEE tree, z literals emitted
+    # with repr so both engines square 1.96 identically
+    _z, _zz = repr(1.96), repr(1.96 * 1.96)
+    _p = "CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+    _n = "CAST(n_lines AS DOUBLE)"
+    o["lineitem_return_wilson"] = f"""
+WITH agg AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_lines, n_returned,
+       ROUND({_p}, 6) AS rate,
+       ROUND(({_p} + {_zz} / (2.0 * {_n})
+              - {_z} * sqrt({_p} * (1.0 - {_p}) / {_n}
+                            + {_zz} / (4.0 * {_n} * {_n})))
+             / (1.0 + {_zz} / {_n}), 6) AS wilson_low
+FROM agg
+"""
+    # round 5: revenue HHI — DECIMAL(18,2) money sums (exact under any
+    # partitioning), shares rounded then folded in nation order
+    o["orders_revenue_hhi"] = """
+WITH rev AS (
+  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+t AS (SELECT SUM(_rev) AS _total FROM rev),
+s AS (
+  SELECT n_name, CAST(_rev AS DOUBLE) AS revenue,
+         ROUND(CAST(_rev AS DOUBLE) / CAST(_total AS DOUBLE), 6) AS share
+  FROM rev CROSS JOIN t
+),
+h AS (
+  SELECT ROUND(list_aggregate(list(share * share ORDER BY n_name), 'sum'), 6)
+    AS hhi
+  FROM s
+)
+SELECT n_name, revenue, share, hhi FROM s CROSS JOIN h
 """
     return o

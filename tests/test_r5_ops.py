@@ -1146,3 +1146,57 @@ def test_time_to_convert_hand_built(spark):
     assert out.n_converted == 1
     assert abs(out.conv_rate - round(1 / 3, 6)) < 1e-9
     assert out.mean_s == 10.0 and out.min_s == 10.0 and out.max_s == 10.0
+
+
+# ---------------------------------------------------------------------------
+# return_rates_wilson / revenue_concentration
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_lower_bound_properties(spark):
+    from dask_mwu_spark.operators.audit import return_rates_wilson
+
+    # brand A: 3/4 returned (tiny sample); brand B: 400/1000 returned
+    li, pt = [], [(1, "A"), (2, "B")]
+    for i in range(4):
+        li.append((i, 1, "R" if i < 3 else "N"))
+    for i in range(1000):
+        li.append((1000 + i, 2, "R" if i < 400 else "N"))
+    li_df = spark.createDataFrame(
+        pd.DataFrame(li, columns=["l_orderkey", "l_partkey", "l_returnflag"])
+    )
+    pt_df = spark.createDataFrame(
+        pd.DataFrame(pt, columns=["p_partkey", "p_brand"])
+    )
+    out = return_rates_wilson(li_df, pt_df).toPandas().set_index("p_brand")
+    # hand-check brand B against the closed form
+    p, n, z = 0.4, 1000.0, 1.96
+    want = (
+        p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    ) / (1 + z * z / n)
+    assert abs(out.loc["B"].wilson_low - round(want, 6)) < 1e-9
+    # the shrinkage property: raw rate A > B, but the bound flips them
+    assert out.loc["A"].rate > out.loc["B"].rate
+    assert out.loc["A"].wilson_low < out.loc["B"].wilson_low
+    # bound is conservative: always below the raw rate
+    assert (out.wilson_low < out.rate).all()
+
+
+def test_revenue_hhi_hand_built(spark):
+    from dask_mwu_spark.operators.audit import revenue_concentration
+
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 1, 300.0), (2, 1, 100.0), (3, 2, 100.0)],
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+    ).select("o_custkey", "o_totalprice")
+    cust = spark.createDataFrame(
+        pd.DataFrame([(1, 10), (2, 20)], columns=["c_custkey", "c_nationkey"])
+    )
+    nat = spark.createDataFrame(
+        pd.DataFrame([(10, "FR"), (20, "DE")], columns=["n_nationkey", "n_name"])
+    )
+    out = revenue_concentration(orders, cust, nat).toPandas().set_index("n_name")
+    assert out.loc["FR"].share == 0.8 and out.loc["DE"].share == 0.2
+    assert abs(out.hhi.iloc[0] - round(0.8**2 + 0.2**2, 6)) < 1e-9
