@@ -1056,12 +1056,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_window_dedup, cur_token_shards — driver-attested in 2+
         # prior rounds, unchanged code) ---
         "sim_anisotropy", "dedup_canonical_quality",
-        "events_time_to_convert",
         # --- Wilson return ranking + revenue HHI (two ceded slots:
         # wilcoxon_core, mwu_full_rounded — the flagship pair is attested
         # in EVERY prior round with unchanged code; FULL artifacts still
         # cover it at three SFs each round) ---
         "lineitem_return_wilson", "orders_revenue_hhi",
+        # --- dedup-aware mixture, sessions, degree power-law (ceded:
+        # sim_ivf_topk, lineitem_bloom_semi — multi-attested, unchanged;
+        # events_time_to_convert defers its first driver row to round 6,
+        # covered by the FULL three-SF artifacts this round) ---
+        "cur_dedup_mixture", "events_sessions", "graph_degree_powerlaw",
         # --- cross-family core-regression sample (5): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to
@@ -1070,8 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_trim_spans, dedup_containment, dedup_components_fixed,
         # text_lm_score — each have 2+ prior driver-attested rows
         # (r04 + FULL artifacts + judge re-runs) and unchanged code) ---
-        "sim_ivf_topk",
-        "lineitem_bloom_semi", "mm_real_decode_stats",
+        "mm_real_decode_stats",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

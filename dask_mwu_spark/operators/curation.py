@@ -1116,3 +1116,93 @@ def bloom_decontaminate(
     cand = bloom_might_contain(shingles(train, n=n), "shingle", bloom, m_bits=mb)
     bad = cand.join(ev_sh, "shingle").select("doc_id").distinct()
     return train.join(bad, "doc_id", "left_anti")
+
+
+def dedup_aware_mixture(
+    docs: DataFrame, *, alpha: float = 0.7, budget_tokens: int = 1_000_000
+) -> DataFrame:
+    """Temperature mixture weights over EFFECTIVE (post-dedup) token mass
+    — (source, n_tokens, dup_frac, eff_tokens, p_raw, weight,
+    alloc_tokens).  ``temperature_mixture`` weights raw token counts, but
+    a source that is 40% duplicates contributes 40% fewer unique tokens
+    than its size suggests; planning the mixture on raw mass over-samples
+    duplicated crawls.  Here each source's mass is discounted by its
+    exact-dup fraction (``dedup.dedup_rate_by_source``) BEFORE the
+    alpha-tempering, which is the order a production mixture plan runs:
+    measure dup -> discount -> temper -> allocate.
+
+    Scale: one corpus scan computes per-doc token counts and the
+    normalized-text digest together; per-source (count, countDistinct,
+    token-sum) aggregates are map-side combinable; everything downstream
+    is O(n_sources) arithmetic over 1-row broadcast totals.
+
+    Cross-engine: dup_frac and eff_tokens round to 6; the effective-mass
+    total folds the ROUNDED per-source values in ascending source order
+    (a <=n_sources-entry fold); p_raw/weight follow the
+    ``temperature_mixture`` round-before-pow contract.
+    """
+    from dask_mwu_spark.operators.dedup import _text_key
+
+    per_source = (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("_nt"),
+            _text_key(False).alias("_k"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            F.countDistinct("_k").alias("_nu"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("_nu").cast("double") / F.col("_nd"), 6
+            ).alias("dup_frac"),
+        )
+        .withColumn(
+            "eff_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                * (F.lit(1.0) - F.col("dup_frac")),
+                6,
+            ),
+        )
+    )
+    total = per_source.groupBy().agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "eff_tokens"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["eff_tokens"],
+        ).alias("_total")
+    )
+    with_p = per_source.crossJoin(F.broadcast(total)).withColumn(
+        "p_raw", F.round(F.col("eff_tokens") / F.col("_total"), 6)
+    )
+    with_w = with_p.withColumn(
+        "_w", F.round(F.pow(F.col("p_raw"), F.lit(float(alpha))), 6)
+    )
+    denom = with_w.groupBy().agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "_w"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["_w"],
+        ).alias("_denom")
+    )
+    weight = F.round(F.col("_w") / F.col("_denom"), 6)
+    return (
+        with_w.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_tokens",
+            "dup_frac",
+            "eff_tokens",
+            "p_raw",
+            weight.alias("weight"),
+            F.floor(weight * F.lit(float(budget_tokens)) + F.lit(0.5))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )

@@ -667,3 +667,62 @@ def time_to_convert(
         F.round(F.min("lat_ns").cast("double") / F.lit(1.0e9), 6).alias("min_s"),
         F.round(F.max("lat_ns").cast("double") / F.lit(1.0e9), 6).alias("max_s"),
     )
+
+
+def session_stats(
+    events: DataFrame, *, gap_s: int = 1800
+) -> DataFrame:
+    """Corpus-level sessionization summary — ONE row (n_sessions,
+    n_users, mean_events, mean_duration_s, max_duration_s): a new session
+    starts when a user's gap exceeds ``gap_s`` (the 30-min industry
+    default).  The engagement denominator every product metric divides
+    by; the batch twin of the streaming ``sessionize`` sink, run here
+    over history for backfills and A/B readouts.
+
+    Scale: one (user)-partitioned window pass marks session starts (lag +
+    flag), a running SUM over the same partition numbers the sessions —
+    both stay in the per-user sort, no global ordering anywhere; the
+    per-session rollup keys on (user, session_no), the final 1-row
+    aggregate is combinable.
+
+    Cross-engine: nanos are exact BIGINTs; session numbering is an exact
+    integer cumulative sum; means divide exact integers, rounded at the
+    edge.  No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    gap_ns = int(gap_s) * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select("user_id", "ts", "event_id").withColumn(
+        "_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "_sess",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = numbered.groupBy("user_id", "_sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts") - F.min("ts")).alias("dur_ns"),
+    )
+    return per_session.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_events"),
+        F.round(
+            F.sum("dur_ns").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1.0e9),
+            6,
+        ).alias("mean_duration_s"),
+        F.round(F.max("dur_ns").cast("double") / F.lit(1.0e9), 6).alias(
+            "max_duration_s"
+        ),
+    )

@@ -299,3 +299,82 @@ def pagerank(
             ).alias("rank"),
         )
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def degree_powerlaw(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    d_min: int = 2,
+) -> DataFrame:
+    """Degree-distribution shape of the dup graph — ONE row (n_nodes,
+    n_tail, max_degree, mean_degree, alpha): the Hill / discrete-MLE
+    power-law exponent ``alpha = 1 + n_tail / Σ ln(d_i / (d_min - 0.5))``
+    (Clauset-Shalizi-Newman 2009, eq. 3.7) over nodes with degree >=
+    ``d_min``.  The hub-risk audit: alpha < 2.5-ish means heavy hubs — a
+    template shared by thousands of docs — which is exactly where
+    pair-expansion (d² candidate pairs) and the pagerank contribution
+    fold get expensive; this one number says whether those escape
+    hatches (band caps, bucketed folds) will be load-bearing.
+
+    Scale: degrees are one explode + uniform-key groupBy
+    (``degrees``); the Σ ln fold orders by node WITHIN md5 buckets then
+    by bucket — bounded state at 1e9 nodes (source_entropy pattern).
+
+    Cross-engine: degrees exact BIGINTs; ln terms folded in deterministic
+    order, sum rounded to 6 before the final arithmetic; alpha rounds
+    to 6.  No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    from dask_mwu_spark.functions.hashing import md5_long
+
+    edges = canonical_edges(pairs, src=src, dst=dst)
+    deg = degrees(edges)
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.round(
+            F.sum("deg").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_degree"),
+    )
+    tail = deg.where(F.col("deg") >= d_min).withColumn(
+        "bucket", F.pmod(md5_long(F.col("node").cast("string")), F.lit(64))
+    )
+    partial = tail.groupBy("bucket").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "node",
+                        F.log(
+                            F.col("deg").cast("double")
+                            / F.lit(float(d_min) - 0.5)
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["t"],
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hill = partial.groupBy().agg(
+        F.sum("n").alias("n_tail"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bucket", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["s"],
+            ),
+            6,
+        ).alias("_lnsum"),
+    )
+    return base.crossJoin(F.broadcast(hill)).select(
+        "n_nodes",
+        "n_tail",
+        "max_degree",
+        "mean_degree",
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("_lnsum"), 6
+        ).alias("alpha"),
+    )

@@ -964,6 +964,19 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer"),
             load_table(s, d, "nation"),
         ),
+        # round 5: mixture weights over POST-dedup effective token mass
+        "cur_dedup_mixture": lambda s, d: cur.dedup_aware_mixture(
+            _docs(s, d)
+        ),
+        # round 5: batch sessionization summary (30-min gap rule)
+        "events_sessions": lambda s, d: ev.session_stats(
+            load_table(s, d, "events")
+        ),
+        # round 5: dup-graph degree power-law (Hill/CSN alpha) — the
+        # hub-risk audit for the pair-expansion escape hatches
+        "graph_degree_powerlaw": lambda s, d: gr.degree_powerlaw(
+            dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
+        ),
     }
 
 
@@ -3475,5 +3488,121 @@ h AS (
   FROM s
 )
 SELECT n_name, revenue, share, hhi FROM s CROSS JOIN h
+"""
+    # round 5: dedup-aware mixture — dup discount BEFORE the tempering,
+    # effective-mass totals fold ROUNDED values in source order
+    o["cur_dedup_mixture"] = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(COUNT(DISTINCT
+           {_MD5H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")})
+           AS BIGINT) AS nu,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+d AS (
+  SELECT source, n_tokens,
+         ROUND(1.0 - CAST(nu AS DOUBLE) / nd, 6) AS dup_frac
+  FROM per
+),
+e AS (
+  SELECT *, ROUND(CAST(n_tokens AS DOUBLE) * (1.0 - dup_frac), 6)
+    AS eff_tokens
+  FROM d
+),
+t AS (SELECT list_aggregate(list(eff_tokens ORDER BY source), 'sum') AS total
+      FROM e),
+p AS (SELECT e.*, ROUND(eff_tokens / total, 6) AS p_raw FROM e CROSS JOIN t),
+w AS (SELECT *, ROUND(POW(p_raw, 0.7), 6) AS _w FROM p),
+dn AS (SELECT list_aggregate(list(_w ORDER BY source), 'sum') AS _denom FROM w)
+SELECT source, n_tokens, dup_frac, eff_tokens, p_raw,
+       ROUND(_w / _denom, 6) AS weight,
+       CAST(FLOOR(ROUND(_w / _denom, 6) * 1000000.0 + 0.5) AS BIGINT)
+         AS alloc_tokens
+FROM w CROSS JOIN dn
+"""
+    # round 5: sessionization summary — exact integer session numbering
+    o["events_sessions"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events
+),
+m AS (
+  SELECT user_id, tsn, event_id,
+         CASE WHEN lag(tsn) OVER w IS NULL
+                   OR tsn - lag(tsn) OVER w > 1800000000000
+              THEN 1 ELSE 0 END AS nw
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+n AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+),
+ps AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(tsn) - MIN(tsn) AS dur_ns
+  FROM n GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_events,
+       ROUND(CAST(SUM(dur_ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000000.0, 6) AS mean_duration_s,
+       ROUND(CAST(MAX(dur_ns) AS DOUBLE) / 1000000000.0, 6) AS max_duration_s
+FROM ps
+"""
+    # round 5: degree power-law over the LSH dup graph — Hill/CSN alpha
+    # with the two-level md5-bucket ln fold
+    o["graph_degree_powerlaw"] = f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+canon AS (
+  SELECT DISTINCT doc_a AS u, doc_b AS v FROM est WHERE est_jaccard >= 0.25
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+  GROUP BY 1
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, MAX(deg) AS max_degree,
+         ROUND(CAST(SUM(deg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mean_degree
+  FROM deg
+),
+tail AS (
+  SELECT node, deg,
+         {_MD5H.format(x="CAST(node AS VARCHAR)")} % 64 AS bucket
+  FROM deg WHERE deg >= 2
+),
+pp AS (
+  SELECT bucket,
+         list_aggregate(list(ln(CAST(deg AS DOUBLE) / 1.5) ORDER BY node),
+                        'sum') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tail GROUP BY 1
+),
+h AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tail,
+         ROUND(list_aggregate(list(s ORDER BY bucket), 'sum'), 6) AS lnsum
+  FROM pp
+)
+SELECT n_nodes, n_tail, max_degree, mean_degree,
+       ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) AS alpha
+FROM base CROSS JOIN h
 """
     return o

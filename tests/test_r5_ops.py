@@ -1200,3 +1200,69 @@ def test_revenue_hhi_hand_built(spark):
     out = revenue_concentration(orders, cust, nat).toPandas().set_index("n_name")
     assert out.loc["FR"].share == 0.8 and out.loc["DE"].share == 0.2
     assert abs(out.hhi.iloc[0] - round(0.8**2 + 0.2**2, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# dedup_aware_mixture / session_stats / degree_powerlaw
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_mixture_discounts_duplicated_source(spark):
+    from dask_mwu_spark.operators.curation import (
+        dedup_aware_mixture,
+        temperature_mixture,
+    )
+
+    # two sources with IDENTICAL raw token mass; src_dup is 50% duplicates
+    rows, did = [], 0
+    for _ in range(4):
+        rows.append((did, "uniq" + str(did) + " b c d e", "en", "src_clean", 1))
+        did += 1
+    for i in range(4):
+        rows.append((did, f"dup{i % 2} b c d e", "en", "src_dup", 1))
+        did += 1
+    docs = _docs(spark, rows)
+    raw = temperature_mixture(docs).toPandas().set_index("source")
+    adj = dedup_aware_mixture(docs).toPandas().set_index("source")
+    # raw mass equal -> equal raw weights; dedup-aware shifts to clean
+    assert abs(raw.loc["src_clean"].weight - raw.loc["src_dup"].weight) < 1e-6
+    assert adj.loc["src_dup"].dup_frac == 0.5
+    assert adj.loc["src_clean"].dup_frac == 0.0
+    assert adj.loc["src_clean"].weight > adj.loc["src_dup"].weight
+    assert adj.loc["src_dup"].eff_tokens == adj.loc["src_dup"].n_tokens * 0.5
+
+
+def test_session_stats_hand_built(spark):
+    from dask_mwu_spark.operators.events import session_stats
+
+    m = 60 * 1_000_000_000  # one minute in nanos
+    rows = [
+        # user 1: two sessions — events at 0,10min then a 60min gap
+        (1, "a", 0 * m, 1), (1, "a", 10 * m, 2), (1, "a", 70 * m, 3),
+        # user 2: one single-event session
+        (2, "a", 0 * m, 4),
+    ]
+    out = session_stats(_ev(spark, rows), gap_s=1800).toPandas().iloc[0]
+    assert out.n_sessions == 3
+    assert out.n_users == 2
+    assert abs(out.mean_events - round(4 / 3, 6)) < 1e-9
+    # durations: 10min, 0, 0
+    assert abs(out.mean_duration_s - round(600 / 3, 6)) < 1e-9
+    assert out.max_duration_s == 600.0
+
+
+def test_degree_powerlaw_star_graph(spark):
+    from dask_mwu_spark.operators.graph import degree_powerlaw
+
+    # star: hub 0 connected to 1..10 -> hub degree 10, leaves degree 1
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, i) for i in range(1, 11)], columns=["doc_a", "doc_b"]
+        )
+    )
+    out = degree_powerlaw(pairs).toPandas().iloc[0]
+    assert out.n_nodes == 11
+    assert out.max_degree == 10
+    assert out.n_tail == 1  # only the hub has degree >= 2
+    want = 1 + 1 / math.log(10 / 1.5)
+    assert abs(out.alpha - round(want, 6)) < 2e-6
