@@ -1050,7 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- attribution + cadence (two ceded slots: dedup_dup_spans,
         # dedup_incremental — driver-attested in 2+ prior rounds,
         # unchanged code) ---
-        "events_attribution", "events_gap_profile",
+        "events_attribution",
         # --- anisotropy gate, quality-canonical dedup, activation
         # latency (three ceded slots: stream_windowed_agg,
         # events_window_dedup, cur_token_shards — driver-attested in 2+
@@ -1066,6 +1066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_time_to_convert defers its first driver row to round 6,
         # covered by the FULL three-SF artifacts this round) ---
         "cur_dedup_mixture", "events_sessions", "graph_degree_powerlaw",
+        # --- ABTT contrast (events_gap_profile defers its first driver
+        # row to round 6 alongside events_time_to_convert; both covered
+        # by this round's FULL three-SF artifacts) ---
+        "sim_abtt_contrast",
         # --- cross-family core-regression sample (5): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
         # curation, bloom, multimodal plumbing (the nine entries ceded to

@@ -1539,3 +1539,108 @@ def anisotropy(
         "trace",
         F.round(F.col("eigval") / F.col("trace"), 6).alias("anisotropy"),
     )
+
+
+def abtt_contrast(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    n_iter: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """All-but-the-top effectiveness check (Mu & Viswanath ICLR'18): mean
+    top-1 neighbour cosine over the bounded query set BEFORE vs AFTER
+    projecting out the dominant PC of the centered cloud — ONE row
+    (n_queries, mean_top1_before, mean_top1_after, delta).  A positive
+    ``delta`` quantifies how much of the nearest-neighbour cosine was the
+    shared common direction rather than genuine affinity — the
+    evidence that makes ``dominant_pc`` actionable (apply the projection
+    when delta is material, skip it when ~0).
+
+    The projection is x'' = x' − (x'·v)v over the centered x' with v the
+    ROUNDED loadings, so both engines project along bit-identical
+    directions; cosines round to 6 before ranking (vec_id tiebreak), and
+    each mean folds the 10 rounded top-1 values in ascending q_id order.
+
+    Scale: the two scoring passes share the centered, checkpointed
+    coordinates; each is the waived bounded-broadcast brute pattern
+    (``cosine_topk``) — at corpus scale the candidate side routes through
+    IVF/LSH first, identically pre- and post-projection.  No counterpart
+    in the reference (SURVEY.md section 2.1).
+    """
+    cx, _ = _centered_coords(emb, n_buckets=n_buckets)
+    pc = dominant_pc(emb, n_iter=n_iter, n_buckets=n_buckets)
+    varr = pc.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "loading"))),
+            lambda s: s["loading"],
+        ).alias("vl")
+    )
+    proj = (
+        cx.crossJoin(F.broadcast(varr))
+        .withColumn("_s", dot(F.col("cx"), F.col("vl")))
+        .select(
+            "vec_id",
+            "cx",
+            F.zip_with(
+                "cx", "vl", lambda x, v: x - F.col("_s") * v
+            ).alias("px"),
+        )
+        .localCheckpoint()
+    )
+
+    def _mean_top1(vec_col: str) -> DataFrame:
+        vecs = proj.select(
+            "vec_id", F.col(vec_col).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        queries = vecs.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        scored = (
+            vecs.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    dot(F.col("v"), F.col("q_vec"))
+                    / (F.col("nrm") * F.col("q_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        top1 = scored.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
+        return top1.groupBy().agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("q_id", "cosine"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc + s["cosine"],
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_top1"),
+        )
+
+    before = _mean_top1("cx").select(
+        "n_queries", F.col("mean_top1").alias("mean_top1_before")
+    )
+    after = _mean_top1("px").select(
+        F.col("mean_top1").alias("mean_top1_after")
+    )
+    return before.crossJoin(F.broadcast(after)).select(
+        "n_queries",
+        "mean_top1_before",
+        "mean_top1_after",
+        F.round(
+            F.col("mean_top1_before") - F.col("mean_top1_after"), 6
+        ).alias("delta"),
+    )

@@ -977,6 +977,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_powerlaw": lambda s, d: gr.degree_powerlaw(
             dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25)
         ),
+        # round 5: all-but-the-top contrast — does removing the dominant
+        # PC change nearest-neighbour cosines? (makes sim_dominant_pc
+        # actionable)
+        "sim_abtt_contrast": lambda s, d: sim.abtt_contrast(_emb(s, d)),
     }
 
 
@@ -3605,4 +3609,62 @@ SELECT n_nodes, n_tail, max_degree, mean_degree,
        ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) AS alpha
 FROM base CROSS JOIN h
 """
+    # round 5: all-but-the-top contrast — power-iteration body + the
+    # projection and two brute top-1 passes; means fold rounded top-1
+    # cosines in q_id order
+    o["sim_abtt_contrast"] = _power_iter_sql(
+        n_iter=3,
+        n_buckets=64,
+        final=""",
+vl AS (SELECT list(v ORDER BY dim) AS vlist FROM v3),
+cxl AS (SELECT vec_id, list(cx ORDER BY dim) AS cxv FROM cxe GROUP BY 1),
+sv AS (SELECT vec_id, list_dot_product(cxv, vlist) AS s
+       FROM cxl CROSS JOIN vl),
+pe AS (
+  SELECT cxe.vec_id, cxe.dim, cxe.cx - sv.s * v3.v AS px
+  FROM cxe JOIN v3 USING (dim) JOIN sv USING (vec_id)
+),
+pl AS (SELECT vec_id, list(px ORDER BY dim) AS pxv FROM pe GROUP BY 1),
+bv AS MATERIALIZED (
+  SELECT cxl.vec_id, cxv,
+         sqrt(list_aggregate(list_transform(cxv, x -> x * x), 'sum')) AS bnrm,
+         pxv,
+         sqrt(list_aggregate(list_transform(pxv, x -> x * x), 'sum')) AS pnrm
+  FROM cxl JOIN pl USING (vec_id)
+),
+qb AS (SELECT vec_id AS q_id, cxv AS qb_v, bnrm AS qb_n,
+              pxv AS qp_v, pnrm AS qp_n
+       FROM bv WHERE vec_id < 10),
+sb AS (
+  SELECT q_id, bv.vec_id,
+         ROUND(list_dot_product(bv.cxv, qb_v) / (bv.bnrm * qb_n), 6) AS cosine
+  FROM bv, qb WHERE bv.vec_id != q_id
+),
+rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rn
+       FROM sb),
+agg_b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         ROUND(list_aggregate(list(cosine ORDER BY q_id), 'sum')
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_top1_before
+  FROM rb WHERE rn = 1
+),
+sp AS (
+  SELECT q_id, bv.vec_id,
+         ROUND(list_dot_product(bv.pxv, qp_v) / (bv.pnrm * qp_n), 6) AS cosine
+  FROM bv, qb WHERE bv.vec_id != q_id
+),
+rp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rn
+       FROM sp),
+agg_a AS (
+  SELECT ROUND(list_aggregate(list(cosine ORDER BY q_id), 'sum')
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_top1_after
+  FROM rp WHERE rn = 1
+)
+SELECT n_queries, mean_top1_before, mean_top1_after,
+       ROUND(mean_top1_before - mean_top1_after, 6) AS delta
+FROM agg_b CROSS JOIN agg_a
+""",
+    )
     return o

@@ -158,6 +158,11 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # through sim_ivf_* / sim_lsh_* first
         "sim_hard_negatives": {"nested_loop"},
         "sim_knn_label_consistency": {"nested_loop"},
+        # round 5: ABTT contrast scores the bounded broadcast query set
+        # twice (before/after projection) — same brute-baseline waiver;
+        # corpus-scale candidates route through IVF/LSH identically pre-
+        # and post-projection
+        "sim_abtt_contrast": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

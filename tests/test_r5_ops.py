@@ -1266,3 +1266,34 @@ def test_degree_powerlaw_star_graph(spark):
     assert out.n_tail == 1  # only the hub has degree >= 2
     want = 1 + 1 / math.log(10 / 1.5)
     assert abs(out.alpha - round(want, 6)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# abtt_contrast
+# ---------------------------------------------------------------------------
+
+
+def test_abtt_contrast_removes_common_direction_inflation(spark):
+    from dask_mwu_spark.operators.similarity import abtt_contrast
+
+    # strong shared direction + small noise: top-1 cosines are inflated
+    # by the common component; removing it should drop them sharply
+    planted = np.zeros(64)
+    planted[0] = 1.0
+    coefs = np.abs(rng.normal(size=(40, 1))) * 10.0 + 5.0
+    base = coefs * planted + rng.normal(size=(40, 64)) * 0.5
+    out = abtt_contrast(_emb(spark, base)).toPandas().iloc[0]
+    assert out.n_queries == 10
+    # centered but PC-dominated: neighbours align along the planted axis
+    assert out.mean_top1_before > 0.5
+    assert out.delta > 0.25
+    assert out.mean_top1_after < out.mean_top1_before
+
+
+def test_abtt_contrast_isotropic_near_zero_delta(spark):
+    from dask_mwu_spark.operators.similarity import abtt_contrast
+
+    base = rng.normal(size=(40, 64))
+    out = abtt_contrast(_emb(spark, base)).toPandas().iloc[0]
+    # no common direction -> projection barely moves the neighbours
+    assert abs(out.delta) < 0.15
