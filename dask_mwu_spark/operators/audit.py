@@ -965,3 +965,43 @@ def revenue_concentration(
         ).alias("hhi")
     )
     return shared.crossJoin(F.broadcast(hhi))
+
+
+def monthly_growth(orders: DataFrame) -> DataFrame:
+    """Monthly revenue trend with month-over-month growth — (month,
+    n_orders, revenue, mom_growth): the BI staple that anchors every
+    finance review.  First month reports NULL growth.
+
+    Scale: one combinable groupBy on the ~bounded month key (a century
+    of months is 1200 rows); the lag window orders the POST-AGGREGATE
+    months table — bounded, waived like the other <=n_buckets prefix
+    windows.  Money sums in DECIMAL(18,2) (exact under any
+    partitioning); growth divides two exact decimals cast to double,
+    rounded to 6.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    monthly = (
+        orders.select(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("_p"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_p").alias("_rev"),
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("_prev", F.lag("_rev").over(w))
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "n_orders",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                (F.col("_rev") - F.col("_prev")).cast("double")
+                / F.col("_prev").cast("double"),
+                6,
+            ).alias("mom_growth"),
+        )
+    )

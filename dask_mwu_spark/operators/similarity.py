@@ -1644,3 +1644,62 @@ def abtt_contrast(
             F.col("mean_top1_before") - F.col("mean_top1_after"), 6
         ).alias("delta"),
     )
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    *,
+    n_probes: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """The IVF tuning curve: aggregate recall@k per ``n_probe`` setting —
+    (n_probe, n_queries, mean_recall, min_recall), one row per arm.  THE
+    deploy decision table for an IVF index: n_probe is the recall/cost
+    dial (each probe scores one more posting list), and this query reads
+    the whole dial at once instead of discovering recall loss in
+    production.  min_recall matters as much as the mean — a single
+    query stuck in a sparse cell is the failure mode.
+
+    Scale: each arm = one ``ivf_topk`` pass (cell-bounded scoring) joined
+    against the SHARED brute-force truth head; arms are independent
+    scans, so the curve costs len(n_probes) passes — at corpus scale this
+    runs on a query sample by construction (the bounded broadcast query
+    set IS the sample).  Means fold the rounded per-query recalls in
+    ascending q_id order.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    arms = []
+    for p in n_probes:
+        ap = ivf_topk(emb, n_probe=int(p), n_queries=n_queries, k=k).select(
+            "q_id", "vec_id"
+        )
+        per_q = ann_recall_eval(emb, n_queries=n_queries, k=k, approx=ap)
+        arms.append(
+            per_q.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(
+                    F.aggregate(
+                        F.sort_array(
+                            F.collect_list(F.struct("q_id", "recall"))
+                        ),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, s: acc + s["recall"],
+                    )
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("mean_recall"),
+                F.round(F.min("recall"), 6).alias("min_recall"),
+            )
+            .select(
+                F.lit(int(p)).alias("n_probe"),
+                "n_queries",
+                "mean_recall",
+                "min_recall",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

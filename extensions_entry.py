@@ -981,6 +981,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PC change nearest-neighbour cosines? (makes sim_dominant_pc
         # actionable)
         "sim_abtt_contrast": lambda s, d: sim.abtt_contrast(_emb(s, d)),
+        # round 5: the IVF n_probe tuning curve (recall@k per setting)
+        "sim_ivf_recall_curve": lambda s, d: sim.ivf_recall_curve(
+            _emb(s, d)
+        ),
+        # round 5: monthly revenue + MoM growth (DECIMAL-exact sums)
+        "orders_monthly_growth": lambda s, d: au.monthly_growth(
+            load_table(s, d, "orders")
+        ),
     }
 
 
@@ -3667,4 +3675,44 @@ SELECT n_queries, mean_top1_before, mean_top1_after,
 FROM agg_b CROSS JOIN agg_a
 """,
     )
+    # round 5: IVF n_probe tuning curve — one arm per probe setting, each
+    # the ivf oracle with its probe head re-parameterized, unioned
+    _curve_arms = []
+    for _np in (1, 2, 4):
+        _arm = o["sim_ivf_topk"].replace("rn <= 4", f"rn <= {_np}")
+        _curve_arms.append(f"""
+SELECT * FROM (
+WITH truth AS ({o["sim_cosine_topk"]}),
+approx AS ({_arm}),
+per_q AS (
+  SELECT t.q_id,
+         ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*), 6) AS recall
+  FROM truth t
+  LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT {_np} AS n_probe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(list_aggregate(list(recall ORDER BY q_id), 'sum')
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_recall,
+       ROUND(MIN(recall), 6) AS min_recall
+FROM per_q)
+""")
+    o["sim_ivf_recall_curve"] = "\nUNION ALL\n".join(_curve_arms)
+    # round 5: monthly revenue trend — DECIMAL-exact sums, lag over the
+    # bounded post-aggregate months table
+    o["orders_monthly_growth"] = """
+WITH m AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(month, '%Y-%m') AS month, n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+             / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6)
+         AS mom_growth
+FROM m
+"""
     return o

@@ -163,6 +163,12 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # corpus-scale candidates route through IVF/LSH identically pre-
         # and post-projection
         "sim_abtt_contrast": {"nested_loop"},
+        # round 5: the curve's truth arms are the recall-harness brute
+        # baseline (sim_ann_recall precedent), one per n_probe setting
+        "sim_ivf_recall_curve": {"nested_loop"},
+        # round 5: MoM lag orders the POST-AGGREGATE months table —
+        # bounded (~1200 rows for a century), the <=n_buckets precedent
+        "orders_monthly_growth": {"global_window"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

@@ -1297,3 +1297,48 @@ def test_abtt_contrast_isotropic_near_zero_delta(spark):
     out = abtt_contrast(_emb(spark, base)).toPandas().iloc[0]
     # no common direction -> projection barely moves the neighbours
     assert abs(out.delta) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall_curve / monthly_growth
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_curve_monotone_and_saturates(spark):
+    from dask_mwu_spark.operators.similarity import ivf_recall_curve
+
+    base = rng.normal(size=(60, 64))
+    out = (
+        ivf_recall_curve(_emb(spark, base), n_probes=(1, 2, 16))
+        .toPandas()
+        .set_index("n_probe")
+        .sort_index()
+    )
+    # more probes never hurt recall; probing every cell = brute force = 1.0
+    assert out.loc[1].mean_recall <= out.loc[2].mean_recall + 1e-9
+    assert out.loc[2].mean_recall <= out.loc[16].mean_recall + 1e-9
+    assert out.loc[16].mean_recall == 1.0
+    assert (out.n_queries == 10).all()
+
+
+def test_monthly_growth_hand_built(spark):
+    from dask_mwu_spark.operators.audit import monthly_growth
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-05", "2024-01-20", "2024-02-10", "2024-03-01"]
+            ),
+            "o_totalprice": [100.0, 100.0, 300.0, 150.0],
+        }
+    )
+    out = (
+        monthly_growth(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert out.loc["2024-01"].revenue == 200.0
+    assert pd.isna(out.loc["2024-01"].mom_growth)
+    assert out.loc["2024-02"].mom_growth == 0.5
+    assert out.loc["2024-03"].mom_growth == -0.5
