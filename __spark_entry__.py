@@ -1067,9 +1067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered by the FULL three-SF artifacts this round) ---
         "cur_dedup_mixture", "events_sessions", "graph_degree_powerlaw",
         # --- ABTT contrast (events_gap_profile, events_time_to_convert,
-        # sim_ivf_recall_curve and orders_monthly_growth defer their
-        # first driver rows to round 6 — the tier is full; all four are
-        # covered by this round's FULL three-SF artifacts) ---
+        # sim_ivf_recall_curve, orders_monthly_growth,
+        # lineitem_supply_risk and events_power_users defer their first
+        # driver rows to round 6 — the tier is full; all six are covered
+        # by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",
         # --- cross-family core-regression sample (5): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,

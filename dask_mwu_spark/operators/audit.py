@@ -1005,3 +1005,42 @@ def monthly_growth(orders: DataFrame) -> DataFrame:
             ).alias("mom_growth"),
         )
     )
+
+
+def single_source_risk(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supply-chain concentration audit: per brand, how many traded parts
+    are single-sourced — (p_brand, n_parts, n_single_sourced, risk_frac).
+    A part observed with exactly ONE distinct supplier across all
+    lineitems has no fallback when that supplier fails; the brand-level
+    fraction is the procurement-risk heat map.
+
+    Scale: one (partkey)-keyed groupBy counting distinct suppliers
+    (cascaded partial-distinct aggregation, combinable), one broadcastable
+    part-dim join, one ~25-value brand rollup.  All counts exact BIGINTs;
+    the fraction is one rounded division.  No counterpart in the
+    reference (SURVEY.md section 2.1).
+    """
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+    )
+    return (
+        per_part.join(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum((F.col("_ns") == 1).cast("long")).alias("n_single_sourced"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_single_sourced",
+            F.round(
+                F.col("n_single_sourced").cast("double") / F.col("n_parts"), 6
+            ).alias("risk_frac"),
+        )
+    )

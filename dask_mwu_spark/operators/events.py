@@ -726,3 +726,44 @@ def session_stats(
             "max_duration_s"
         ),
     )
+
+
+def power_users(events: DataFrame, *, k: int = 10) -> DataFrame:
+    """Top-``k`` users by event volume with their share of ALL activity —
+    (user_id, n_events, share, cum_share).  The user-concentration audit
+    (pairs with the revenue HHI): a handful of users carrying most of the
+    traffic means bot suspects, load-test residue, or a key-account
+    dependency — either way the next question is always "who are they".
+
+    Scale: one combinable user-key groupBy; the head is an orderBy+limit
+    (TakeOrderedAndProject — per-partition heads, never a global sort);
+    shares divide by a 1-row broadcast total; the cumulative share is a
+    window over the <=k-row post-limit head (the bounded-window
+    precedent).
+
+    Cross-engine: counts exact; share = exact-integer ratio rounded to 6;
+    cum_share sums the ROUNDED shares in rank order over the k-row head,
+    rounded again.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = per_user.agg(F.sum("n_events").alias("_total"))
+    head = (
+        per_user.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("_total"), 6
+            ).alias("share"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return head.withColumn("cum_share", F.round(F.sum("share").over(w), 6))

@@ -989,6 +989,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly_growth": lambda s, d: au.monthly_growth(
             load_table(s, d, "orders")
         ),
+        # round 5: single-sourced-parts procurement risk per brand
+        "lineitem_supply_risk": lambda s, d: au.single_source_risk(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
+        # round 5: user-concentration audit (top-k share of activity)
+        "events_power_users": lambda s, d: ev.power_users(
+            load_table(s, d, "events")
+        ),
     }
 
 
@@ -3714,5 +3722,38 @@ SELECT strftime(month, '%Y-%m') AS month, n_orders,
              / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6)
          AS mom_growth
 FROM m
+"""
+    # round 5: procurement risk — exact distinct-supplier counts
+    o["lineitem_supply_risk"] = """
+WITH pp AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ns
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_sourced,
+       ROUND(CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS risk_frac
+FROM pp JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+    # round 5: user concentration — rounded shares, cumsum over the
+    # bounded post-limit head in rank order
+    o["events_power_users"] = """
+WITH pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM pu),
+head AS (
+  SELECT user_id, n_events,
+         ROUND(CAST(n_events AS DOUBLE) / total, 6) AS share
+  FROM pu CROSS JOIN t
+  ORDER BY n_events DESC, user_id ASC LIMIT 10
+)
+SELECT user_id, n_events, share,
+       ROUND(SUM(share) OVER (ORDER BY n_events DESC, user_id ASC
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+FROM head
 """
     return o

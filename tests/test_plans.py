@@ -169,6 +169,10 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # round 5: MoM lag orders the POST-AGGREGATE months table —
         # bounded (~1200 rows for a century), the <=n_buckets precedent
         "orders_monthly_growth": {"global_window"},
+        # round 5: power_users' cumsum window runs over the <=k-row
+        # post-limit head (TakeOrderedAndProject selects it — the
+        # bm25/vocab_topk precedent)
+        "events_power_users": {"global_window"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

@@ -1342,3 +1342,41 @@ def test_monthly_growth_hand_built(spark):
     assert pd.isna(out.loc["2024-01"].mom_growth)
     assert out.loc["2024-02"].mom_growth == 0.5
     assert out.loc["2024-03"].mom_growth == -0.5
+
+
+# ---------------------------------------------------------------------------
+# single_source_risk / power_users
+# ---------------------------------------------------------------------------
+
+
+def test_supply_risk_hand_built(spark):
+    from dask_mwu_spark.operators.audit import single_source_risk
+
+    # part 1 (brand A): two suppliers; part 2 (brand A): one supplier;
+    # part 3 (brand B): one supplier on many lines (still single-sourced)
+    li = [(1, 10), (1, 11), (2, 10), (3, 12), (3, 12), (3, 12)]
+    pt = [(1, "A"), (2, "A"), (3, "B")]
+    li_df = spark.createDataFrame(
+        pd.DataFrame(li, columns=["l_partkey", "l_suppkey"])
+    )
+    pt_df = spark.createDataFrame(
+        pd.DataFrame(pt, columns=["p_partkey", "p_brand"])
+    )
+    out = single_source_risk(li_df, pt_df).toPandas().set_index("p_brand")
+    assert out.loc["A"].n_parts == 2
+    assert out.loc["A"].n_single_sourced == 1
+    assert out.loc["A"].risk_frac == 0.5
+    assert out.loc["B"].risk_frac == 1.0
+
+
+def test_power_users_shares_and_cumsum(spark):
+    from dask_mwu_spark.operators.events import power_users
+
+    rows = [(1, "e")] * 6 + [(2, "e")] * 3 + [(3, "e")] * 1
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type"])
+    )
+    out = power_users(ev, k=2).toPandas()
+    assert list(out.user_id) == [1, 2]
+    assert out.iloc[0].share == 0.6 and out.iloc[1].share == 0.3
+    assert out.iloc[1].cum_share == 0.9
