@@ -461,6 +461,148 @@ def _q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly k orders — INCLUDING the zero-order
+    customers the inner join would drop (that inclusion is the whole
+    point of Q13 and the classic left-outer-with-zero-groups trap).
+
+    Shape: pre-aggregate orders per custkey (map-side-combinable count,
+    so raw order rows never survive the shuffle), LEFT join customer on
+    the counts table, coalesce the miss to 0, then a second tiny groupBy
+    on the bounded count key.  At 100 TB both shuffles key on custkey /
+    c_count — no skew (custkey is near-unique; c_count has ~hundreds of
+    distinct values), no window, no broadcast of anything unbounded.
+    Exact: integer counts only.  No counterpart in the reference
+    (SURVEY.md section 2.1 — OLAP extension surface).
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style micro-quantity revenue: per brand, the revenue and
+    line count from lineitems whose quantity is below 20% of that part's
+    average quantity — the canonical correlated-scalar-subquery shape,
+    decorrelated into one per-part aggregate + a key join back.
+
+    Exactness: quantities are integral (checked: every l_quantity in the
+    testdata is a whole number), so ``qty < 0.2 * avg(qty)`` is evaluated
+    as the INTEGER inequality ``5 * n * qty < sum_qty`` — no float
+    division, no ulp knife-edge, identical in both engines by
+    construction.  Revenue sums as DECIMAL(18,2) (exact under any
+    partitioning / merge order), cast to double only at output.
+
+    Scale: the per-part stats table has one row per traded part — far too
+    big to broadcast at 100 TB, so it key-joins back on l_partkey (both
+    sides already shuffle-partitioned by the same key from the groupBy);
+    the part dim joins broadcast for the brand label; final groupBy is on
+    the tiny brand key.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("_qty").alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .where(F.col("_qty") * 5 * F.col("_n") < F.col("_sum_qty"))
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_qty_lines"),
+            F.sum("_price").cast("double").alias("small_qty_revenue"),
+        )
+    )
+
+
+def _q_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style dormant-capital audit: customers with an
+    above-average positive account balance and NO order in the trailing
+    365 days (cutoff = global max order date − 365d, so the query is
+    deterministic on any snapshot), grouped by nation — the canonical
+    anti-join + scalar-subquery composition.  (Plain "never ordered" is
+    near-vacuous on this data — 0/0/1 customers across the three SFs —
+    so the recency form is what actually exercises the anti-join.)
+
+    Exactness: the balance threshold is avg(positive balances) computed
+    as ONE division of an exact DECIMAL(18,2) sum (order-independent
+    under any partitioning) by an exact count — both engines perform the
+    identical single IEEE divide, so the strict ``>`` compare is
+    bit-stable; the original double balance column is compared (never a
+    re-rounded copy).  The date cutoff is exact integer-microsecond
+    timestamp arithmetic on both engines.  Output balance totals are
+    DECIMAL sums cast to double.
+
+    Scale: recent-orderer custkeys pre-aggregate to DISTINCT map-side
+    before the LEFT ANTI join (raw order rows never shuffle); the two
+    1-row scalars (date cutoff, balance threshold) cross in by broadcast
+    (waived 1-row totals-cross pattern); nation joins broadcast; final
+    groupBy is on the 25-value nation key.  No counterpart in the
+    reference (SURVEY.md section 2.1).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+    )
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum("_bal").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_thr")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAYS")).alias("_cut")
+    )
+    orderers = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .where(F.col("o_orderdate") >= F.col("_cut"))
+        .select("c_custkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    return (
+        cust.join(orderers, "c_custkey", "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("_thr"))
+        .join(F.broadcast(nat), "c_nationkey")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("_bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: both sides are the contribution-
     expansion rolling distinct (window_days=1 and =28) joined on the
@@ -997,6 +1139,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power_users": lambda s, d: ev.power_users(
             load_table(s, d, "events")
         ),
+        # round 5: TPC-H Q13-shape order-count distribution (left-outer
+        # with zero groups)
+        "customer_order_dist": _q_order_count_dist,
+        # round 5: TPC-H Q17-shape micro-quantity revenue (decorrelated
+        # scalar subquery, exact-integer threshold)
+        "lineitem_small_qty_revenue": _q_small_qty_revenue,
+        # round 5: TPC-H Q22-shape dormant-capital audit (anti-join +
+        # scalar-subquery threshold)
+        "customer_dormant_balance": _q_dormant_balance,
     }
 
 
@@ -3755,5 +3906,59 @@ SELECT user_id, n_events, share,
        ROUND(SUM(share) OVER (ORDER BY n_events DESC, user_id ASC
                               ROWS UNBOUNDED PRECEDING), 6) AS cum_share
 FROM head
+"""
+    o["customer_order_dist"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+    # qty < 0.2 * avg(qty)  <=>  5 * n * qty < sum(qty)  (exact integers)
+    o["lineitem_small_qty_revenue"] = """
+WITH s AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS _sum_qty,
+         COUNT(*) AS _n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_small_qty_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue
+FROM lineitem l
+JOIN s USING (l_partkey)
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * s._n < s._sum_qty
+GROUP BY p.p_brand
+"""
+    # threshold = one IEEE divide of an exact DECIMAL sum by an exact
+    # count — bit-identical to the Spark side's single divide
+    o["customer_dormant_balance"] = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS _thr
+  FROM customer WHERE c_acctbal > 0
+),
+cutoff AS (
+  SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS _cut FROM orders
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer c
+CROSS JOIN thr
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > thr._thr
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o, cutoff
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= cutoff._cut
+  )
+GROUP BY n.n_name
 """
     return o

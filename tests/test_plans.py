@@ -173,6 +173,11 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # post-limit head (TakeOrderedAndProject selects it — the
         # bm25/vocab_topk precedent)
         "events_power_users": {"global_window"},
+        # round 5: the balance-threshold filter folds into the 1-ROW
+        # avg-balance broadcast cross (|dormant customers| x 1 — a
+        # per-row filter in disguise; text_heavy_hitters precedent).
+        # The anti-join itself is a proper hash join on custkey.
+        "customer_dormant_balance": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():
