@@ -111,6 +111,87 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def group_split(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Group-aware (source-holdout) train/val/test assignment: the split
+    is decided by md5(salt:GROUP) — every document of a group lands in
+    the SAME split.  Doc-level splits (``hash_split``) leak near-dups
+    across the boundary whenever a source hosts templated/mirrored
+    documents; holding out whole sources is the standard defense, and
+    ``split_leakage`` measures how much it buys.
+
+    Same deterministic bucket scheme as ``hash_split`` (md5 % 10000,
+    cumulative-weight bounds, boundary docs go to the later split) —
+    retry-stable, reproducible by the DuckDB oracle.  Scale: one row
+    expression, no shuffle added to whatever follows; group cardinality
+    is irrelevant (no group table is materialized).
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(group_col).cast("string"))
+    ) % N_SPLIT_BUCKETS
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(cum * N_SPLIT_BUCKETS)
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", expr)
+
+
+def split_leakage(
+    splits: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Near-dup leakage audit for a train/val/test split: label each
+    verified near-dup pair with its endpoints' splits and count pairs
+    per (split_a, split_b) cell — (split_a, split_b, n_pairs,
+    mean_jaccard).  Off-diagonal cells ARE the leakage: a train<->test
+    near-dup pair is eval contamination that survives doc-level dedup
+    whenever the canonical keeps one copy on each side.  Run it once
+    with ``hash_split`` and once with ``group_split`` to quantify what
+    source-holdout buys.
+
+    ``splits`` is (doc_id, split); ``pairs`` is (doc_a, doc_b, ...,
+    jaccard) from ``verified_pairs``.  Scale: two key joins of the pair
+    table against the split assignment (both shuffle on doc id — the
+    assignment table is |corpus| rows, never broadcast), then a groupBy
+    on the <= |splits|^2-cell key.  mean_jaccard rounds to 6 (the
+    dedup_cross_source precedent: pair counts are LSH-bounded, the
+    rounded mean absorbs sum-order noise).
+    """
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # model-based quality scoring (hashed linear classifier)
 # ---------------------------------------------------------------------------

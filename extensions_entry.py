@@ -1148,6 +1148,20 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: TPC-H Q22-shape dormant-capital audit (anti-join +
         # scalar-subquery threshold)
         "customer_dormant_balance": _q_dormant_balance,
+        # round 5: source-holdout split summary (group-aware assignment)
+        "cur_group_split": lambda s, d: cur.group_split(_docs(s, d))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ),
+        # round 5: near-dup leakage across the doc-level hash split —
+        # the eval-contamination audit group_split exists to fix
+        "cur_split_leakage": lambda s, d: cur.split_leakage(
+            cur.hash_split(_docs(s, d).select("doc_id")),
+            dd.verified_pairs(_docs(s, d)),
+        ),
     }
 
 
@@ -3960,5 +3974,45 @@ WHERE c.c_acctbal > thr._thr
     WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= cutoff._cut
   )
 GROUP BY n.n_name
+"""
+    o["cur_group_split"] = f"""
+WITH b AS (
+  SELECT source, n_chars,
+         {_MD5H.format(x="'gsplit:' || source")} % 10000 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_chars
+  FROM b
+)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split
+"""
+    o["cur_split_leakage"] = f"""
+WITH vp AS ({o["dedup_verified"]}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_MD5H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'train'
+              WHEN {_MD5H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+lab AS (
+  SELECT LEAST(a.split, b.split) AS split_a,
+         GREATEST(a.split, b.split) AS split_b,
+         jaccard
+  FROM vp
+  JOIN sp a ON vp.doc_a = a.doc_id
+  JOIN sp b ON vp.doc_b = b.doc_id
+)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jaccard), 6) AS mean_jaccard
+FROM lab GROUP BY 1, 2
 """
     return o

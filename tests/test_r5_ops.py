@@ -1380,3 +1380,53 @@ def test_power_users_shares_and_cumsum(spark):
     assert list(out.user_id) == [1, 2]
     assert out.iloc[0].share == 0.6 and out.iloc[1].share == 0.3
     assert out.iloc[1].cum_share == 0.9
+
+
+# ---------------------------------------------------------------------------
+# group_split / split_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_group_split_holds_out_whole_sources(spark):
+    from dask_mwu_spark.operators.curation import group_split
+
+    rows = [(i, f"src{i % 7}") for i in range(200)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source"])
+    )
+    out = group_split(docs).toPandas()
+    # every source maps to exactly one split (the holdout property)
+    per_src = out.groupby("source")["split"].nunique()
+    assert (per_src == 1).all()
+    # and the assignment is deterministic across invocations
+    again = group_split(docs).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+
+
+def test_split_leakage_conserves_pairs_and_orders_cells(spark):
+    from dask_mwu_spark.operators.curation import split_leakage
+
+    splits = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "val")],
+            columns=["doc_id", "split"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2, 0.8), (1, 3, 0.6), (2, 4, 0.5), (3, 1, 0.4)],
+            columns=["doc_a", "doc_b", "jaccard"],
+        )
+    )
+    out = split_leakage(splits, pairs).toPandas()
+    # every input pair lands in exactly one cell
+    assert out.n_pairs.sum() == 4
+    # cells are canonically ordered (split_a <= split_b)
+    assert (out.split_a <= out.split_b).all()
+    cell = out.set_index(["split_a", "split_b"])
+    # train<->test leakage cell: the (1,2) pair only
+    assert cell.loc[("test", "train")].n_pairs == 1
+    assert cell.loc[("test", "train")].mean_jaccard == 0.8
+    # within-train cell: (1,3) and (3,1) both collapse there
+    assert cell.loc[("train", "train")].n_pairs == 2
