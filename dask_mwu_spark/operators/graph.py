@@ -301,6 +301,61 @@ def pagerank(
     return rank.select("node", F.round("rank", 6).alias("rank"))
 
 
+def kcore(
+    pairs: DataFrame,
+    *,
+    k: int = 2,
+    n_rounds: int = 4,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over the dup graph: repeatedly delete
+    nodes of degree < ``k`` (and their edges) for ``n_rounds`` rounds,
+    then report (node, deg) over the surviving edge set.  The k-core is
+    the standard "dense template cluster" detector for dedup graphs —
+    sole pairwise matches (degree-1 chains) peel away, leaving the
+    boilerplate cliques a purge policy should treat differently from
+    one-off near-dups.
+
+    Fixed rounds, not convergence: like ``pagerank(n_rounds=)`` and
+    ``dup_components_fixed``, the loop is unrolled with NO driver-side
+    convergence read — at 100 TB a data-dependent stopping rule is a
+    per-iteration job barrier; peeling stabilizes geometrically, so a
+    small fixed round count is the scale form (and makes the operator
+    exactly oracle-checkable by unrolling the same rounds in SQL).
+
+    Scale: each round is one degree aggregate (explode + groupBy on the
+    near-unique node key — a hub's degree is one row, not a hot
+    partition) plus two LEFT SEMI joins of the edge table against the
+    survivor set, all keyed on node ids; no all-pairs anywhere.
+    ``localCheckpoint`` truncates the per-round lineage exactly as in
+    ``pagerank``.  Exact: integer degrees only.
+
+    No counterpart in the reference (SURVEY.md section 2.1 — graph
+    extension surface).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    edges = canonical_edges(pairs, src=src, dst=dst).localCheckpoint()
+    for _ in range(n_rounds):
+        keep = (
+            degrees(edges)
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return degrees(edges)
+
+
 def degree_powerlaw(
     pairs: DataFrame,
     *,

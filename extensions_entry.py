@@ -298,6 +298,54 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}
     )
 
 
+def _kcore_sql(k: int = 2, n_rounds: int = 4) -> str:
+    """Unrolled k-core peeling over the LSH dup graph — same canonical
+    edge CTEs as ``_pagerank_sql``, then n_rounds of (degree, keep,
+    restrict) as literal SQL rounds."""
+    parts = [
+        f"""
+WITH {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT doc_a AS u, doc_b AS v FROM est WHERE est_jaccard >= 0.25
+)"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r})
+  GROUP BY node
+),
+k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT u AS node FROM e{n_rounds} UNION ALL SELECT v AS node FROM e{n_rounds})
+GROUP BY node
+"""
+    )
+    return "".join(parts)
+
+
 def _multi_planes_sql(n_tables: int = 4) -> str:
     rows = []
     for t in range(n_tables):
@@ -600,6 +648,108 @@ def _q_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum("_bal").cast("double").alias("totacctbal"),
         )
+    )
+
+
+def _q_supplier_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape "suppliers who kept orders waiting": per supplier,
+    the number of finished multi-supplier orders on which it was the ONLY
+    supplier that shipped late (l_shipdate more than 60 days after
+    o_orderdate — this schema has no receipt/commit dates, SURVEY.md
+    section 2.1, so order-age is the lateness clock).
+
+    Q21's textbook form is a correlated EXISTS (another supplier on the
+    order) + NOT EXISTS (another LATE supplier on the order) — two extra
+    probes of the fact table per row.  Decorrelated Spark shape: ONE
+    groupBy over the order-joined lineitems computing n_suppliers,
+    n_late_suppliers, and (valid only when n_late_suppliers = 1, the only
+    place it is read) max(late supplier); the EXISTS pair becomes the
+    filter ``n_suppliers >= 2 AND n_late_suppliers = 1``.  The oracle
+    runs the textbook correlated form, so this checks the decorrelation
+    itself.
+
+    Scale: lineitem→orders is a key join on l_orderkey (at 100 TB orders
+    is NOT broadcastable; both sides shuffle once on the same key, and
+    the 'F'-status filter prunes orders before the shuffle); the
+    per-order aggregate keys on l_orderkey (near-unique, skew-free); the
+    survivor table (one row per sole-late order) groupBys on the bounded
+    supplier key; the supplier dim broadcasts for the name.  Exact:
+    integer counts and exact timestamp-interval compares only.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = (
+        li.join(orders, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("_late"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(
+                F.when(F.col("_late"), F.col("l_suppkey"))
+            ).alias("_n_late"),
+            F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_sk"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("_sk"), "s_suppkey", "s_name"
+    )
+    return (
+        per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .groupBy("_sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), "_sk")
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def _q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape supplier-count-per-part-class: for each (p_brand,
+    p_type, p_size), how many DISTINCT suppliers actually traded the part
+    — excluding suppliers on a blocklist (here: negative account balance,
+    standing in for Q16's complaints predicate).  The canonical
+    distinct-count + NOT-IN-subquery composition; the oracle runs the
+    literal NOT IN form.
+
+    Scale: the (partkey, suppkey) relationship distincts FIRST (map-side
+    combinable — raw lineitems collapse before any join); the blocklist
+    is a filtered dim of bounded size, applied as a BROADCAST anti join
+    (never a shuffle); part joins on the already-partitioned partkey (a
+    key join, NOT broadcast — at 100 TB part scales with the fact
+    table); the final groupBy keys on the bounded class triple with a
+    distinct-aggregate whose per-group cardinality is capped by the
+    supplier universe.  Exact: integers and string keys only.
+    """
+    rel = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        rel.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(part, "p_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
 
@@ -1161,6 +1311,19 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_split_leakage": lambda s, d: cur.split_leakage(
             cur.hash_split(_docs(s, d).select("doc_id")),
             dd.verified_pairs(_docs(s, d)),
+        ),
+        # round 5: TPC-H Q21-shape sole-late-supplier count (correlated
+        # EXISTS/NOT EXISTS pair, decorrelated to one per-order aggregate)
+        "supplier_sole_late": _q_supplier_sole_late,
+        # round 5: TPC-H Q16-shape distinct-supplier count per part class
+        # with a NOT-IN supplier blocklist
+        "part_supplier_cnt": _q_part_supplier_cnt,
+        # round 5: fixed-round k-core peeling of the LSH dup graph
+        # (template-clique detector; unrolled-round exact oracle)
+        "graph_kcore": lambda s, d: gr.kcore(
+            dd.minhash_lsh_pairs(_docs(s, d), est_threshold=0.25),
+            k=2,
+            n_rounds=4,
         ),
     }
 
@@ -4015,4 +4178,40 @@ SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(jaccard), 6) AS mean_jaccard
 FROM lab GROUP BY 1, 2
 """
+    # textbook correlated Q21 form (EXISTS other supplier / NOT EXISTS
+    # other LATE supplier); DISTINCT orderkeys because the engine counts
+    # each sole-late ORDER once, not each late line
+    o["supplier_sole_late"] = """
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_suppkey, s.s_name
+"""
+    # literal Q16 NOT-IN form
+    o["part_supplier_cnt"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+    o["graph_kcore"] = _kcore_sql(k=2, n_rounds=4)
     return o

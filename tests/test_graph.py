@@ -63,3 +63,52 @@ def test_degrees_count_both_endpoints(spark):
         .deg.to_dict()
     )
     assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_kcore_triangle_survives_pendants_peel(spark):
+    # triangle {1,2,3} with pendant chain 3-4-5: the 2-core is exactly
+    # the triangle; round 1 drops 5, round 2 drops 4, stable after
+    from dask_mwu_spark.operators.graph import kcore
+
+    out = (
+        kcore(_pairs(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]),
+              k=2, n_rounds=3)
+        .toPandas()
+        .set_index("node")
+        .deg.to_dict()
+    )
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_fully_peels(spark):
+    # a path has no 2-core: endpoints peel inward one round per hop
+    from dask_mwu_spark.operators.graph import kcore
+
+    out = kcore(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]),
+        k=2,
+        n_rounds=3,
+    ).toPandas()
+    assert len(out) == 0
+
+
+def test_kcore_fixed_rounds_is_a_prefix_of_full_peeling(spark):
+    # with FEWER rounds than needed, the long chain is only partially
+    # peeled — fixed-round semantics, deterministic and oracle-unrollable
+    from dask_mwu_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(1, 8)]
+    one = kcore(_pairs(spark, chain), k=2, n_rounds=1).toPandas()
+    # round 1 removes only the two endpoints (1 and 8)
+    assert sorted(one.node.tolist()) == [2, 3, 4, 5, 6, 7]
+
+
+def test_kcore_validates_params(spark):
+    import pytest as _pytest
+
+    from dask_mwu_spark.operators.graph import kcore
+
+    with _pytest.raises(ValueError):
+        kcore(_pairs(spark, [(1, 2)]), k=0)
+    with _pytest.raises(ValueError):
+        kcore(_pairs(spark, [(1, 2)]), n_rounds=0)
