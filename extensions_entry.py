@@ -753,6 +753,181 @@ def _q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape national market share: within PROMO-type parts sold
+    to AMERICA-region customers, the fraction of yearly revenue supplied
+    by NATION_1 — the classic 6-table star with a conditional-numerator
+    share (sum(CASE)/sum) per year.
+
+    Scale: the fact chain lineitem→part→orders→customer→supplier is ALL
+    key joins (at 100 TB part/orders/customer/supplier every one scales
+    with the fact table — none is broadcastable); only the 25-row nation
+    and 5-row region dims broadcast, and the region predicate prunes the
+    customer side BEFORE its fact join.  The final groupBy keys on the
+    handful of order years.
+
+    Exactness: numerator and denominator are DECIMAL(18,2)-lattice
+    revenue sums (exact under any partitioning / merge order), cast to
+    double, ONE divide, round 6 — the identical IEEE operation on both
+    engines.  No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    amer_nations = (
+        nat.join(
+            F.broadcast(reg.where(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nationkey"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(amer_nations), "c_nationkey")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("_sn"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(part, "l_partkey")
+        .join(orders, "l_orderkey")
+        .join(cust, "o_custkey")
+        .join(supp, "l_suppkey")
+        .groupBy("o_year")
+        .agg(
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum(
+                F.when(F.col("_sn") == "NATION_1", F.col("_rev")).otherwise(zero)
+            ).cast("double").alias("nation_revenue"),
+        )
+        .select(
+            "o_year",
+            "total_revenue",
+            "nation_revenue",
+            F.round(
+                F.col("nation_revenue") / F.col("total_revenue"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def _q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape order-priority check: of the orders placed in 1996,
+    how many per priority class had at least one line shipped more than
+    90 days after the order date — the canonical EXISTS → semi-join
+    decorrelation (Q4's "was anything late on this order" audit).
+
+    Scale: orders prune to the date window BEFORE their fact join; the
+    lateness predicate needs o_orderdate, so lineitem key-joins the
+    pruned orders on l_orderkey, and the qualifying (orderkey, priority)
+    pairs collapse with a map-side-combinable DISTINCT (orderkey is
+    near-unique — no skew) — the EXISTS becomes "distinct then count",
+    never a correlated probe.  Final groupBy is on the 5-value priority
+    key.  Exact: integer counts and timestamp-interval compares only.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        li.join(orders, "l_orderkey")
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape concentration cut: suppliers whose discounted
+    revenue exceeds 1.02x the MEAN supplier revenue — the GROUP BY +
+    HAVING-scalar-subquery composition.  Q11's literal fraction-of-total
+    threshold is scale-DEPENDENT (a fixed 1.02% matches 33/100 suppliers
+    at sf0.01 and 0/1000 at sf0.1 by construction), so the mean-relative
+    form is used: it exercises the same shape and stays non-degenerate
+    at every SF (probed 3/10, 33/100, 330/1000).
+
+    Scale: one map-side-combinable supplier-key groupBy over lineitem;
+    the (total, count) scalar is a 1-row broadcast cross (waived totals
+    pattern); the supplier dim joins on the already-partitioned suppkey
+    (key join — supplier scales with SF).
+
+    Exactness: per-supplier values and the grand total are exact
+    DECIMAL(18,2)-lattice sums; the HAVING compare is evaluated as
+    ``CAST(val AS DOUBLE) * n * 100 > CAST(total AS DOUBLE) * 102`` —
+    identical operand doubles and identical left-associated IEEE
+    multiply chains on both engines, so the strict ``>`` is bit-stable
+    (the dormant-balance contract).  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("_rev").alias("_val"))
+    totals = per_supp.agg(
+        F.sum("_val").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("_val").cast("double") * F.col("_n") * F.lit(100.0)
+            > F.col("_tot").cast("double") * F.lit(102.0)
+        )
+        .join(supp, "l_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_val").cast("double").alias("total_value"),
+        )
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: both sides are the contribution-
     expansion rolling distinct (window_days=1 and =28) joined on the
@@ -1325,6 +1500,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=2,
             n_rounds=4,
         ),
+        # round 5: TPC-H Q8-shape national market share (6-table star,
+        # conditional-numerator share per year)
+        "star_market_share": _q_market_share,
+        # round 5: TPC-H Q4-shape order-priority lateness check
+        # (EXISTS -> distinct semi decorrelation)
+        "orders_priority_wait": _q_priority_wait,
+        # round 5: TPC-H Q11-shape supplier concentration cut (HAVING
+        # vs a scalar-subquery threshold, scale-free mean-relative form)
+        "supplier_value_share": _q_value_share,
     }
 
 
@@ -4214,4 +4398,60 @@ WHERE l.l_suppkey NOT IN (
 GROUP BY p.p_brand, p.p_type, p.p_size
 """
     o["graph_kcore"] = _kcore_sql(k=2, n_rounds=4)
+    o["star_market_share"] = """
+WITH f AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+           AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'AMERICA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+),
+y AS (
+  SELECT o_year,
+         CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS nation_revenue
+  FROM f GROUP BY o_year
+)
+SELECT o_year, total_revenue, nation_revenue,
+       ROUND(nation_revenue / total_revenue, 6) AS mkt_share
+FROM y
+"""
+    # textbook correlated EXISTS form
+    o["orders_priority_wait"] = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXTRACT(year FROM o.o_orderdate) = 1996
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+    # HAVING vs scalar subquery; the compare is the identical
+    # left-associated double multiply chain as the Spark side
+    o["supplier_value_share"] = """
+WITH v AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS val
+  FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT SUM(val) AS tot, CAST(COUNT(*) AS BIGINT) AS n FROM v)
+SELECT s.s_suppkey, s.s_name, CAST(v.val AS DOUBLE) AS total_value
+FROM v CROSS JOIN t
+JOIN supplier s ON s.s_suppkey = v.l_suppkey
+WHERE CAST(v.val AS DOUBLE) * t.n * 100 > CAST(t.tot AS DOUBLE) * 102
+"""
     return o
