@@ -178,6 +178,11 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # per-row filter in disguise; text_heavy_hitters precedent).
         # The anti-join itself is a proper hash join on custkey.
         "customer_dormant_balance": {"nested_loop"},
+        # round 5: the concentration threshold folds into the 1-ROW
+        # (total, n) broadcast cross (|suppliers| x 1 — a per-row filter
+        # in disguise; customer_dormant_balance precedent).  The
+        # supplier-name join is a proper hash join on suppkey.
+        "supplier_value_share": {"nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():
