@@ -1068,8 +1068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_dedup_mixture", "events_sessions", "graph_degree_powerlaw",
         # --- ABTT contrast (events_gap_profile, events_time_to_convert,
         # sim_ivf_recall_curve, orders_monthly_growth,
-        # lineitem_supply_risk and events_power_users defer their first
-        # driver rows to round 6 — the tier is full; all six are covered
+        # lineitem_supply_risk, events_power_users, customer_order_dist,
+        # lineitem_small_qty_revenue, customer_dormant_balance,
+        # cur_group_split, cur_split_leakage, supplier_sole_late,
+        # part_supplier_cnt, graph_kcore, star_market_share,
+        # orders_priority_wait and supplier_value_share defer their first
+        # driver rows to round 6 — the tier is full; all are covered
         # by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",
         # --- cross-family core-regression sample (5): flagship MWU

@@ -928,6 +928,104 @@ def _q_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape large-volume customers: orders whose total line
+    quantity exceeds 200, joined back to orders and customer for the
+    reporting columns — the canonical HAVING-over-fact-groupBy-then-
+    rejoin shape (a groupBy result used as a semi filter on its own
+    grain).
+
+    Scale: the quantity rollup is a map-side-combinable groupBy on the
+    near-unique l_orderkey; the HAVING prunes it to the rare heavy
+    orders BEFORE any join, so the joins back to orders (same orderkey
+    partitioning) and customer (custkey key join — customer scales with
+    SF, not broadcastable) move only qualifying rows.  Exact: quantities
+    are integral (cast long — checked in _q_small_qty_revenue), prices
+    pass through unchanged.  No counterpart in the reference (SURVEY.md
+    section 2.1).
+    """
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_quantity").cast("long").alias("_q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("_q").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderkey",
+        "o_custkey",
+        # emitted as a calendar string: timestamp columns round-trip with
+        # engine-specific units (ns vs us) — the date string is exact
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_custkey", "c_name"
+    )
+    return (
+        heavy.join(orders, "l_orderkey")
+        .join(cust, "o_custkey")
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            "o_orderdate", "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def _q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape disjunctive bracket revenue: ONE row (n_lines,
+    revenue) over lineitem x part under an OR of three brand/size/
+    quantity brackets — the classic test that a disjunctive multi-table
+    predicate still executes as an EQUI join on partkey with the OR
+    evaluated post-join (NOT a nested-loop theta join), and that the
+    per-bracket part predicates still prune the part scan.
+
+    Scale: equi key join on partkey (part scales with SF — no
+    broadcast assumption needed; AQE picks broadcast at test SFs); the
+    OR brackets are codegen row expressions; the final aggregate is a
+    1-row total.  Exact: DECIMAL(18,2)-lattice revenue sum cast to
+    double at output, integer/long compares in the brackets.  No
+    counterpart in the reference (SURVEY.md section 2.1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_quantity").cast("long").alias("_qty"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("_qty").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("_qty").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("_qty").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, "p_partkey")
+        .where(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: both sides are the contribution-
     expansion rolling distinct (window_days=1 and =28) joined on the
@@ -1509,6 +1607,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: TPC-H Q11-shape supplier concentration cut (HAVING
         # vs a scalar-subquery threshold, scale-free mean-relative form)
         "supplier_value_share": _q_value_share,
+        # round 5: TPC-H Q18-shape large-volume orders (HAVING over a
+        # fact groupBy, rejoined for reporting columns)
+        "orders_large_volume": _q_large_volume_orders,
+        # round 5: TPC-H Q19-shape disjunctive bracket revenue (OR of
+        # brand/size/quantity brackets over an equi join)
+        "lineitem_bracket_revenue": _q_bracket_revenue,
     }
 
 
@@ -4453,5 +4557,32 @@ SELECT s.s_suppkey, s.s_name, CAST(v.val AS DOUBLE) AS total_value
 FROM v CROSS JOIN t
 JOIN supplier s ON s.s_suppkey = v.l_suppkey
 WHERE CAST(v.val AS DOUBLE) * t.n * 100 > CAST(t.tot AS DOUBLE) * 102
+"""
+    o["orders_large_volume"] = """
+WITH heavy AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, h.sum_qty
+FROM heavy h
+JOIN orders o ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+    o["lineitem_bracket_revenue"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
 """
     return o
