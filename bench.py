@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "cur_bloom_decontaminate",
     "text_textrank",
     "sim_label_outliers",
+    # round-5 OLAP shapes, heaviest first: Q8 6-table star with
+    # conditional-numerator share, Q21 decorrelated sole-late-supplier
+    # (per-order distinct-count aggregate), fixed-round k-core peeling
+    # (4 rounds x degree agg + 2 semi joins)
+    "star_market_share",
+    "supplier_sole_late",
+    "graph_kcore",
 ]
 
 
