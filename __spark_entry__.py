@@ -212,6 +212,20 @@ def _q_u_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select("feature", "grp", "n1", "n2", "u_stat")
 
 
+def _q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H over the 3-group returnflag fixture — the k-group
+    generalization of the reference's MWU core (operators/mwu.py
+    kruskal_wallis), sharing the exact same value-level rank machinery.
+    Raw melt: rank statistics are invariant under the log1p transform."""
+    from dask_mwu_spark.operators.mwu import (
+        compute_in_group_ranksum,
+        kruskal_wallis,
+    )
+
+    m = obs_measure_from_lineitem(spark, sf_dir, log1p=False)
+    return kruskal_wallis(compute_in_group_ranksum(rank_values(m)))
+
+
 def _q_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _stats_sql_side(spark, sf_dir, log1p=False)
     return st.select("feature", "grp", "u_stat", "z")
@@ -935,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_rank_sum": _q_rank_sum,
         "mwu_u_stat": _q_u_stat,
         "mwu_z_score": _q_z_score,
+        "mwu_kruskal_wallis": _q_kruskal_wallis,
         "mwu_group_means": _q_group_means,
         "mwu_logfoldchange": _q_logfoldchange,
         "mwu_bh_adjust": _q_bh,
@@ -1189,6 +1204,41 @@ SELECT feature, grp, n1, n2, u_stat FROM ustat
         "mwu_z_score": f"""
 WITH {_rank_cte(_MELT_RAW)}
 SELECT feature, grp, u_stat, z FROM zstat
+""",
+        # Kruskal-Wallis H from the same rank CTEs: R_j^2/n_j terms fold in
+        # ascending group order (rank sums themselves are exact
+        # half-integer doubles); H rounds to 6 BEFORE the df=2 closed-form
+        # exp(-H/2) so both engines feed exp identical inputs
+        "mwu_kruskal_wallis": f"""
+WITH {_rank_cte(_MELT_RAW)},
+kw0 AS (
+  SELECT fg.feature, fg.grp,
+         fg.rank_sum * fg.rank_sum / CAST(fg.n1 AS DOUBLE) AS term,
+         feat.n_obs, feat.tie_term
+  FROM fg JOIN feat USING (feature)
+),
+kw AS (
+  SELECT feature,
+         list_aggregate(list(term ORDER BY grp), 'sum') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(MAX(n_obs) AS BIGINT) AS n_obs,
+         MAX(tie_term) AS tie
+  FROM kw0 GROUP BY feature
+),
+h AS (
+  SELECT feature, n_obs, n_groups,
+         CASE WHEN (1.0 - tie / (CAST(n_obs AS DOUBLE) * n_obs * n_obs - n_obs)) = 0.0
+              THEN NULL
+              ELSE ROUND((12.0 / (CAST(n_obs AS DOUBLE) * (n_obs + 1.0)) * s
+                          - 3.0 * (n_obs + 1.0))
+                         / (1.0 - tie / (CAST(n_obs AS DOUBLE) * n_obs * n_obs - n_obs)),
+                         6)
+         END AS h_stat
+  FROM kw
+)
+SELECT feature, n_obs, n_groups, h_stat,
+       CASE WHEN n_groups = 3 THEN ROUND(EXP(-h_stat / 2.0), 6) END AS p_value
+FROM h
 """,
         "mwu_group_means": f"""
 WITH {_rank_cte(_MELT_LOG)}

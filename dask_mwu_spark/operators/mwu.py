@@ -137,6 +137,73 @@ def bh_adjust(
     )
 
 
+def kruskal_wallis(group_stats: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H — the k-group generalization of the reference's
+    Mann-Whitney core (reference is strictly two-group one-vs-rest,
+    pvals.py:111-125; KW answers "does ANY group differ" in one test
+    instead of k correlated pairwise tests).  Consumes the SAME
+    ``compute_in_group_ranksum`` table the MWU path uses, so the ranking
+    machinery (value-level average ranks, tie counts) is shared and the
+    marginal cost is one (feature)-key aggregate over a k-row-per-feature
+    table.
+
+    H = [12 / (N(N+1)) * SUM_j R_j^2 / n_j - 3(N+1)] / C with the
+    standard tie correction C = 1 - SUM(t^3 - t) / (N^3 - N); the
+    SUM(t^3-t) telescopes from the per-group ``tie_part`` exactly as in
+    ``compute_tie_term``.
+
+    Cross-engine exactness: rank sums are sums of half-integer average
+    ranks — exactly representable doubles, order-independent; the
+    R_j^2/n_j terms (NOT exactly representable) fold in ascending group
+    order on both engines; the remaining arithmetic is one fixed tree on
+    exact integers.  H rounds to 6; the df=2 chi-square survival
+    function is the closed form exp(-H/2) (3 groups — the fixture's
+    l_returnflag), computed from the ROUNDED H so both engines feed exp
+    identical inputs, then rounded to 6 to absorb exp's last-ulp
+    variation (the PMI/entropy ln recipe).  For k != 3 the p is NULL:
+    general-df chi-square needs the regularized incomplete gamma, which
+    has no closed SQL form (the erfc precedent would apply if a fixture
+    needed it).
+
+    Output: feature, n_obs, n_groups, h_stat, p_value.
+
+    Scale: input is one row per (feature, group) — the fold state is
+    k-bounded (groups, not observations); everything upstream is the
+    MWU plan already audited in PLANS.md.
+    """
+    term = (
+        F.col("rank_sum") * F.col("rank_sum") / F.col("n1").cast("double")
+    )
+    per_feat = group_stats.groupBy("feature").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("group", term.alias("term")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["term"],
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n1").alias("n_obs"),
+        F.sum("tie_part").alias("_tie"),
+    )
+    nd = F.col("n_obs").cast("double")
+    h_raw = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("_s") - F.lit(
+        3.0
+    ) * (nd + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("_tie") / (nd * nd * nd - nd)
+    h = F.when(corr != 0.0, F.round(h_raw / corr, 6))
+    return per_feat.select(
+        "feature",
+        "n_obs",
+        "n_groups",
+        h.alias("h_stat"),
+        F.when(
+            F.col("n_groups") == 3,
+            F.round(F.exp(-h / F.lit(2.0)), 6),
+        ).alias("p_value"),
+    )
+
+
 def mann_whitney_u(
     group_stats: DataFrame, feature_stats: DataFrame | None = None
 ) -> DataFrame:

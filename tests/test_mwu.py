@@ -99,3 +99,90 @@ def test_bh_tie_invariance(spark):
     from tests.oracle import bh
 
     np.testing.assert_allclose(got, bh(pdf["p_value"].to_numpy()), rtol=0, atol=0)
+
+
+def _kw_numpy(groups):
+    """Plain-numpy Kruskal-Wallis H + df=2 p for a list of 1-D samples."""
+    all_v = np.concatenate(groups)
+    order = np.argsort(all_v, kind="mergesort")
+    ranks = np.empty(len(all_v))
+    sorted_v = all_v[order]
+    i = 0
+    pos = 1
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        avg = (pos + pos + (j - i)) / 2.0
+        ranks[order[i : j + 1]] = avg
+        pos += j - i + 1
+        i = j + 1
+    n = len(all_v)
+    off = 0
+    s = 0.0
+    tie = 0.0
+    _, counts = np.unique(all_v, return_counts=True)
+    tie = float(np.sum(counts.astype(float) ** 3 - counts))
+    for g in groups:
+        r = ranks[off : off + len(g)].sum()
+        s += r * r / len(g)
+        off += len(g)
+    h_raw = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    corr = 1.0 - tie / (float(n) ** 3 - n)
+    h = h_raw / corr
+    return h, np.exp(-h / 2.0) if len(groups) == 3 else None
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    from dask_mwu_spark.operators.mwu import (
+        compute_in_group_ranksum,
+        kruskal_wallis,
+    )
+    from dask_mwu_spark.operators.ranking import rank_values
+
+    ga = [1.0, 3.0, 5.0, 7.0, 7.0]
+    gb = [2.0, 4.0, 6.0, 7.0]
+    gc = [8.0, 9.0, 2.0]
+    import pandas as pd
+
+    rows = (
+        [("f", "a", v) for v in ga]
+        + [("f", "b", v) for v in gb]
+        + [("f", "c", v) for v in gc]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "group", "value"])
+    )
+    out = (
+        kruskal_wallis(compute_in_group_ranksum(rank_values(df)))
+        .toPandas()
+        .iloc[0]
+    )
+    h_exp, p_exp = _kw_numpy(
+        [np.array(ga), np.array(gb), np.array(gc)]
+    )
+    assert out.n_obs == 12 and out.n_groups == 3
+    assert out.h_stat == round(h_exp, 6)
+    assert abs(out.p_value - p_exp) < 1e-6
+
+
+def test_kruskal_wallis_all_tied_is_null(spark):
+    # every value identical: tie correction C = 0 -> H undefined (NULL),
+    # p NULL too
+    from dask_mwu_spark.operators.mwu import (
+        compute_in_group_ranksum,
+        kruskal_wallis,
+    )
+    from dask_mwu_spark.operators.ranking import rank_values
+    import pandas as pd
+
+    rows = [("f", g, 5.0) for g in ["a", "a", "b", "b", "c"]]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "group", "value"])
+    )
+    out = (
+        kruskal_wallis(compute_in_group_ranksum(rank_values(df)))
+        .toPandas()
+        .iloc[0]
+    )
+    assert np.isnan(out.h_stat) or out.h_stat is None
