@@ -468,6 +468,79 @@ def reconcile_sum(
     )
 
 
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — ONE row (n_obs, n_a, n_b, dof, chi2, p_value).  The
+    categorical-association audit: "is return behavior independent of
+    line status", "is language independent of source" — the gate a
+    mixture/stratification plan checks before treating two dimensions as
+    orthogonal.
+
+    Scale: one map-side-combinable groupBy to the |A| x |B| cell table
+    (categorical audit columns are low-cardinality by assumption — the
+    events_pivot contract); totals are window sums OVER that bounded cell
+    table (no ordered unpartitioned window); the (o-e)^2/e terms fold in
+    (a, b) cell order.  Raw rows are touched exactly once.
+
+    Cross-engine exactness: observed counts and marginals are exact
+    BIGINTs; each expected value is the fixed tree
+    ``CAST(row AS DOUBLE) * CAST(col AS DOUBLE) / CAST(grand AS DOUBLE)``;
+    cell terms fold in cell order; chi2 rounds to 6 BEFORE the dof=2
+    closed-form survival function exp(-x/2) (3x2 fixture), which rounds
+    to 6 after — the Kruskal-Wallis contract.  For dof != 2 the p is
+    NULL (general dof needs the regularized incomplete gamma; no closed
+    SQL form).  No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wg = Window.partitionBy()
+    t = cells.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(wa).alias("_ra"),
+        F.sum("n").over(wb).alias("_cb"),
+        F.sum("n").over(wg).alias("_g"),
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_g").cast("double")
+    )
+    term = (
+        (F.col("n").cast("double") - e)
+        * (F.col("n").cast("double") - e)
+        / e
+    )
+    agg = t.select("a", "b", "n", "_g", term.alias("_t")).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("a", "b", F.col("_t")))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["_t"],
+        ).alias("_chi2"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+        F.max("_g").alias("n_obs"),
+    )
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    chi2 = F.round(F.col("_chi2"), 6)
+    return agg.select(
+        "n_obs",
+        "n_a",
+        "n_b",
+        dof.alias("dof"),
+        chi2.alias("chi2"),
+        F.when(
+            dof == 2, F.round(F.exp(-chi2 / F.lit(2.0)), 6)
+        ).alias("p_value"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

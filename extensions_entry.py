@@ -1613,6 +1613,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: TPC-H Q19-shape disjunctive bracket revenue (OR of
         # brand/size/quantity brackets over an equi join)
         "lineitem_bracket_revenue": _q_bracket_revenue,
+        # round 5: chi-square test of independence (categorical
+        # association audit; dof=2 closed-form p over the 3x2 fixture)
+        "lineitem_chi2_assoc": lambda s, d: au.chi2_independence(
+            load_table(s, d, "lineitem"), "l_returnflag", "l_linestatus"
+        ),
     }
 
 
@@ -4584,5 +4589,40 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
        AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
+"""
+    # (o-e)^2/e terms fold in cell order; chi2 rounds to 6 before the
+    # dof=2 closed-form exp(-x/2) — the Kruskal-Wallis contract
+    o["lineitem_chi2_assoc"] = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT a, b, n,
+         CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS ra,
+         CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS cb,
+         CAST(SUM(n) OVER () AS BIGINT) AS g
+  FROM cells
+),
+tm AS (
+  SELECT a, b, g,
+         (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE))
+         * (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE))
+         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE)) AS t
+  FROM tot
+),
+agg AS (
+  SELECT ROUND(list_aggregate(list(t ORDER BY a, b), 'sum'), 6) AS chi2,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+         CAST(MAX(g) AS BIGINT) AS n_obs
+  FROM tm
+)
+SELECT n_obs, n_a, n_b,
+       (n_a - 1) * (n_b - 1) AS dof,
+       chi2,
+       CASE WHEN (n_a - 1) * (n_b - 1) = 2
+            THEN ROUND(EXP(-chi2 / 2.0), 6) END AS p_value
+FROM agg
 """
     return o

@@ -137,3 +137,40 @@ def test_exact_quantile_empty_and_null(spark):
     assert exact_quantile(empty, "v", 0.5) is None
     nulls = spark.createDataFrame([(None,), (None,)], "v: double")
     assert exact_quantile(nulls, "v", 0.5) is None
+
+
+def test_chi2_independence_hand_computed(spark):
+    # 3x2 table with known counts: chi2 computed by hand with numpy
+    import numpy as np
+    import pandas as pd
+
+    from dask_mwu_spark.operators.audit import chi2_independence
+
+    counts = {("A", "F"): 20, ("A", "O"): 10, ("N", "F"): 15,
+              ("N", "O"): 15, ("R", "F"): 5, ("R", "O"): 25}
+    rows = [(a, b) for (a, b), n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "y"]))
+    out = chi2_independence(df, "x", "y").toPandas().iloc[0]
+
+    obs = np.array([[20, 10], [15, 15], [5, 25]], dtype=float)
+    ra = obs.sum(axis=1, keepdims=True)
+    cb = obs.sum(axis=0, keepdims=True)
+    g = obs.sum()
+    e = ra * cb / g
+    chi2 = ((obs - e) ** 2 / e).sum()
+    assert out.n_obs == 90 and out.n_a == 3 and out.n_b == 2
+    assert out.dof == 2
+    assert abs(out.chi2 - chi2) < 1e-6
+    assert out.p_value == round(float(np.exp(-out.chi2 / 2)), 6)
+
+
+def test_chi2_independence_dof1_p_null(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.audit import chi2_independence
+
+    rows = [("A", "F")] * 3 + [("A", "O")] * 2 + [("B", "F")] * 4 + [("B", "O")] * 6
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "y"]))
+    out = chi2_independence(df, "x", "y").toPandas().iloc[0]
+    assert out.dof == 1
+    assert out.p_value is None or out.p_value != out.p_value  # NULL/NaN
