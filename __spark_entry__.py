@@ -226,6 +226,16 @@ def _q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(compute_in_group_ranksum(rank_values(m)))
 
 
+def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift test between the A and R return-flag groups
+    per feature (operators/audit.ks_two_sample) — the exact-CDF
+    complement to the binned events_psi_drift."""
+    from dask_mwu_spark.operators.audit import ks_two_sample
+
+    m = obs_measure_from_lineitem(spark, sf_dir, log1p=False)
+    return ks_two_sample(m, "A", "R")
+
+
 def _q_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _stats_sql_side(spark, sf_dir, log1p=False)
     return st.select("feature", "grp", "u_stat", "z")
@@ -950,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_u_stat": _q_u_stat,
         "mwu_z_score": _q_z_score,
         "mwu_kruskal_wallis": _q_kruskal_wallis,
+        "mwu_ks_test": _q_ks_test,
         "mwu_group_means": _q_group_means,
         "mwu_logfoldchange": _q_logfoldchange,
         "mwu_bh_adjust": _q_bh,
@@ -1239,6 +1250,57 @@ h AS (
 SELECT feature, n_obs, n_groups, h_stat,
        CASE WHEN n_groups = 3 THEN ROUND(EXP(-h_stat / 2.0), 6) END AS p_value
 FROM h
+""",
+        # two-sample KS: exact-BIGINT running CDFs over distinct values,
+        # single-divide CDF terms, lambda rounds to 6 before the 8-term
+        # alternating Kolmogorov series (left-assoc order matches the
+        # engine's fold), p clipped to [0,1] and rounded to 6
+        "mwu_ks_test": f"""
+WITH m AS (
+  {_MELT_RAW}
+),
+m2 AS (SELECT * FROM m WHERE grp IN ('A', 'R')),
+vc AS (
+  SELECT feature, value,
+         CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM m2 GROUP BY feature, value
+),
+cum AS (
+  SELECT feature,
+         CAST(SUM(c1) OVER (PARTITION BY feature ORDER BY value) AS BIGINT) AS k1,
+         CAST(SUM(c2) OVER (PARTITION BY feature ORDER BY value) AS BIGINT) AS k2,
+         CAST(SUM(c1) OVER (PARTITION BY feature) AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER (PARTITION BY feature) AS BIGINT) AS n2
+  FROM vc
+),
+d AS (
+  SELECT feature,
+         MAX(ABS(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS dd,
+         CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+  FROM cum GROUP BY feature
+),
+lam AS (
+  SELECT feature, n1, n2, dd,
+         ROUND((SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                + 0.12
+                + 0.11 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                              / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+               * dd, 6) AS l
+  FROM d
+)
+SELECT feature, n1, n2,
+       ROUND(dd, 6) AS d_stat,
+       l AS lambda_stat,
+       CASE WHEN l < 0.3 THEN 1.0
+            ELSE ROUND(LEAST(1.0, GREATEST(0.0, 2.0 * (
+              EXP(-2.0 * l * l) - EXP(-8.0 * l * l) + EXP(-18.0 * l * l)
+              - EXP(-32.0 * l * l) + EXP(-50.0 * l * l) - EXP(-72.0 * l * l)
+              + EXP(-98.0 * l * l) - EXP(-128.0 * l * l)))), 6)
+       END AS p_value
+FROM lam
 """,
         "mwu_group_means": f"""
 WITH {_rank_cte(_MELT_LOG)}

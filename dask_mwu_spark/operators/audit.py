@@ -541,6 +541,100 @@ def chi2_independence(
     )
 
 
+def ks_two_sample(
+    measure: DataFrame, group_a: str, group_b: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov per feature over a long (feature,
+    group, value) table: D = max |F_a(v) - F_b(v)| with the asymptotic
+    two-sided p from the truncated Kolmogorov series — the exact-CDF
+    drift test that complements ``psi_drift``'s binned form (PSI needs a
+    bin design; KS is parameter-free and sensitive to ANY distributional
+    difference, the train-vs-eval / source-vs-source gate).
+
+    Scale: value-level conditional counts are one map-side-combinable
+    (feature, value) groupBy — raw rows collapse before the window; the
+    running CDFs are ONE per-feature window over distinct values (the
+    rank_values plan shape, fine to ~1e7 distinct values per feature —
+    beyond that the bucketed two-phase rank pattern applies); D is a
+    plain max aggregate.
+
+    Cross-engine exactness: cumulative counts and group sizes are exact
+    BIGINTs; each CDF is a single IEEE divide; D is a max of identical
+    arithmetic trees — bit-stable, rounded to 6 for output.  lambda =
+    (sqrt(n_e) + 0.12 + 0.11/sqrt(n_e)) * D (n_e the effective sample
+    size, the standard asymptotic form) rounds to 6 BEFORE the series
+    p = 2 * sum_{k=1..8} (-1)^(k-1) exp(-2 k^2 lambda^2) — eight
+    fixed-order terms (truncation error < 1e-12 for lambda > 0.4, and
+    the series alternates so it is bounded by the 9th term), clipped to
+    [0, 1], rounded to 6 (the Kruskal-Wallis exp contract).  No
+    counterpart in the reference (SURVEY.md section 2.1).
+    """
+    m2 = measure.where(F.col("group").isin(group_a, group_b))
+    vc = m2.groupBy("feature", "value").agg(
+        F.sum(
+            F.when(F.col("group") == group_a, 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("group") == group_b, 1).otherwise(0)
+        ).alias("c2"),
+    )
+    wcum = Window.partitionBy("feature").orderBy("value")
+    wall = Window.partitionBy("feature")
+    cum = vc.select(
+        "feature",
+        F.sum("c1").over(wcum).alias("k1"),
+        F.sum("c2").over(wcum).alias("k2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    diff = F.abs(
+        F.col("k1").cast("double") / F.col("n1").cast("double")
+        - F.col("k2").cast("double") / F.col("n2").cast("double")
+    )
+    d = cum.groupBy("feature").agg(
+        F.max(diff).alias("_d"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ne = n1d * n2d / (n1d + n2d)
+    lam = F.round(
+        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
+        * F.col("_d"),
+        6,
+    )
+    series = sum(
+        (
+            F.lit(float((-1) ** (k - 1)))
+            * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+            for k in range(2, 9)
+        ),
+        start=F.exp(F.lit(-2.0) * lam * lam),
+    )
+    # the alternating series needs its 9th term < 1e-9, i.e. lambda >
+    # ~0.357; below 0.3 the true survival is 1.0 to well past 6 decimals
+    # (Q(0.3) = 1 - 4.7e-8), so the small-lambda branch returns exactly 1
+    # instead of a divergent truncation (at lambda=0 the raw series
+    # alternates 1-1+1-... = 0, the classic failure)
+    p = F.when(lam < 0.3, F.lit(1.0)).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series)
+            ),
+            6,
+        )
+    )
+    return d.select(
+        "feature",
+        "n1",
+        "n2",
+        F.round("_d", 6).alias("d_stat"),
+        lam.alias("lambda_stat"),
+        p.alias("p_value"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

@@ -174,3 +174,66 @@ def test_chi2_independence_dof1_p_null(spark):
     out = chi2_independence(df, "x", "y").toPandas().iloc[0]
     assert out.dof == 1
     assert out.p_value is None or out.p_value != out.p_value  # NULL/NaN
+
+
+def test_ks_two_sample_hand_computed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dask_mwu_spark.operators.audit import ks_two_sample
+
+    ga = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    gb = [4.0, 5.0, 6.0, 7.0, 8.0]
+    rows = [("f", "a", v) for v in ga] + [("f", "b", v) for v in gb]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "group", "value"])
+    )
+    out = ks_two_sample(df, "a", "b").toPandas().iloc[0]
+    # hand CDF walk over sorted distinct values
+    vals = sorted(set(ga + gb))
+    d_exp = max(
+        abs(
+            sum(v <= x for v in ga) / len(ga)
+            - sum(v <= x for v in gb) / len(gb)
+        )
+        for x in vals
+    )
+    assert out.n1 == 6 and out.n2 == 5
+    assert out.d_stat == round(d_exp, 6)
+    ne = 6 * 5 / 11
+    lam = round((np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * d_exp, 6)
+    series = sum(
+        (-1) ** (k - 1) * np.exp(-2 * k * k * lam * lam) for k in range(1, 9)
+    )
+    assert out.p_value == round(min(1.0, max(0.0, 2 * series)), 6)
+
+
+def test_ks_identical_samples_d_zero(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.audit import ks_two_sample
+
+    vals = [1.0, 2.0, 2.0, 3.0]
+    rows = [("f", g, v) for g in ["a", "b"] for v in vals]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "group", "value"])
+    )
+    out = ks_two_sample(df, "a", "b").toPandas().iloc[0]
+    assert out.d_stat == 0.0
+    assert out.p_value == 1.0
+
+
+def test_ks_disjoint_samples_d_one(spark):
+    import pandas as pd
+
+    from dask_mwu_spark.operators.audit import ks_two_sample
+
+    rows = [("f", "a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8]] + [
+        ("f", "b", float(v)) for v in [11, 12, 13, 14, 15, 16, 17, 18]
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "group", "value"])
+    )
+    out = ks_two_sample(df, "a", "b").toPandas().iloc[0]
+    assert out.d_stat == 1.0
+    assert out.p_value < 0.01
