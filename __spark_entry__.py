@@ -1098,9 +1098,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lineitem_small_qty_revenue, customer_dormant_balance,
         # cur_group_split, cur_split_leakage, supplier_sole_late,
         # part_supplier_cnt, graph_kcore, star_market_share,
-        # orders_priority_wait and supplier_value_share defer their first
-        # driver rows to round 6 — the tier is full; all are covered
-        # by this round's FULL three-SF artifacts) ---
+        # orders_priority_wait, supplier_value_share,
+        # orders_large_volume, lineitem_bracket_revenue,
+        # mwu_kruskal_wallis, lineitem_chi2_assoc and mwu_ks_test defer
+        # their first driver rows to round 6 — the tier is full; all are
+        # covered by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",
         # --- cross-family core-regression sample (5): flagship MWU
         # pipeline, streaming batch twins, the dedup + ANN ladders, text,
