@@ -938,6 +938,22 @@ def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(load_table(spark, sf_dir, "events"))
 
 
+def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed PSI drift monitor
+    (dask_mwu_spark.streaming.drift_monitor — same function powers the
+    Structured Streaming path; stream==batch equivalence is pytest-gated).
+    Reference distribution = the even-user events, monitored = all."""
+    from dask_mwu_spark.streaming import drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_monitor(
+        ev,
+        ev.where(F.col("user_id") % 2 == 0),
+        breaks=[15.0, 35.0, 70.0, 150.0],
+        window="1 day",
+    )
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming sessionizer (same session semantics as
     applyInPandasWithState path, lag/cumsum formulation)."""
@@ -970,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_full_rounded": _q_mwu_full_rounded,
         "mwu_events_core": _q_events_core,
         "stream_windowed_agg": _q_stream_windowed_agg,
+        "stream_drift_monitor": _q_stream_drift,
         "stream_sessionize": _q_stream_sessionize,
         "events_json_agg": _q_events_json_agg,
         "events_asof_join": _q_asof_join,
@@ -1100,7 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # part_supplier_cnt, graph_kcore, star_market_share,
         # orders_priority_wait, supplier_value_share,
         # orders_large_volume, lineitem_bracket_revenue,
-        # mwu_kruskal_wallis, lineitem_chi2_assoc and mwu_ks_test defer
+        # mwu_kruskal_wallis, lineitem_chi2_assoc, mwu_ks_test and
+        # stream_drift_monitor defer
         # their first driver rows to round 6 — the tier is full; all are
         # covered by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",
@@ -1870,6 +1888,58 @@ SELECT CAST((epoch_us(ts) // 60000000) * 60 AS BIGINT) AS window_start,
        ROUND(SUM(value), 6) AS sum_value,
        ROUND(AVG(value), 6) AS avg_value
 FROM events GROUP BY 1, 2
+""",
+        # windowed PSI vs the even-user reference: the engine emits EVERY
+        # bin per window (conditional-sum columns), so the oracle builds
+        # the full window x bin frame; psi is psi_drift's exact tree
+        "stream_drift_monitor": """
+WITH binned AS (
+  SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS window_start,
+         1 + (CASE WHEN value > 15.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 35.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 70.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS bin,
+         user_id
+  FROM events
+),
+wins AS (SELECT DISTINCT window_start FROM binned),
+bins AS (SELECT UNNEST(range(1, 6)) AS bin),
+frame AS (SELECT window_start, bin FROM wins CROSS JOIN bins),
+lc AS (
+  SELECT window_start, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2
+),
+live AS (
+  SELECT f.window_start, f.bin, COALESCE(lc.n, 0) AS n_obs
+  FROM frame f LEFT JOIN lc ON f.window_start = lc.window_start AND f.bin = lc.bin
+),
+tot AS (
+  SELECT window_start, bin, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY window_start) AS BIGINT) AS t
+  FROM live
+),
+refc AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+  FROM binned WHERE user_id % 2 = 0 GROUP BY 1
+),
+reff AS (
+  SELECT bin, n_ref,
+         CAST(n_ref AS DOUBLE) / CAST(SUM(n_ref) OVER () AS DOUBLE) AS fref
+  FROM refc
+),
+j AS (
+  SELECT t.window_start, t.bin, t.n_obs,
+         COALESCE(reff.n_ref, 0) AS n_ref,
+         CAST(t.n_obs AS DOUBLE) / CAST(t.t AS DOUBLE) AS fa,
+         COALESCE(reff.fref, 0.0) AS fb
+  FROM tot t LEFT JOIN reff ON t.bin = reff.bin
+)
+SELECT window_start, bin, n_obs, n_ref,
+       ROUND(fa, 6) AS frac,
+       ROUND(fb, 6) AS frac_ref,
+       ROUND((GREATEST(fa, 1e-6) - GREATEST(fb, 1e-6))
+             * LN(GREATEST(fa, 1e-6) / GREATEST(fb, 1e-6)), 6) AS psi
+FROM j
 """,
         "stream_sessionize": """
 WITH ev AS (

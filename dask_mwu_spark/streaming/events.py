@@ -106,6 +106,116 @@ def windowed_event_stats(
     )
 
 
+def drift_monitor(
+    events: DataFrame,
+    ref: DataFrame,
+    *,
+    breaks: list[float],
+    value_col: str = "value",
+    window: str = "1 day",
+    watermark: str | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Windowed PSI drift monitor: per event-time window, the Population
+    Stability Index of the live ``value`` distribution against a STATIC
+    reference distribution (``ref`` — e.g. last month's accepted
+    snapshot).  The streaming form of ``audit.psi_drift``: the alert that
+    fires when the feature a quality classifier was calibrated on starts
+    looking different from what it was trained on.
+
+    Mode-agnostic like the other operators here.  Streaming shape: the
+    bin id is a stateless row expression; ONE watermarked windowed
+    aggregate carries the bounded bin histogram as ``len(breaks)+1``
+    conditional-sum COLUMNS (never a second stateful aggregate — chained
+    streaming aggregations are the classic unsupported plan), so state
+    per window is one fixed-width row; the window total is a ROW
+    expression over those columns (exact BIGINT, no extra shuffle); the
+    reference is a bounded static table that stream-static-joins
+    (broadcast, stateless) after an explode to long form.
+
+    Cross-engine exactness (batch twin): counts are exact BIGINTs,
+    fractions are single divides, psi is the identical
+    ``(max(fa,eps) - max(fb,eps)) * ln(max(fa,eps) / max(fb,eps))``
+    tree as psi_drift, rounded to 6.
+
+    Output: (window_start, bin, n_obs, n_ref, frac, frac_ref, psi).
+    """
+    bs = [float(x) for x in breaks]
+    n_bins = len(bs) + 1
+
+    def bin_expr(c: Column) -> Column:
+        e = F.lit(1)
+        for x in bs:
+            e = e + F.when(c > F.lit(x), 1).otherwise(0)
+        return e
+
+    ev = events.withColumn("event_time", event_time("ts"))
+    if watermark is not None:
+        ev = ev.withWatermark("event_time", watermark)
+    binc = bin_expr(F.col(value_col).cast("double"))
+    per_win = ev.groupBy(F.window("event_time", window).alias("w")).agg(
+        *[
+            F.sum(F.when(binc == i, 1).otherwise(0)).alias(f"_b{i}")
+            for i in range(1, n_bins + 1)
+        ]
+    )
+    total = F.col("_b1")
+    for i in range(2, n_bins + 1):
+        total = total + F.col(f"_b{i}")
+    long = per_win.select(
+        F.col("w.start").cast("long").alias("window_start"),
+        total.alias("_tot"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bin"),
+                        F.col(f"_b{i}").alias("n_obs"),
+                    )
+                    for i in range(1, n_bins + 1)
+                ]
+            )
+        ).alias("_s"),
+    ).select(
+        "window_start",
+        F.col("_s.bin").alias("bin"),
+        F.col("_s.n_obs").alias("n_obs"),
+        "_tot",
+    )
+    wall = Window.partitionBy()
+    refc = (
+        ref.select(
+            bin_expr(F.col(value_col).cast("double")).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .select(
+            "bin",
+            "n_ref",
+            (
+                F.col("n_ref").cast("double")
+                / F.sum("n_ref").over(wall).cast("double")
+            ).alias("_fref"),
+        )
+    )
+    fa = F.col("n_obs").cast("double") / F.col("_tot").cast("double")
+    fb = F.coalesce(F.col("_fref"), F.lit(0.0))
+    fa_s = F.greatest(fa, F.lit(eps))
+    fb_s = F.greatest(fb, F.lit(eps))
+    return (
+        long.join(F.broadcast(refc), "bin", "left")
+        .select(
+            "window_start",
+            "bin",
+            "n_obs",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.round(fa, 6).alias("frac"),
+            F.round(fb, 6).alias("frac_ref"),
+            F.round((fa_s - fb_s) * F.log(fa_s / fb_s), 6).alias("psi"),
+        )
+    )
+
+
 def enrich_events(
     events: DataFrame,
     dim: DataFrame,

@@ -311,3 +311,47 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["k"]: (r["v"], r["_seq"]) for r in read_upsert_table(spark, table).collect()}
     assert got2 == got
+
+
+def test_drift_monitor_stream_equals_batch(spark, sf_dir, events_dir):
+    from dask_mwu_spark.streaming import drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") % 2 == 0)
+    breaks = [15.0, 35.0, 70.0, 150.0]
+    batch = drift_monitor(ev, ref, breaks=breaks, window="1 day").collect()
+    stream = drift_monitor(
+        stream_events(spark, events_dir),
+        ref,
+        breaks=breaks,
+        window="1 day",
+        watermark="2 minutes",
+    )
+    assert stream.isStreaming
+    _run_stream(stream, "drift_mon", output_mode="complete")
+    got = spark.sql("SELECT * FROM drift_mon").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # every (window, bin) cell is present, including zero-count bins
+    assert len(got) == len({r.window_start for r in got}) * 5
+
+
+def test_drift_monitor_flags_planted_shift(spark):
+    # reference uniform in bin 1-2; live shifted into the top bin:
+    # psi must be large where mass appeared/vanished
+    import pandas as pd
+
+    from dask_mwu_spark.streaming import drift_monitor
+
+    base_ts = 1_700_000_000_000_000_000  # epoch nanos
+    ref_rows = [(i, base_ts, i, "a", 10.0 + (i % 2) * 20, "{}") for i in range(100)]
+    live_rows = [(i, base_ts, i, "a", 200.0, "{}") for i in range(100)]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ref = spark.createDataFrame(pd.DataFrame(ref_rows, columns=cols))
+    live = spark.createDataFrame(pd.DataFrame(live_rows, columns=cols))
+    out = drift_monitor(
+        live, ref, breaks=[15.0, 35.0, 70.0, 150.0], window="1 day"
+    ).toPandas()
+    top = out.set_index("bin")
+    assert top.loc[5].frac == 1.0 and top.loc[5].frac_ref == 0.0
+    assert top.loc[5].psi > 5.0  # ln(1/eps) scale
+    assert (out.psi >= 0).all()
