@@ -1117,8 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # part_supplier_cnt, graph_kcore, star_market_share,
         # orders_priority_wait, supplier_value_share,
         # orders_large_volume, lineitem_bracket_revenue,
-        # mwu_kruskal_wallis, lineitem_chi2_assoc, mwu_ks_test and
-        # stream_drift_monitor defer
+        # mwu_kruskal_wallis, lineitem_chi2_assoc, mwu_ks_test,
+        # stream_drift_monitor, supplier_top_revenue and
+        # star_nation_volume defer
         # their first driver rows to round 6 — the tier is full; all are
         # covered by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",

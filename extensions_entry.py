@@ -1026,6 +1026,128 @@ def _q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape top supplier: the supplier(s) achieving THE maximum
+    discounted revenue over a fixed quarter (1996 Q1) — the
+    equality-to-a-scalar-max-subquery shape (argmax via scalar subquery;
+    Q15's view is inlined as a CTE on both engines).
+
+    Scale: lineitem key-joins the date-pruned orders on l_orderkey (the
+    quarter filter prunes orders BEFORE the shuffle); per-supplier
+    revenue is one map-side-combinable groupBy; the 1-row MAX crosses in
+    by broadcast (waived totals pattern); the supplier dim joins on the
+    already-partitioned suppkey.  Exactness: revenues are exact
+    DECIMAL(18,2)-lattice sums, so the ``rev = max(rev)`` equality is an
+    exact-decimal compare — no float knife-edge at all (stronger than
+    the dormant-balance double contract).  No counterpart in the
+    reference (SURVEY.md section 2.1).
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+    )
+    rev = (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev").alias("_val"))
+    )
+    mx = rev.agg(F.max("_val").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_val") == F.col("_mx"))
+        .join(supp, "l_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_val").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def _q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape bilateral shipping volume: yearly discounted revenue
+    between any ordered pair of FOUR named nations (customer nation !=
+    supplier nation) — the symmetric cross-dimension predicate that
+    cannot be pushed into either dim alone but prunes both sides to the
+    named nation set BEFORE the fact joins.  (Q7's literal two-nation
+    form is empty at sf0.001 — too few parties — so the four-nation
+    bilateral set keeps the query discriminating at every SF: probed
+    20/84/~100 group rows.)
+
+    Scale: the per-side nation filters broadcast into customer and
+    supplier (each side keeps only its two candidate nations — the
+    pushdown Q7 is designed to test); the fact chain
+    lineitem→orders→customer→supplier is all key joins; the OR evaluates
+    post-join as a codegen row predicate; final groupBy on the bounded
+    (nation, nation, year) triple.  Exact: DECIMAL revenue, integer
+    year/counts.  No counterpart in the reference (SURVEY.md 2.1).
+    """
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    two = nat.where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(two.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "cust_nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(two.select(F.col("n_nationkey").alias("s_nationkey"),
+                                   F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+    )
+    sym = F.col("cust_nation") != F.col("supp_nation")
+    return (
+        li.join(orders, "l_orderkey")
+        .join(cust, "o_custkey")
+        .join(supp, "l_suppkey")
+        .where(sym)
+        .groupBy("cust_nation", "supp_nation", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_rev").cast("double").alias("volume"),
+        )
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: both sides are the contribution-
     expansion rolling distinct (window_days=1 and =28) joined on the
@@ -1618,6 +1740,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_chi2_assoc": lambda s, d: au.chi2_independence(
             load_table(s, d, "lineitem"), "l_returnflag", "l_linestatus"
         ),
+        # round 5: TPC-H Q15-shape top supplier (equality to a scalar
+        # MAX subquery over exact decimals)
+        "supplier_top_revenue": _q_top_supplier,
+        # round 5: TPC-H Q7-shape bilateral nation volume (symmetric
+        # cross-dimension disjunction, per-side dim pruning)
+        "star_nation_volume": _q_nation_volume,
     }
 
 
@@ -4624,5 +4752,42 @@ SELECT n_obs, n_a, n_b,
        CASE WHEN (n_a - 1) * (n_b - 1) = 2
             THEN ROUND(EXP(-chi2 / 2.0), 6) END AS p_value
 FROM agg
+"""
+    # Q15's revenue view inlined as a CTE; the argmax is the literal
+    # scalar-subquery equality over exact decimals
+    o["supplier_top_revenue"] = """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS val
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.val AS DOUBLE) AS total_revenue
+FROM r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.val = (SELECT MAX(val) FROM r)
+"""
+    o["star_nation_volume"] = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, EXTRACT(year FROM o.o_orderdate)
 """
     return o
