@@ -1118,8 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orders_priority_wait, supplier_value_share,
         # orders_large_volume, lineitem_bracket_revenue,
         # mwu_kruskal_wallis, lineitem_chi2_assoc, mwu_ks_test,
-        # stream_drift_monitor, supplier_top_revenue and
-        # star_nation_volume defer
+        # stream_drift_monitor, supplier_top_revenue, star_nation_volume,
+        # lineitem_forecast_revenue, lineitem_promo_share and
+        # star_retail_margin defer
         # their first driver rows to round 6 — the tier is full; all are
         # covered by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",

@@ -1148,6 +1148,146 @@ def _q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape forecast-revenue-change: ONE row (n_lines, revenue)
+    from 1996 lineitems with discount in [0.05, 0.07] and quantity < 24 —
+    THE predicate-pushdown benchmark: every filter is a scan-stage row
+    predicate, the only join is the date window's orders key join, and
+    the aggregate is a 1-row map-side-combinable total.  (TPC-H filters
+    on l_shipdate which this schema lacks; the order-year window keeps
+    the same shape with one key join added.)
+
+    Exactness: revenue = extendedprice * discount summed on the
+    DECIMAL(18,2) x DECIMAL(18,2) lattice — exact under any partitioning;
+    the discount BETWEEN bounds are the same IEEE doubles on both
+    engines (parquet column and literals parse identically).  No
+    counterpart in the reference (SURVEY.md section 2.1).
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape promo revenue share: per month of 1996, the
+    percentage of discounted revenue coming from PROMO-type parts — the
+    conditional-numerator share rolled up on a calendar key (the monthly
+    cousin of star_market_share's yearly national share).
+
+    Scale: date-pruned orders key-join lineitem; part joins on the
+    partitioned partkey carrying only p_type; DECIMAL numerator /
+    denominator sums, ONE divide rounded 6.  No counterpart in the
+    reference (SURVEY.md section 2.1).
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p_partkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(orders, "l_orderkey")
+        .join(part, "p_partkey")
+        .groupBy("o_month")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("_rev")).otherwise(zero)
+            ).cast("double").alias("promo_revenue"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def _q_retail_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape profit rollup: per (supplier nation, order year),
+    the realized discounted revenue minus the retail value of the goods
+    (retailprice x quantity — this schema has no partsupp supplycost, so
+    retail value is the cost proxy; the MARGIN sign is not the point,
+    the shape is: an amount mixing columns of two fact-side tables,
+    rolled up by a dimension of a third).
+
+    Scale: the fact chain lineitem→part→orders→supplier is ALL key
+    joins; only the 25-row nation dim broadcasts; the groupBy keys on
+    the bounded (nation, year) pair.  Exactness: both terms live on the
+    DECIMAL(18,2) x DECIMAL/BIGINT lattice (retail x integral quantity
+    is exact), subtracted per row BEFORE an exact DECIMAL sum — no float
+    anywhere until the output cast.  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p_partkey"),
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+        F.col("l_quantity").cast("long").alias("_qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("decimal(18,2)").alias("_retail")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    amount = (F.col("_rev") - F.col("_retail") * F.col("_qty")).alias("_amt")
+    return (
+        li.join(part, "p_partkey")
+        .join(orders, "l_orderkey")
+        .join(supp, "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .select("nation", "o_year", amount)
+        .groupBy("nation", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_amt").cast("double").alias("margin_vs_retail"),
+        )
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: both sides are the contribution-
     expansion rolling distinct (window_days=1 and =28) joined on the
@@ -1746,6 +1886,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: TPC-H Q7-shape bilateral nation volume (symmetric
         # cross-dimension disjunction, per-side dim pruning)
         "star_nation_volume": _q_nation_volume,
+        # round 5: TPC-H Q6-shape forecast revenue (pure scan-stage
+        # predicates, 1-row exact-decimal total)
+        "lineitem_forecast_revenue": _q_forecast_revenue,
+        # round 5: TPC-H Q14-shape promo revenue share per month
+        "lineitem_promo_share": _q_promo_share,
+        # round 5: TPC-H Q9-shape margin-vs-retail rollup by supplier
+        # nation and year (two-fact-table amount arithmetic)
+        "star_retail_margin": _q_retail_margin,
     }
 
 
@@ -4789,5 +4937,55 @@ WHERE cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
   AND sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
   AND cn.n_name <> sn.n_name
 GROUP BY cn.n_name, sn.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+    o["lineitem_forecast_revenue"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE EXTRACT(year FROM o.o_orderdate) = 1996
+  AND l.l_discount BETWEEN 0.05 AND 0.07
+  AND l.l_quantity < 24
+"""
+    o["lineitem_promo_share"] = """
+WITH f AS (
+  SELECT EXTRACT(month FROM o.o_orderdate) AS o_month,
+         p.p_type,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+           AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE EXTRACT(year FROM o.o_orderdate) = 1996
+),
+m AS (
+  SELECT o_month,
+         CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS promo_revenue,
+         CAST(SUM(rev) AS DOUBLE) AS total_revenue
+  FROM f GROUP BY o_month
+)
+SELECT o_month, promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM m
+"""
+    o["star_retail_margin"] = """
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+         - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS BIGINT)
+       ) AS DOUBLE) AS margin_vs_retail
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
 """
     return o
