@@ -355,3 +355,30 @@ def test_drift_monitor_flags_planted_shift(spark):
     assert top.loc[5].frac == 1.0 and top.loc[5].frac_ref == 0.0
     assert top.loc[5].psi > 5.0  # ln(1/eps) scale
     assert (out.psi >= 0).all()
+
+
+def test_drift_monitor_append_respects_watermark(spark, sf_dir, events_dir):
+    """Append mode emits only watermark-closed windows — a strict subset of
+    the complete result, missing at least the final window's bins."""
+    from dask_mwu_spark.streaming import drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") % 2 == 0)
+    breaks = [15.0, 35.0, 70.0, 150.0]
+    batch = drift_monitor(ev, ref, breaks=breaks, window="1 day").collect()
+    stream = drift_monitor(
+        stream_events(spark, events_dir),
+        ref,
+        breaks=breaks,
+        window="1 day",
+        watermark="2 minutes",
+    )
+    _run_stream(stream, "drift_append_t", output_mode="append")
+    got = spark.sql("SELECT * FROM drift_append_t").collect()
+    batch_set = set(map(tuple, batch))
+    got_set = set(map(tuple, got))
+    assert got_set <= batch_set
+    assert 0 < len(got_set) < len(batch_set)
+    # the held-back rows are exactly the unclosed final window's bins
+    missing_windows = {r[0] for r in batch_set - got_set}
+    assert missing_windows == {max(r.window_start for r in batch)}
