@@ -1119,8 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orders_large_volume, lineitem_bracket_revenue,
         # mwu_kruskal_wallis, lineitem_chi2_assoc, mwu_ks_test,
         # stream_drift_monitor, supplier_top_revenue, star_nation_volume,
-        # lineitem_forecast_revenue, lineitem_promo_share and
-        # star_retail_margin defer
+        # lineitem_forecast_revenue, lineitem_promo_share,
+        # star_retail_margin and customer_returned_revenue defer
         # their first driver rows to round 6 — the tier is full; all are
         # covered by this round's FULL three-SF artifacts) ---
         "sim_abtt_contrast",

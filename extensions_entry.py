@@ -1288,6 +1288,57 @@ def _q_retail_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape returned-item report: the top-20 customers by
+    revenue on RETURNED ('R' flag) lineitems, with nation — the classic
+    "who is sending the most money back" account-review query
+    (filter-fact → customer rollup → bounded top-k).
+
+    Scale: the returnflag filter prunes lineitem AT THE SCAN; the fact
+    chain lineitem→orders→customer is key joins; revenue rolls up on the
+    near-unique custkey (map-side combinable); the top-20 head is
+    TakeOrderedAndProject (never a global sort); nation broadcasts for
+    the label.  Exactness: DECIMAL revenue; the (revenue DESC, custkey
+    ASC) order key is exact, so the top-20 frontier is deterministic on
+    both engines.  No counterpart in the reference (SURVEY.md 2.1).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("_rev"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .join(cust, "o_custkey")
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum("_rev").alias("_val"))
+        .join(F.broadcast(nat), "c_nationkey")
+        .orderBy(F.col("_val").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("_val").cast("double").alias("returned_revenue"),
+        )
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: both sides are the contribution-
     expansion rolling distinct (window_days=1 and =28) joined on the
@@ -1894,6 +1945,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: TPC-H Q9-shape margin-vs-retail rollup by supplier
         # nation and year (two-fact-table amount arithmetic)
         "star_retail_margin": _q_retail_margin,
+        # round 5: TPC-H Q10-shape returned-item top customers
+        # (filter-fact -> customer rollup -> TakeOrdered top-20)
+        "customer_returned_revenue": _q_returned_revenue,
     }
 
 
@@ -4987,5 +5041,24 @@ JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+    # exact-decimal order key -> deterministic top-20 frontier
+    o["customer_returned_revenue"] = """
+WITH r AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+           AS val
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, nation, CAST(val AS DOUBLE) AS returned_revenue
+FROM r
+ORDER BY val DESC, c_custkey ASC
+LIMIT 20
 """
     return o
