@@ -1244,6 +1244,11 @@ SELECT feature, grp, u_stat, z FROM zstat
         # exp(-H/2) so both engines feed exp identical inputs
         "mwu_kruskal_wallis": f"""
 WITH {_rank_cte(_MELT_RAW)},
+kwnan AS (
+  SELECT feature,
+         MAX(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS has_nan
+  FROM m GROUP BY feature
+),
 kw0 AS (
   SELECT fg.feature, fg.grp,
          fg.rank_sum * fg.rank_sum / CAST(fg.n1 AS DOUBLE) AS term,
@@ -1259,15 +1264,16 @@ kw AS (
   FROM kw0 GROUP BY feature
 ),
 h AS (
-  SELECT feature, n_obs, n_groups,
-         CASE WHEN (1.0 - tie / (CAST(n_obs AS DOUBLE) * n_obs * n_obs - n_obs)) = 0.0
+  SELECT kw.feature, n_obs, n_groups,
+         CASE WHEN kwnan.has_nan = 1 THEN NULL
+              WHEN (1.0 - tie / (CAST(n_obs AS DOUBLE) * n_obs * n_obs - n_obs)) = 0.0
               THEN NULL
               ELSE ROUND((12.0 / (CAST(n_obs AS DOUBLE) * (n_obs + 1.0)) * s
                           - 3.0 * (n_obs + 1.0))
                          / (1.0 - tie / (CAST(n_obs AS DOUBLE) * n_obs * n_obs - n_obs)),
                          6)
          END AS h_stat
-  FROM kw
+  FROM kw JOIN kwnan ON kw.feature = kwnan.feature
 )
 SELECT feature, n_obs, n_groups, h_stat,
        CASE WHEN n_groups = 3 THEN ROUND(EXP(-h_stat / 2.0), 6) END AS p_value
@@ -1893,7 +1899,9 @@ FROM events GROUP BY 1, 2
 """,
         # windowed PSI vs the even-user reference: the engine emits EVERY
         # bin per window (conditional-sum columns), so the oracle builds
-        # the full window x bin frame; psi is psi_drift's exact tree
+        # the full window x bin frame; psi is psi_drift's exact tree.
+        # NULL values are excluded before binning (mirrors the engine's
+        # isNotNull filter — ADVICE r5: otherwise NULL lands in bin 1)
         "stream_drift_monitor": """
 WITH binned AS (
   SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS window_start,
@@ -1903,6 +1911,7 @@ WITH binned AS (
            + (CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS bin,
          user_id
   FROM events
+  WHERE value IS NOT NULL
 ),
 wins AS (SELECT DISTINCT window_start FROM binned),
 bins AS (SELECT UNNEST(range(1, 6)) AS bin),

@@ -484,14 +484,25 @@ def chi2_independence(
     table (no ordered unpartitioned window); the (o-e)^2/e terms fold in
     (a, b) cell order.  Raw rows are touched exactly once.
 
+    Empty contingency cells (a pair (a, b) with zero co-occurrences —
+    groupBy never emits them) still owe their Pearson contribution
+    ``(0 - e)^2 / e = e``.  Rather than materialize the full |A| x |B|
+    frame (a cross-join plus an extra pass over the cell table), use the
+    identity ``sum over ALL cells of e = g``: the empty-cell mass is
+    ``g - sum over OBSERVED cells of e``, so
+    ``chi2 = g + fold over observed cells of [ (n - e)^2 / e - e ]`` —
+    same single-scan plan, no cross-join, and exactly the standard
+    statistic (e.g. scipy.stats.chi2_contingency) on tables with holes.
+
     Cross-engine exactness: observed counts and marginals are exact
     BIGINTs; each expected value is the fixed tree
     ``CAST(row AS DOUBLE) * CAST(col AS DOUBLE) / CAST(grand AS DOUBLE)``;
-    cell terms fold in cell order; chi2 rounds to 6 BEFORE the dof=2
-    closed-form survival function exp(-x/2) (3x2 fixture), which rounds
-    to 6 after — the Kruskal-Wallis contract.  For dof != 2 the p is
-    NULL (general dof needs the regularized incomplete gamma; no closed
-    SQL form).  No counterpart in the reference (SURVEY.md section 2.1).
+    cell terms (term - e) fold in cell order, then ``+ CAST(g AS
+    DOUBLE)``; chi2 rounds to 6 BEFORE the dof=2 closed-form survival
+    function exp(-x/2) (3x2 fixture), which rounds to 6 after — the
+    Kruskal-Wallis contract.  For dof != 2 the p is NULL (general dof
+    needs the regularized incomplete gamma; no closed SQL form).  No
+    counterpart in the reference (SURVEY.md section 2.1).
     """
     cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
@@ -516,7 +527,7 @@ def chi2_independence(
         (F.col("n").cast("double") - e)
         * (F.col("n").cast("double") - e)
         / e
-    )
+    ) - e
     agg = t.select("a", "b", "n", "_g", term.alias("_t")).agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("a", "b", F.col("_t")))),
@@ -528,7 +539,7 @@ def chi2_independence(
         F.max("_g").alias("n_obs"),
     )
     dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
-    chi2 = F.round(F.col("_chi2"), 6)
+    chi2 = F.round(F.col("_chi2") + F.col("n_obs").cast("double"), 6)
     return agg.select(
         "n_obs",
         "n_a",

@@ -165,7 +165,11 @@ def kruskal_wallis(group_stats: DataFrame) -> DataFrame:
     has no closed SQL form (the erfc precedent would apply if a fixture
     needed it).
 
-    Output: feature, n_obs, n_groups, h_stat, p_value.
+    Output: feature, n_obs, n_groups, h_stat, p_value.  NaN-poisoned
+    features (``has_nan``) return NULL h_stat and p_value — the explicit
+    scipy-propagate gate, not incidental NULL propagation (which the
+    DuckDB oracle would not reproduce: ``list_aggregate(..., 'sum')``
+    skips NULL list elements).
 
     Scale: input is one row per (feature, group) — the fold state is
     k-bounded (groups, not observations); everything upstream is the
@@ -185,13 +189,20 @@ def kruskal_wallis(group_stats: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n1").alias("n_obs"),
         F.sum("tie_part").alias("_tie"),
+        F.max("has_nan").alias("_nan"),
     )
     nd = F.col("n_obs").cast("double")
     h_raw = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("_s") - F.lit(
         3.0
     ) * (nd + F.lit(1.0))
     corr = F.lit(1.0) - F.col("_tie") / (nd * nd * nd - nd)
-    h = F.when(corr != 0.0, F.round(h_raw / corr, 6))
+    # NaN-poisoned features get NULL h/p EXPLICITLY (scipy propagate
+    # semantics, the has_nan contract of the MWU core) rather than by
+    # NULL-propagation through the fold — ADVICE r5: a NULL term would
+    # NULL the Spark fold but DuckDB's list_aggregate(...,'sum') SKIPS
+    # NULL list elements and would return a finite H; the oracle mirrors
+    # this gate with an isnan() check over the melt.
+    h = F.when(~F.col("_nan") & (corr != 0.0), F.round(h_raw / corr, 6))
     return per_feat.select(
         "feature",
         "n_obs",

@@ -28,9 +28,11 @@ Commit protocol:
 
 Concurrency note: with a single writer (a streaming sink's foreachBatch,
 a maintenance job) this is exactly-once; multiple concurrent writers
-would race on the version number and need a compare-and-swap the local FS
-gives via ``O_EXCL`` (``publish_version`` uses ``open(x)`` mode so a
-version collision raises instead of silently overwriting).
+would race on the version number and need a compare-and-swap, which
+``publish_version`` implements via ``os.link`` of an fsynced temp file
+onto ``v{N}.json`` — link(2) is atomic and raises ``FileExistsError``
+(EEXIST) when the version already exists, so a collision is loud instead
+of a silent overwrite.
 """
 
 from __future__ import annotations

@@ -133,10 +133,18 @@ def drift_monitor(
     reference is a bounded static table that stream-static-joins
     (broadcast, stateless) after an explode to long form.
 
+    NULL values are EXCLUDED before binning on both the event and the
+    reference path (ADVICE r5: ``F.when(c > x, 1).otherwise(0)`` yields
+    0 for NULL, so un-filtered NULLs would silently inflate bin 1's mass
+    in both histograms); a monitor that must surface missingness should
+    pair this with a separate null-rate aggregate rather than fold NULL
+    into a value bin.
+
     Cross-engine exactness (batch twin): counts are exact BIGINTs,
     fractions are single divides, psi is the identical
     ``(max(fa,eps) - max(fb,eps)) * ln(max(fa,eps) / max(fb,eps))``
-    tree as psi_drift, rounded to 6.
+    tree as psi_drift, rounded to 6; the oracle mirrors the NULL filter
+    with ``WHERE value IS NOT NULL``.
 
     Output: (window_start, bin, n_obs, n_ref, frac, frac_ref, psi).
     """
@@ -149,7 +157,9 @@ def drift_monitor(
             e = e + F.when(c > F.lit(x), 1).otherwise(0)
         return e
 
-    ev = events.withColumn("event_time", event_time("ts"))
+    ev = events.filter(F.col(value_col).isNotNull()).withColumn(
+        "event_time", event_time("ts")
+    )
     if watermark is not None:
         ev = ev.withWatermark("event_time", watermark)
     binc = bin_expr(F.col(value_col).cast("double"))
@@ -184,7 +194,8 @@ def drift_monitor(
     )
     wall = Window.partitionBy()
     refc = (
-        ref.select(
+        ref.filter(F.col(value_col).isNotNull())
+        .select(
             bin_expr(F.col(value_col).cast("double")).alias("bin")
         )
         .groupBy("bin")

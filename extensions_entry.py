@@ -4920,8 +4920,12 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
        AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
 """
-    # (o-e)^2/e terms fold in cell order; chi2 rounds to 6 before the
-    # dof=2 closed-form exp(-x/2) — the Kruskal-Wallis contract
+    # Empty contingency cells owe (0-e)^2/e = e; since sum over ALL
+    # cells of e = g, the empty-cell mass is g - sum(observed e), so
+    # chi2 = g + fold[(o-e)^2/e - e] over observed cells — full Pearson
+    # on tables with holes without a cross-join.  Terms fold in cell
+    # order; chi2 rounds to 6 before the dof=2 closed-form exp(-x/2) —
+    # the Kruskal-Wallis contract (audit.py chi2_independence mirror).
     o["lineitem_chi2_assoc"] = """
 WITH cells AS (
   SELECT l_returnflag AS a, l_linestatus AS b, CAST(COUNT(*) AS BIGINT) AS n
@@ -4938,22 +4942,28 @@ tm AS (
   SELECT a, b, g,
          (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE))
          * (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE))
-         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE)) AS t
+         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE))
+         - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(g AS DOUBLE)) AS t
   FROM tot
 ),
 agg AS (
-  SELECT ROUND(list_aggregate(list(t ORDER BY a, b), 'sum'), 6) AS chi2,
+  SELECT list_aggregate(list(t ORDER BY a, b), 'sum') AS s,
          CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
          CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
          CAST(MAX(g) AS BIGINT) AS n_obs
   FROM tm
+),
+fin AS (
+  SELECT n_obs, n_a, n_b,
+         ROUND(s + CAST(n_obs AS DOUBLE), 6) AS chi2
+  FROM agg
 )
 SELECT n_obs, n_a, n_b,
        (n_a - 1) * (n_b - 1) AS dof,
        chi2,
        CASE WHEN (n_a - 1) * (n_b - 1) = 2
             THEN ROUND(EXP(-chi2 / 2.0), 6) END AS p_value
-FROM agg
+FROM fin
 """
     # Q15's revenue view inlined as a CTE; the argmax is the literal
     # scalar-subquery equality over exact decimals

@@ -164,6 +164,37 @@ def test_chi2_independence_hand_computed(spark):
     assert out.p_value == round(float(np.exp(-out.chi2 / 2)), 6)
 
 
+def test_chi2_independence_empty_cell(spark):
+    # ADVICE r5 (medium): a pair (a, b) that never co-occurs still owes
+    # its Pearson contribution (0 - e)^2 / e = e.  3x2 table with the
+    # (R, O) cell EMPTY — compare against the full-frame numpy
+    # computation (scipy.chi2_contingency semantics), which the old
+    # observed-cells-only fold understated by exactly e_RO.
+    import numpy as np
+    import pandas as pd
+
+    from dask_mwu_spark.operators.audit import chi2_independence
+
+    counts = {("A", "F"): 20, ("A", "O"): 10, ("N", "F"): 15,
+              ("N", "O"): 15, ("R", "F"): 30}  # (R, O) absent
+    rows = [(a, b) for (a, b), n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "y"]))
+    out = chi2_independence(df, "x", "y").toPandas().iloc[0]
+
+    obs = np.array([[20, 10], [15, 15], [30, 0]], dtype=float)
+    ra = obs.sum(axis=1, keepdims=True)
+    cb = obs.sum(axis=0, keepdims=True)
+    g = obs.sum()
+    e = ra * cb / g
+    chi2_full = ((obs - e) ** 2 / e).sum()  # includes the empty cell
+    assert out.n_obs == 90 and out.n_a == 3 and out.n_b == 2
+    assert abs(out.chi2 - chi2_full) < 1e-6
+    # and the understated (observed-only) value would have been wrong
+    # by e_RO = 30 * 25 / 90 — make sure we are NOT computing that
+    chi2_observed_only = chi2_full - e[2, 1]
+    assert abs(out.chi2 - chi2_observed_only) > 1.0
+
+
 def test_chi2_independence_dof1_p_null(spark):
     import pandas as pd
 

@@ -186,3 +186,36 @@ def test_kruskal_wallis_all_tied_is_null(spark):
         .iloc[0]
     )
     assert np.isnan(out.h_stat) or out.h_stat is None
+
+
+def test_kruskal_wallis_nan_poisoned_is_null(spark):
+    # ADVICE r5: a NaN-poisoned feature must return NULL h/p via the
+    # EXPLICIT has_nan gate (scipy propagate semantics), not incidental
+    # NULL propagation — and a clean feature in the same table is
+    # unaffected.
+    from dask_mwu_spark.operators.mwu import (
+        compute_in_group_ranksum,
+        kruskal_wallis,
+    )
+    from dask_mwu_spark.operators.ranking import rank_values
+    import pandas as pd
+
+    rows = (
+        [("poisoned", "a", 1.0), ("poisoned", "a", float("nan")),
+         ("poisoned", "b", 2.0), ("poisoned", "c", 3.0)]
+        + [("clean", g, v) for g, v in
+           [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+            ("c", 8.0), ("c", 9.0)]]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "group", "value"])
+    )
+    out = (
+        kruskal_wallis(compute_in_group_ranksum(rank_values(df)))
+        .toPandas()
+        .set_index("feature")
+    )
+    assert np.isnan(out.loc["poisoned"].h_stat)
+    assert np.isnan(out.loc["poisoned"].p_value)
+    assert np.isfinite(out.loc["clean"].h_stat)
+    assert np.isfinite(out.loc["clean"].p_value)

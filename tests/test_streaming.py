@@ -357,6 +357,29 @@ def test_drift_monitor_flags_planted_shift(spark):
     assert (out.psi >= 0).all()
 
 
+def test_drift_monitor_excludes_null_values(spark):
+    # ADVICE r5: NULL values must not silently inflate bin 1 — they are
+    # excluded before binning on BOTH the live and reference paths.
+    from dask_mwu_spark.streaming import drift_monitor
+
+    base_ts = 1_700_000_000_000_000_000  # epoch nanos
+    # 10 real values in bin 1 (<= 15) + 5 NULLs; ref: same shape
+    rows = [(i, base_ts, i, "a", 5.0, "{}") for i in range(10)] + [
+        (100 + i, base_ts, i, "a", None, "{}") for i in range(5)
+    ]
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    live = spark.createDataFrame(rows, schema)
+    out = drift_monitor(
+        live, live, breaks=[15.0, 35.0, 70.0, 150.0], window="1 day"
+    ).toPandas().set_index("bin")
+    # bin 1 counts ONLY the 10 non-null rows, not 15
+    assert out.loc[1].n_obs == 10 and out.loc[1].n_ref == 10
+    assert out.loc[1].frac == 1.0 and out.loc[1].frac_ref == 1.0
+
+
 def test_drift_monitor_append_respects_watermark(spark, sf_dir, events_dir):
     """Append mode emits only watermark-closed windows — a strict subset of
     the complete result, missing at least the final window's bins."""
