@@ -1038,101 +1038,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py run the full set; CORRECTNESS_FULL_r3.json is
     # an all-97 local run: 95 exact + 2 rows-only-by-design).
     priority = [
-        # --- round-5 rotation (VERDICT r4 item 2): the 14 queries that
+        # --- round-6 rotation (VERDICT r5 item 1): the 29 queries that
         # have never appeared in any CORRECTNESS_r0*.json lead the tier
-        # (all 14 were judge-re-run exact in r4; this closes the driver
+        # (all 29 were judge-re-run exact in r5; this closes the driver
         # ledger — after this round every registered query has at least
-        # one driver-attested row) ---
-        "customer_rfm", "dedup_edit_sim", "dedup_lsh_recall",
-        "events_markov", "events_stickiness", "events_two_phase_agg",
-        "events_value_p90_hist", "graph_dup_stats", "lineitem_benford",
-        "orders_scd2", "part_cheapest_supplier", "sim_ann_recall",
-        "sim_cluster_quality", "star_local_supplier_volume",
-        # --- queries whose code or oracle changed in round 5 (must be
-        # re-attested): pagerank's in-loop degree join is now a pre-joined
-        # shuffle join (graph.py), reconcile gained an explicit /0 guard
-        # mirrored in its oracle (ADVICE r4), mad_outliers gained the
-        # bounded-state histogram default, the exact-quantile operator
-        # gained its unpersist fix, and customer_rfm (above) rounds its
-        # quartile thresholds on both engines ---
-        "graph_pagerank", "audit_orders_reconcile", "events_mad_outliers",
-        "cur_quality_exact_pctile",
-        # --- NEW round-5 queries (first driver attestation): the
-        # paper-faithful curation operators, the recall harnesses, and
-        # the PQ / IVF-PQ quantized ANN family ---
-        "text_gopher_rules", "text_gopher_funnel", "cur_dsir_weights",
-        "cur_dsir_resample", "cur_fuzzy_contamination",
-        "sim_matryoshka_recall", "sim_pq_topk", "sim_pq_recall",
-        "sim_ivf_pq_topk",
-        # --- round-5 late additions (first driver attestation): the
-        # label-aware embedding ops, the mixture planning step, and the
-        # provenance dedup audit (four more core-sample slots ceded:
-        # mwu_rank_ties, dedup_exact, sim_cosine_topk, text_quality —
-        # each driver-attested in 2+ prior rounds with unchanged code) ---
-        "sim_hard_negatives", "sim_knn_label_consistency",
-        "cur_temperature_mixture", "dedup_cross_source",
-        # --- and the centroid/diversity/collocation additions (three more
-        # core-sample slots ceded: mwu_events_core, stream_sessionize,
-        # cur_curate — each driver-attested in 2+ prior rounds with
-        # unchanged code) ---
-        "sim_label_outliers", "sim_lsh_sample", "text_pmi_collocations",
-        # --- and the experiment/trend additions (two more core-sample
-        # slots ceded: dedup_simhash_pairs, sim_semantic_dedup — each
-        # driver-attested in 2+ prior rounds with unchanged code) ---
-        "events_ab_test", "lineitem_price_trend",
-        # --- bloom decontamination (one more ceded slot: mwu_topk, with
-        # driver-attested rows in every prior round and unchanged code) ---
-        "cur_bloom_decontaminate",
-        # --- TextRank + basket lift (two more ceded slots:
-        # dedup_minhash_lsh, text_bm25_topk — driver-attested in 2+ prior
-        # rounds, unchanged code) ---
-        "text_textrank", "lineitem_basket_lift",
-        # --- dominant-PC power iteration (ceded: dedup_tfidf_cosine,
-        # driver-attested r04 + FULL artifacts, unchanged code) ---
-        "sim_dominant_pc",
-        # --- attribution + cadence (two ceded slots: dedup_dup_spans,
-        # dedup_incremental — driver-attested in 2+ prior rounds,
-        # unchanged code) ---
-        "events_attribution",
-        # --- anisotropy gate, quality-canonical dedup, activation
-        # latency (three ceded slots: stream_windowed_agg,
-        # events_window_dedup, cur_token_shards — driver-attested in 2+
-        # prior rounds, unchanged code) ---
-        "sim_anisotropy", "dedup_canonical_quality",
-        # --- Wilson return ranking + revenue HHI (two ceded slots:
-        # wilcoxon_core, mwu_full_rounded — the flagship pair is attested
-        # in EVERY prior round with unchanged code; FULL artifacts still
-        # cover it at three SFs each round) ---
-        "lineitem_return_wilson", "orders_revenue_hhi",
-        # --- dedup-aware mixture, sessions, degree power-law (ceded:
-        # sim_ivf_topk, lineitem_bloom_semi — multi-attested, unchanged;
-        # events_time_to_convert defers its first driver row to round 6,
-        # covered by the FULL three-SF artifacts this round) ---
-        "cur_dedup_mixture", "events_sessions", "graph_degree_powerlaw",
-        # --- ABTT contrast (events_gap_profile, events_time_to_convert,
-        # sim_ivf_recall_curve, orders_monthly_growth,
-        # lineitem_supply_risk, events_power_users, customer_order_dist,
-        # lineitem_small_qty_revenue, customer_dormant_balance,
-        # cur_group_split, cur_split_leakage, supplier_sole_late,
-        # part_supplier_cnt, graph_kcore, star_market_share,
-        # orders_priority_wait, supplier_value_share,
-        # orders_large_volume, lineitem_bracket_revenue,
-        # mwu_kruskal_wallis, lineitem_chi2_assoc, mwu_ks_test,
-        # stream_drift_monitor, supplier_top_revenue, star_nation_volume,
-        # lineitem_forecast_revenue, lineitem_promo_share,
-        # star_retail_margin and customer_returned_revenue defer
-        # their first driver rows to round 6 — the tier is full; all are
-        # covered by this round's FULL three-SF artifacts) ---
-        "sim_abtt_contrast",
-        # --- cross-family core-regression sample (5): flagship MWU
-        # pipeline, streaming batch twins, the dedup + ANN ladders, text,
-        # curation, bloom, multimodal plumbing (the nine entries ceded to
-        # the round-5 additions — mwu_bh_adjust, events_anomaly,
-        # dedup_verified, sim_quantized_topk, text_source_entropy,
-        # dedup_trim_spans, dedup_containment, dedup_components_fixed,
-        # text_lm_score — each have 2+ prior driver-attested rows
-        # (r04 + FULL artifacts + judge re-runs) and unchanged code) ---
+        # one driver-attested row).  The first three ALSO carry round-6
+        # code/oracle changes (ADVICE r5 fixes: chi2 empty-cell mass,
+        # drift-monitor NULL binning, KW has_nan gate) and must be
+        # re-attested anyway ---
+        "lineitem_chi2_assoc", "stream_drift_monitor", "mwu_kruskal_wallis",
+        "mwu_ks_test", "events_gap_profile", "events_time_to_convert",
+        "sim_ivf_recall_curve", "orders_monthly_growth",
+        "lineitem_supply_risk", "events_power_users", "customer_order_dist",
+        "lineitem_small_qty_revenue", "customer_dormant_balance",
+        "cur_group_split", "cur_split_leakage", "supplier_sole_late",
+        "part_supplier_cnt", "graph_kcore", "star_market_share",
+        "orders_priority_wait", "supplier_value_share",
+        "orders_large_volume", "lineitem_bracket_revenue",
+        "supplier_top_revenue", "star_nation_volume",
+        "lineitem_forecast_revenue", "lineitem_promo_share",
+        "star_retail_margin", "customer_returned_revenue",
+        # --- NEW round-6 queries (first driver attestation): trained PQ
+        # codebooks through the registered path (VERDICT r5 item 2) ---
+        "sim_pq_trained_topk", "sim_pq_trained_recall",
+        # --- cross-family core-regression sample (17): flagship MWU
+        # pipeline, rank machinery, the dedup + ANN ladders, text,
+        # curation, streaming batch twins, bloom, graph, multimodal —
+        # each driver-attested in 2+ prior rounds with unchanged code,
+        # kept in the tier so a core regression is caught by the driver
+        # and not only by the FULL artifacts ---
+        "wilcoxon_core", "mwu_full_rounded", "mwu_topk", "mwu_rank_ties",
+        "mwu_events_core", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash_pairs", "sim_cosine_topk", "sim_semantic_dedup",
+        "text_quality", "cur_curate", "stream_windowed_agg",
+        "stream_sessionize", "events_anomaly", "lineitem_bloom_semi",
         "mm_real_decode_stats",
+        # --- the 2 rows-only-by-design entries close the tier (VERDICT
+        # r5 item 1's ordering note): they get their weaker rows-only
+        # driver rows again, keeping the ledger complete in one rotation ---
+        "mwu_full_pipeline", "text_cardinality",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

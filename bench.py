@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "star_market_share",
     "supplier_sole_late",
     "graph_kcore",
+    # round-6: trained-PQ registered path (VERDICT r5 items 2+8) —
+    # fixed-round Lloyd's training (eager, bounded sample) + join-based
+    # encode/ADC; the recall harness adds the brute-truth comparison
+    "sim_pq_trained_topk",
+    "sim_pq_trained_recall",
 ]
 
 

@@ -1096,6 +1096,185 @@ def ivf_pq_topk(
     )
 
 
+def _subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, s, x) — every vector split into its N_PQ_SUB subspace
+    slices.  Pure per-row expression work (posexplode of 8 slices)."""
+    return vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("vec"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                    for s in range(N_PQ_SUB)
+                ]
+            )
+        ).alias("s", "x"),
+    )
+
+
+def _sub_sq_dist(x: Column, w: Column) -> Column:
+    """round6(||x - w||^2) — the engine-identical 8-term left-assoc fold
+    both pq_encode and the trained path use for centroid assignment."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(x, w, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame, *, n_train: int = 256, n_iter: int = 2
+) -> DataFrame:
+    """PQ codebooks TRAINED on the corpus: per subspace, ``n_iter``
+    fixed rounds of Lloyd's k-means over a deterministic training sample
+    (``vec_id < n_train``) — the deploy-grade alternative to
+    ``pq_codebook``'s untrained LCG literals (VERDICT r5 item 2), kept
+    exactly oracle-checkable by the fixed-round + per-round-rounding
+    discipline of ``dominant_pc``/fixed-round PageRank.
+
+    Returns (s, c, w: array<double>) — the (subspace, code) -> centroid
+    table that ``pq_topk_with_codebooks`` broadcasts.
+
+    Determinism/exactness: seeds are the N_PQ_CENTROIDS smallest
+    vec_ids' subvectors (the ivf_index seeding precedent — raw parquet
+    doubles, identical on any engine); each assignment distance is the
+    round6 8-term fold with first-min (dist asc, c asc) tiebreak; each
+    centroid update sums per-dim in vec_id order (sorted-struct array
+    fold) and rounds mean dims to 6, so both engines carry bit-identical
+    codebooks round by round; empty clusters keep their previous
+    position (left-join + coalesce on BOTH engines).
+
+    Scale: training is bounded by design — n_train x 8 subvector rows
+    join a broadcast 128-row codebook per round (k-means at corpus scale
+    always trains on a sample; the ENCODE step is what touches all N
+    vectors, once, in pq_topk_with_codebooks).  Each round ends in a
+    localCheckpoint (128 rows) so the lineage does not double per round
+    — this does the tiny training work EAGERLY at construction."""
+    train = _subvectors(_with_vec(emb)).where(F.col("vec_id") < n_train)
+    cb = train.where(F.col("vec_id") < N_PQ_CENTROIDS).select(
+        "s", F.col("vec_id").cast("int").alias("c"), F.col("x").alias("w")
+    )
+    for _ in range(n_iter):
+        asg = train.join(F.broadcast(cb), "s").select(
+            "vec_id",
+            "s",
+            "x",
+            "c",
+            _sub_sq_dist(F.col("x"), F.col("w")).alias("d"),
+        )
+        wa = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("d").asc(), F.col("c").asc()
+        )
+        best = (
+            asg.withColumn("_rn", F.row_number().over(wa))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "s", "x", "c")
+        )
+        upd = (
+            best.groupBy("s", "c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("vec_id", "x"))),
+                    F.array_repeat(F.lit(0.0), PQ_SUB_DIM),
+                    lambda acc, r: F.zip_with(
+                        acc, r["x"], lambda a, b: a + b
+                    ),
+                ).alias("_sum"),
+            )
+            .select(
+                "s",
+                "c",
+                F.transform(
+                    "_sum",
+                    lambda t: F.round(t / F.col("n").cast("double"), 6),
+                ).alias("w_new"),
+            )
+        )
+        cb = (
+            cb.join(upd, ["s", "c"], "left")
+            .select("s", "c", F.coalesce("w_new", "w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def pq_topk_with_codebooks(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """PQ ADC top-k through an ARBITRARY codebook table (s, c, w) — the
+    generalized, join-based form of ``pq_topk`` (whose codebooks are plan
+    literals).  Same output contract: (q_id, vec_id, score), score =
+    round6 in-subspace-order partial fold, ranked desc + vec_id tiebreak.
+
+    Scale: the codebook is 128 rows — ALWAYS broadcast; encode is one
+    corpus scan (subvector explode x broadcast codebook, argmin window
+    keyed by (vec_id, s) — map-local after the explode since both carry
+    vec_id); the LUT is n_queries x 128 rows (broadcast); scoring joins
+    codes to the LUT on the 128-value (s, code) key exactly like
+    ``pq_topk``.  The float vectors never shuffle."""
+    vecs = _with_vec(emb)
+    subs = _subvectors(vecs)
+    enc = subs.join(F.broadcast(codebooks), "s").select(
+        "vec_id",
+        "s",
+        "c",
+        _sub_sq_dist(F.col("x"), F.col("w")).alias("d"),
+    )
+    we = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d").asc(), F.col("c").asc()
+    )
+    codes = (
+        enc.withColumn("_rn", F.row_number().over(we))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "s", F.col("c").alias("code"))
+    )
+    lut = (
+        subs.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(codebooks), "s")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "s",
+            F.col("c").alias("code"),
+            F.aggregate(
+                F.zip_with(F.col("x"), F.col("w"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("partial"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("s", "partial"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["partial"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "score")
+    )
+
+
 def _with_vec_label(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",

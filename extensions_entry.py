@@ -1730,6 +1730,21 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: IVF-PQ — the canonical billion-scale serving composition
         # (coarse cells bound candidates, ADC codes bound per-candidate reads)
         "sim_ivf_pq_topk": lambda s, d: sim.ivf_pq_topk(_emb(s, d)),
+        # round 6 (VERDICT r5 item 2): PQ ADC through codebooks TRAINED on
+        # the corpus — fixed-round Lloyd's per subspace on a deterministic
+        # sample, exactly oracle-checkable (per-round rounding discipline)
+        "sim_pq_trained_topk": lambda s, d: sim.pq_topk_with_codebooks(
+            _emb(s, d), sim.pq_train_codebooks(_emb(s, d))
+        ),
+        # round 6: recall@k of the TRAINED PQ path through the shared
+        # harness — the deploy-grade number BASELINE.md records next to
+        # the untrained 0.02 so the harness tells the full story
+        "sim_pq_trained_recall": lambda s, d: sim.ann_recall_eval(
+            _emb(s, d),
+            approx=sim.pq_topk_with_codebooks(
+                _emb(s, d), sim.pq_train_codebooks(_emb(s, d))
+            ).select("q_id", "vec_id"),
+        ),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -3812,6 +3827,110 @@ SELECT q_id, vec_id, score FROM (
     o["sim_pq_recall"] = f"""
 WITH truth AS ({o["sim_cosine_topk"]}),
 approx AS ({o["sim_pq_topk"]}),
+per_q AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+),
+napp AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1)
+SELECT p.q_id, p.n_truth, COALESCE(n.n_approx, 0) AS n_approx, p.n_hit,
+       ROUND(CAST(p.n_hit AS DOUBLE) / p.n_truth, 6) AS recall
+FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
+"""
+    # round 6: TRAINED PQ — fixed-round Lloyd's per subspace, unrolled
+    # like _power_iter_sql: seeds = the 16 smallest vec_ids' subvectors,
+    # assignment dist = round6 8-term left-assoc fold with (d, c)
+    # tiebreak, centroid update = per-dim vec_id-ordered sums / n
+    # rounded to 6 (bit-identical to the engine's sorted-struct array
+    # fold), empty clusters keep their previous position via
+    # LEFT JOIN + COALESCE on both engines.
+    def _pq_dist(x: str, w: str) -> str:
+        return " + ".join(
+            f"({x}[{d}] - {w}[{d}]) * ({x}[{d}] - {w}[{d}])"
+            for d in range(1, sim.PQ_SUB_DIM + 1)
+        )
+
+    def _pq_dot(x: str, w: str) -> str:
+        return " + ".join(
+            f"{x}[{d}] * {w}[{d}]" for d in range(1, sim.PQ_SUB_DIM + 1)
+        )
+
+    def _pq_trained_topk_sql(
+        n_train: int = 256, n_iter: int = 2, n_queries: int = 10, k: int = 5
+    ) -> str:
+        mean_dims = ", ".join(
+            f"ROUND(list_aggregate(list(x[{d}] ORDER BY vec_id), 'sum')"
+            f" / CAST(COUNT(*) AS DOUBLE), 6)"
+            for d in range(1, sim.PQ_SUB_DIM + 1)
+        )
+        rounds = []
+        for i in range(1, n_iter + 1):
+            rounds.append(f""",
+asg{i} AS (
+  SELECT vec_id, tr.s, x, c, ROUND({_pq_dist('x', 'w')}, 6) AS d
+  FROM tr JOIN cb{i - 1} ON tr.s = cb{i - 1}.s
+),
+best{i} AS (
+  SELECT vec_id, s, x, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d ASC, c ASC) AS rn
+    FROM asg{i}) WHERE rn = 1
+),
+upd{i} AS (
+  SELECT s, c, [{mean_dims}] AS w_new FROM best{i} GROUP BY s, c
+),
+cb{i} AS MATERIALIZED (
+  SELECT cb.s, cb.c, COALESCE(u.w_new, cb.w) AS w
+  FROM cb{i - 1} cb LEFT JOIN upd{i} u ON cb.s = u.s AND cb.c = u.c
+)""")
+        return (
+            f"WITH {_VEC_CTE.strip()},\n"
+            + f"""sub AS MATERIALIZED (
+  SELECT vec_id, CAST(ss.s AS INT) AS s,
+         list_slice(vec, CAST(ss.s * {sim.PQ_SUB_DIM} + 1 AS INT),
+                    CAST(ss.s * {sim.PQ_SUB_DIM} + {sim.PQ_SUB_DIM} AS INT)) AS x
+  FROM nv CROSS JOIN (SELECT unnest(range({sim.N_PQ_SUB})) AS s) ss
+),
+tr AS MATERIALIZED (SELECT * FROM sub WHERE vec_id < {n_train}),
+cb0 AS MATERIALIZED (
+  SELECT s, CAST(vec_id AS INT) AS c, x AS w
+  FROM tr WHERE vec_id < {sim.N_PQ_CENTROIDS}
+)"""
+            + "".join(rounds)
+            + f""",
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT sub.vec_id, sub.s, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+             ORDER BY ROUND({_pq_dist('x', 'w')}, 6) ASC, cb.c ASC) AS rn
+    FROM sub JOIN cb{n_iter} cb ON sub.s = cb.s) WHERE rn = 1
+),
+lut AS (
+  SELECT sub.vec_id AS q_id, sub.s, cb.c AS code,
+         {_pq_dot('x', 'w')} AS partial
+  FROM sub JOIN cb{n_iter} cb ON sub.s = cb.s
+  WHERE sub.vec_id < {n_queries}
+),
+est AS (
+  SELECT lut.q_id, codes.vec_id,
+         ROUND(list_aggregate(list(partial ORDER BY codes.s), 'sum'), 6) AS score
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+  WHERE codes.vec_id != lut.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM est) WHERE rn <= {k}
+"""
+        )
+
+    o["sim_pq_trained_topk"] = _pq_trained_topk_sql()
+    o["sim_pq_trained_recall"] = f"""
+WITH truth AS ({o["sim_cosine_topk"]}),
+approx AS ({o["sim_pq_trained_topk"]}),
 per_q AS (
   SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
          CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit

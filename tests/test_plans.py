@@ -118,6 +118,10 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # round 5: pq_recall's TRUTH side is the brute-force baseline
         # (sim_ann_recall precedent); the PQ side is a bounded LUT join
         "sim_pq_recall": {"nested_loop"},
+        # round 6: same harness, trained codebooks — the flagged BNLJ is
+        # the identical brute-force TRUTH arm (the trained ADC side is
+        # all BroadcastHashJoins on (s, code), verified by plan read)
+        "sim_pq_trained_recall": {"nested_loop"},
         # round 5: the Matryoshka harness is N brute-force arms by design
         # (full-dim truth + one prefix-sliced scan per prefix, all against
         # the bounded broadcast query set — sim_ann_recall precedent)

@@ -1,0 +1,236 @@
+"""OLAP-battery skew probe (VERDICT r5 item 4): plant a hot key owning
+~10% of the fact rows and check that the TPC-H-shape queries neither
+blow up in wall time nor leave a straggler task far above the median.
+
+Setup: a synthetic sf-dir is built in /tmp from the real sf0.1 tables —
+dimension tables are symlinked unchanged; the fact tables are rewritten
+with planted skew that targets each probed query's hot path:
+
+  - lineitem: ~10% of rows reassigned to ONE l_partkey (hits
+    star_market_share's part join) and a DIFFERENT ~10% to ONE
+    l_orderkey (hits orders_large_volume's per-order aggregate — the
+    Q18 giant-order case AQE skew-join cannot split because it is an
+    aggregation hot key; the two-phase partial aggregate must absorb it
+    map-side);
+  - orders: ~10% of rows reassigned to ONE o_custkey (hits
+    customer_returned_revenue's customer join + per-customer group).
+
+Measurement: each REGISTERED query (the exact callable a user runs) is
+executed against the skewed dir under the default session (AQE + skew
+join ON, spark.ui enabled for the REST task API); for every new stage
+with >= 8 tasks and >= 1s of total executor run time we fetch the
+taskSummary quantiles and record max/median executorRunTime.  The probe
+asserts the worst such ratio stays under STRAGGLER_K and prints one
+JSON line per query (wall seconds, rows, worst stage ratio) for
+BASELINE.md.
+
+Why max/median and not wall-clock A/B: a hot task 3x the median can
+hide inside an idle-core machine's unchanged wall time at sf0.1 but
+becomes the job tail on a busy 1000-executor cluster — the ratio is the
+scale-invariant signal (scale_probe_kcore.py's hub-probe rationale).
+
+Usage: python tools/scale_probe_olap.py [sf_dir] [amplify]
+(default sf0.1 x8 — ~4.8M lineitem rows, enough for multi-second
+shuffle stages on local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.session import get_spark
+
+STRAGGLER_K = 6.0
+PROBED = [
+    "star_market_share",
+    "orders_large_volume",
+    "customer_returned_revenue",
+]
+SYMLINKED = [
+    "region",
+    "nation",
+    "supplier",
+    "part",
+    "customer",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def build_skewed_dir(spark, src: str, amplify: int) -> str:
+    dst = os.path.join(tempfile.gettempdir(), "olap_skew_sf")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    for t in SYMLINKED:
+        os.symlink(
+            os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
+        )
+    # amplify the fact tables x`amplify` (sf0.1 stages finish in <1s and
+    # AQE coalesces them to a handful of tasks — too small for a
+    # meaningful max/median task ratio).  Orderkeys are re-spaced
+    # (key * amplify + replica) on BOTH tables so the orders<->lineitem
+    # FK survives; dim keys are untouched so the symlinked dims still
+    # join.  Skew is planted AFTER amplification so the hot key owns
+    # ~10% of the AMPLIFIED table.
+    rep = F.explode(F.array(*[F.lit(i) for i in range(amplify)])).alias("rep")
+    li = (
+        spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+        .select("*", rep)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") * amplify + F.col("rep")
+        )
+        .drop("rep")
+    )
+    hot_part = li.agg(F.min("l_partkey")).collect()[0][0]
+    hot_order = li.agg(F.min("l_orderkey")).collect()[0][0]
+    (
+        li.withColumn(
+            "l_partkey",
+            F.when(
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0,
+                F.lit(hot_part),
+            ).otherwise(F.col("l_partkey")),
+        )
+        .withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.xxhash64("l_partkey", "l_linenumber"), F.lit(10)) == 3,
+                F.lit(hot_order),
+            ).otherwise(F.col("l_orderkey")),
+        )
+        # repartition before write: the explode keeps the source's single
+        # input partition, and ONE single-row-group 37 MB file makes 9 of
+        # 10 scan tasks read empty byte ranges — a probe artifact that
+        # masquerades as a straggler.  32 files give balanced scans so
+        # the measured ratio reflects the planted JOIN/AGG skew.
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "lineitem.parquet"))
+    )
+    orders = (
+        spark.read.parquet(os.path.join(src, "orders.parquet"))
+        .select("*", rep)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") * amplify + F.col("rep")
+        )
+        .drop("rep")
+    )
+    hot_cust = orders.agg(F.min("o_custkey")).collect()[0][0]
+    (
+        orders.withColumn(
+            "o_custkey",
+            F.when(
+                F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) == 0, F.lit(hot_cust)
+            ).otherwise(F.col("o_custkey")),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "orders.parquet"))
+    )
+    return dst
+
+
+def _rest(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.loads(r.read())
+
+
+def worst_stage_ratio(spark, seen: set[int]) -> dict:
+    """Worst max/median executorRunTime over new heavy stages, with the
+    absolute med/max ms so a big ratio on a tiny median is readable."""
+    worst = {
+        "ratio": 0.0,
+        "med_ms": 0,
+        "max_ms": 0,
+        "stage": None,
+        "stage_name": "",
+        "n_tasks": 0,
+    }
+    n = 0
+    for st in _rest(spark, "/stages?status=COMPLETE"):
+        sid = st["stageId"]
+        if sid in seen:
+            continue
+        seen.add(sid)
+        if st.get("numCompleteTasks", 0) < 4:
+            continue
+        if st.get("executorRunTime", 0) < 500:  # ms, stage total
+            continue
+        q = _rest(
+            spark,
+            f"/stages/{sid}/{st['attemptId']}/taskSummary"
+            "?quantiles=0.0,0.5,1.0",
+        )
+        lo, med, hi = q["executorRunTime"]
+        if med > 0:
+            n += 1
+            if hi / med > worst["ratio"]:
+                worst = {
+                    "ratio": round(hi / med, 2),
+                    "med_ms": int(med),
+                    "max_ms": int(hi),
+                    "stage": sid,
+                    "stage_name": st.get("name", "")[:80],
+                    "n_tasks": st.get("numCompleteTasks"),
+                }
+    worst["heavy_stages"] = n
+    return worst
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # AQE's skew-join only splits partitions over
+    # skewedPartitionThresholdInBytes (default 256 MB) — a 10%-of-sf0.1
+    # hot key is a few MB, far under it, so the default-threshold run
+    # measures what a 1000-executor cluster would see BEFORE the
+    # partition grows past the threshold.  Scale the thresholds down
+    # with the data so AQE's splitting engages here the way it would at
+    # 100 TB (the probe's point is the post-AQE residual skew).
+    spark = get_spark(
+        "olap-skew-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    skew_dir = build_skewed_dir(spark, src, amplify)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    seen: set[int] = set()
+    worst_stage_ratio(spark, seen)  # swallow the setup stages
+    results = []
+    for name in PROBED:
+        t0 = time.monotonic()
+        rows = qs[name](spark, skew_dir).collect()
+        wall = round(time.monotonic() - t0, 2)
+        worst = worst_stage_ratio(spark, seen)
+        rec = {"query": name, "rows": len(rows), "wall_s": wall, **worst}
+        results.append(rec)
+        print(json.dumps(rec))
+    bad = [r for r in results if r["ratio"] > STRAGGLER_K]
+    assert not bad, f"straggler over {STRAGGLER_K}x median: {bad}"
+    shutil.rmtree(skew_dir)
+
+
+if __name__ == "__main__":
+    main()
