@@ -47,11 +47,44 @@ from dask_mwu_spark.streaming.events import (
 
 
 def slice_events(spark, sf_dir: str, out_dir: str, n_files: int) -> int:
-    """Write the events table as n_files row-slices (round-robin split —
-    one file per partition) and return the total row count."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Write the events table as n_files TIME-RANGE slices (each slice a
+    single file, written oldest-range first) and return the row count.
+
+    Two correctness-of-the-probe points learned the hard way:
+    - Read through ``load_table`` (the normalized BIGINT-nanos ts), not
+      a raw ``spark.read.parquet`` — the raw read round-trips the NANOS
+      timestamp into a µs TimestampType file that the stream schema then
+      reinterprets as nanos, compressing the whole corpus into one
+      event-time window (drift_monitor measured 0 output rows).
+    - Slices must be TIME-ordered and arrive in time order: a
+      round-robin split puts every day in every micro-batch, so after
+      batch 1 the watermark sits at global-max minus the lateness and
+      later batches are entirely late.  The file source picks oldest
+      mod-time first, so the slices are written sequentially (oldest
+      range first) — this also preserves per-key arrival order, the
+      sessionizer's contract."""
+    from dask_mwu_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     n = ev.count()
-    ev.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    cuts = ev.stat.approxQuantile(
+        "ts", [i / n_files for i in range(1, n_files)], 0.001
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_files):
+        sl = ev
+        if i > 0:
+            sl = sl.where(F.col("ts") >= cuts[i - 1])
+        if i < n_files - 1:
+            sl = sl.where(F.col("ts") < cuts[i])
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        sl.sort("ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(
+            os.path.join(tmp, part), os.path.join(out_dir, f"{i:04d}.parquet")
+        )
+        shutil.rmtree(tmp)
+        time.sleep(0.05)  # strictly increasing mod times
     return n
 
 
@@ -134,6 +167,26 @@ def main() -> None:
             "anomaly",
             n_rows,
             os.path.join(work, "ckpt_a"),
+        )
+        # windowed PSI drift monitor (round 5): conditional-sum bin
+        # histogram in ONE stateful aggregate + broadcast static ref
+        from dask_mwu_spark.streaming.events import drift_monitor
+
+        ref = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+            F.col("user_id") % 2 == 0
+        )
+        run_stream(
+            spark,
+            drift_monitor(
+                source(),
+                ref,
+                breaks=[15.0, 35.0, 70.0, 150.0],
+                window="1 day",
+                watermark="10 minutes",
+            ),
+            "drift_monitor",
+            n_rows,
+            os.path.join(work, "ckpt_dm"),
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
