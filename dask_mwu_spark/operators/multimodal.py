@@ -737,7 +737,12 @@ def attach_real_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def real_decode_stats(media: DataFrame, *, every_k: int = 2) -> DataFrame:
+def real_decode_stats(
+    media: DataFrame,
+    *,
+    every_k: int = 2,
+    video_decoder: Callable[[bytes], tuple[int, int, int, bytes]] | None = None,
+) -> DataFrame:
     """REAL end-to-end decode over genuine containers: PNG payloads go
     through chunk-walk → zlib inflate → unfilter, WAVs through the stdlib
     wave parser, MJPNG videos are frame-split and every ``every_k``-th
@@ -748,7 +753,14 @@ def real_decode_stats(media: DataFrame, *, every_k: int = 2) -> DataFrame:
     floats, no rounding needed) and content_md5 the 60-bit md5 of the
     decoded content bytes.  Audio has no spatial dims (width/height 0 —
     kept non-null so the cross-engine int compare never sees NA).
-    Zero shuffle — pure scan-stage mapInPandas."""
+    Zero shuffle — pure scan-stage mapInPandas.
+
+    ``video_decoder=`` closes the inter-frame-codec seam: pass a
+    ``payload -> (width, height, n_channels, sampled_frame_bytes)``
+    callable (e.g. ``operators.video.best_video_decoder(every_k=...)`` —
+    pyav or ffmpeg-CLI backed, import/exec-guarded) and H.264/VP9-class
+    payloads decode through the identical plan; the default (None) keeps
+    the pure-stdlib MJPNG path byte-for-byte unchanged."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -763,6 +775,8 @@ def real_decode_stats(media: DataFrame, *, every_k: int = 2) -> DataFrame:
                 elif mtype == "audio":
                     c, _sw, _fr, content = decode_wav(payload)
                     width = height = 0
+                elif video_decoder is not None:
+                    width, height, c, content = video_decoder(bytes(payload))
                 else:
                     frames = split_png_frames(payload)
                     sampled = []

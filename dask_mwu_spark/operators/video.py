@@ -1,0 +1,125 @@
+"""Optional real inter-frame video decoders for the ``video_decoder=``
+seam of ``multimodal.real_decode_stats`` (VERDICT r5 item 3).
+
+The repo's pure-stdlib multimodal codecs (PNG inflate+unfilter, WAV PCM,
+MJPNG frame split) cover everything EXCEPT inter-frame codecs
+(H.264/VP9/AV1): those require a real codec library, which this
+container does not ship.  This module closes the gap the way the zarr
+cross-check does — import/exec-guarded adapters that activate when the
+dependency exists and leave the seam's fallback untouched when it
+doesn't:
+
+- ``av_video_decoder``  — PyAV (libav bindings): in-process decode of a
+  bytes payload via BytesIO, no temp files.
+- ``ffmpeg_video_decoder`` — ffmpeg CLI: pipes the payload through
+  ``ffmpeg -i - -f rawvideo -pix_fmt rgb24 -`` (one subprocess per
+  payload — acceptable inside a scan-stage mapInPandas where each task
+  owns its payloads; no shuffle implications).
+- ``best_video_decoder`` — pyav if importable, else ffmpeg if on PATH,
+  else None (callers keep the MJPNG fallback).
+
+Each decoder returns ``(width, height, n_channels, content)`` where
+``content`` is the concatenated rgb24 bytes of every ``every_k``-th
+decoded frame — the exact contract ``real_decode_stats`` folds into
+``(n_units, mean_value, content_md5)``.
+
+Determinism note: unlike the stdlib codecs these are NOT oracle-checked
+(codec dithering/color-conversion is library-version-specific); the
+pytest gate (tests/test_video_adapter.py, skip-if-absent) instead
+encodes a known synthetic clip and checks the decoded geometry, frame
+count, and the near-lossless round-trip of the planted pixel pattern.
+"""
+
+from __future__ import annotations
+
+import io
+import shutil
+import subprocess
+from collections.abc import Callable
+
+VideoDecoder = Callable[[bytes], tuple[int, int, int, bytes]]
+
+
+def have_av() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def av_video_decoder(*, every_k: int = 2) -> VideoDecoder:
+    """PyAV-backed decoder factory (raises ImportError if pyav absent —
+    call ``have_av()`` first or use ``best_video_decoder``)."""
+    import av
+
+    def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
+        frames = []
+        width = height = 0
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            # codec threads off: deterministic frame order
+            stream.thread_type = "NONE"
+            for i, frame in enumerate(container.decode(stream)):
+                if i % every_k:
+                    continue
+                rgb = frame.to_ndarray(format="rgb24")
+                height, width = rgb.shape[0], rgb.shape[1]
+                frames.append(rgb.tobytes())
+        if not frames:
+            raise ValueError("no decodable video frames in payload")
+        return width, height, 3, b"".join(frames)
+
+    return _decode
+
+
+def ffmpeg_video_decoder(*, every_k: int = 2) -> VideoDecoder:
+    """ffmpeg-CLI-backed decoder factory (raises FileNotFoundError at
+    decode time if ffmpeg is not on PATH)."""
+
+    def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
+        probe = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-show_entries", "stream=width,height",
+                "-of", "csv=p=0", "-",
+            ],
+            input=payload,
+            capture_output=True,
+            check=True,
+        )
+        width, height = (int(x) for x in probe.stdout.decode().strip().split(","))
+        raw = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", "-",
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+            ],
+            input=payload,
+            capture_output=True,
+            check=True,
+        ).stdout
+        frame_bytes = width * height * 3
+        n_frames = len(raw) // frame_bytes
+        if n_frames == 0:
+            raise ValueError("no decodable video frames in payload")
+        content = b"".join(
+            raw[i * frame_bytes : (i + 1) * frame_bytes]
+            for i in range(0, n_frames, every_k)
+        )
+        return width, height, 3, content
+
+    return _decode
+
+
+def best_video_decoder(*, every_k: int = 2) -> VideoDecoder | None:
+    """pyav > ffmpeg CLI > None (keep the MJPNG stdlib fallback)."""
+    if have_av():
+        return av_video_decoder(every_k=every_k)
+    if have_ffmpeg():
+        return ffmpeg_video_decoder(every_k=every_k)
+    return None
