@@ -1059,16 +1059,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_forecast_revenue", "lineitem_promo_share",
         "star_retail_margin", "customer_returned_revenue",
         # --- NEW round-6 queries (first driver attestation): trained PQ
-        # codebooks through the registered path (VERDICT r5 item 2) ---
+        # codebooks through the registered path (VERDICT r5 item 2) and
+        # trained IVF via the same fixed-round Lloyd machinery (which
+        # takes the slot of dedup_exact — driver-attested in every prior
+        # round with unchanged code) ---
         "sim_pq_trained_topk", "sim_pq_trained_recall",
-        # --- cross-family core-regression sample (17): flagship MWU
+        "sim_ivf_trained_topk",
+        # --- cross-family core-regression sample (16): flagship MWU
         # pipeline, rank machinery, the dedup + ANN ladders, text,
         # curation, streaming batch twins, bloom, graph, multimodal —
         # each driver-attested in 2+ prior rounds with unchanged code,
         # kept in the tier so a core regression is caught by the driver
         # and not only by the FULL artifacts ---
         "wilcoxon_core", "mwu_full_rounded", "mwu_topk", "mwu_rank_ties",
-        "mwu_events_core", "dedup_exact", "dedup_minhash_lsh",
+        "mwu_events_core", "dedup_minhash_lsh",
         "dedup_simhash_pairs", "sim_cosine_topk", "sim_semantic_dedup",
         "text_quality", "cur_curate", "stream_windowed_agg",
         "stream_sessionize", "events_anomaly", "lineitem_bloom_semi",

@@ -1157,6 +1157,19 @@ def pq_train_codebooks(
     cb = train.where(F.col("vec_id") < N_PQ_CENTROIDS).select(
         "s", F.col("vec_id").cast("int").alias("c"), F.col("x").alias("w")
     )
+    return _lloyd_iterations(train, cb, n_iter=n_iter, dim=PQ_SUB_DIM)
+
+
+def _lloyd_iterations(
+    train: DataFrame, cb: DataFrame, *, n_iter: int, dim: int
+) -> DataFrame:
+    """Shared fixed-round Lloyd loop over a (vec_id, s, x) training frame
+    and a (s, c, w) codebook — ``pq_train_codebooks`` runs it per
+    subspace (s = 0..7, dim 8), ``kmeans_train_fixed`` over full vectors
+    (single s = 0, dim = EMB_DIM).  All the cross-engine exactness rules
+    live here ONCE: round6 distances with (d, c) tiebreak, per-dim
+    vec_id-ordered sum folds, round6 means, empty clusters keep their
+    previous position, localCheckpoint per round."""
     for _ in range(n_iter):
         asg = train.join(F.broadcast(cb), "s").select(
             "vec_id",
@@ -1179,7 +1192,7 @@ def pq_train_codebooks(
                 F.count(F.lit(1)).alias("n"),
                 F.aggregate(
                     F.sort_array(F.collect_list(F.struct("vec_id", "x"))),
-                    F.array_repeat(F.lit(0.0), PQ_SUB_DIM),
+                    F.array_repeat(F.lit(0.0), dim),
                     lambda acc, r: F.zip_with(
                         acc, r["x"], lambda a, b: a + b
                     ),
@@ -1200,6 +1213,37 @@ def pq_train_codebooks(
             .localCheckpoint(eager=True)
         )
     return cb
+
+
+def kmeans_train_fixed(
+    emb: DataFrame, *, k: int = 16, n_train: int = 256, n_iter: int = 2
+) -> DataFrame:
+    """Full-vector k-means via the SAME fixed-round Lloyd loop the PQ
+    trainer uses — the exactly-oracle-checkable counterpart to
+    ``kmeans_centroids`` (MLlib KMeans||, whose float accumulation order
+    is engine-specific and therefore only pytest-gated).  Returns the
+    (cent_id, embedding) shape ``ivf_index(centroids=...)`` expects, so
+    ``ivf_topk(emb, centroids=kmeans_train_fixed(emb))`` is a TRAINED
+    IVF whose every number a DuckDB twin reproduces bit-for-bit
+    (registered as ``sim_ivf_trained_topk``).
+
+    Same determinism contract as pq_train_codebooks: euclidean
+    assignment on round6 distances, (d, c) tiebreak, vec_id-ordered mean
+    folds rounded to 6 per round, empty clusters keep position; training
+    bounded to ``n_train`` vectors (k-means at corpus scale trains on a
+    sample; assignment of the full corpus happens in ivf_index's one
+    broadcast-scan pass)."""
+    vecs = _with_vec(emb)
+    train = vecs.where(F.col("vec_id") < n_train).select(
+        "vec_id", F.lit(0).alias("s"), F.col("vec").alias("x")
+    )
+    cb = train.where(F.col("vec_id") < k).select(
+        "s", F.col("vec_id").cast("int").alias("c"), F.col("x").alias("w")
+    )
+    cb = _lloyd_iterations(train, cb, n_iter=n_iter, dim=EMB_DIM)
+    return cb.select(
+        F.col("c").cast("long").alias("cent_id"), F.col("w").alias("embedding")
+    )
 
 
 def pq_topk_with_codebooks(

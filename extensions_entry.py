@@ -1745,6 +1745,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _emb(s, d), sim.pq_train_codebooks(_emb(s, d))
             ).select("q_id", "vec_id"),
         ),
+        # round 6: TRAINED IVF — full-vector fixed-round Lloyd's centroids
+        # through the unchanged ivf_topk chain (the exactly-checkable
+        # counterpart to the MLlib kmeans_centroids pytest path)
+        "sim_ivf_trained_topk": lambda s, d: sim.ivf_topk(
+            _emb(s, d), centroids=sim.kmeans_train_fixed(_emb(s, d))
+        ),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -3846,10 +3852,10 @@ FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
     # rounded to 6 (bit-identical to the engine's sorted-struct array
     # fold), empty clusters keep their previous position via
     # LEFT JOIN + COALESCE on both engines.
-    def _pq_dist(x: str, w: str) -> str:
+    def _pq_dist(x: str, w: str, dims: int = sim.PQ_SUB_DIM) -> str:
         return " + ".join(
             f"({x}[{d}] - {w}[{d}]) * ({x}[{d}] - {w}[{d}])"
-            for d in range(1, sim.PQ_SUB_DIM + 1)
+            for d in range(1, dims + 1)
         )
 
     def _pq_dot(x: str, w: str) -> str:
@@ -3928,6 +3934,77 @@ SELECT q_id, vec_id, score FROM (
         )
 
     o["sim_pq_trained_topk"] = _pq_trained_topk_sql()
+
+    # round 6: full-vector fixed-round Lloyd's (kmeans_train_fixed's
+    # twin) feeding the UNCHANGED IVF chain — trained IVF, exactly
+    # oracle-checked.  Same exactness rules as the PQ trainer, dim=64.
+    def _kmeans_cents_sql(
+        k: int = 16, n_train: int = 256, n_iter: int = 2
+    ) -> str:
+        dim = sim.EMB_DIM
+        mean_dims = ", ".join(
+            f"ROUND(list_aggregate(list(x[{d}] ORDER BY vec_id), 'sum')"
+            f" / CAST(COUNT(*) AS DOUBLE), 6)"
+            for d in range(1, dim + 1)
+        )
+        blocks = [
+            f"""ktr AS MATERIALIZED (
+  SELECT vec_id, 0 AS s, vec AS x FROM nv WHERE vec_id < {n_train}
+),
+kcb0 AS (SELECT s, CAST(vec_id AS INT) AS c, x AS w FROM ktr WHERE vec_id < {k})"""
+        ]
+        for i in range(1, n_iter + 1):
+            blocks.append(f"""kasg{i} AS (
+  SELECT vec_id, ktr.s, x, c, ROUND({_pq_dist('x', 'w', dim)}, 6) AS d
+  FROM ktr JOIN kcb{i - 1} ON ktr.s = kcb{i - 1}.s
+),
+kbest{i} AS (
+  SELECT vec_id, s, x, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d ASC, c ASC) AS rn
+    FROM kasg{i}) WHERE rn = 1
+),
+kupd{i} AS (
+  SELECT s, c, [{mean_dims}] AS w_new FROM kbest{i} GROUP BY s, c
+),
+kcb{i} AS MATERIALIZED (
+  SELECT cb.s, cb.c, COALESCE(u.w_new, cb.w) AS w
+  FROM kcb{i - 1} cb LEFT JOIN kupd{i} u ON cb.s = u.s AND cb.c = u.c
+)""")
+        blocks.append(f"""cents AS (
+  SELECT CAST(c AS BIGINT) AS cent_id, w AS c_vec,
+         sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum')) AS c_nrm
+  FROM kcb{n_iter}
+)""")
+        return ",\n".join(blocks)
+
+    o["sim_ivf_trained_topk"] = f"""
+WITH {_VEC_CTE.strip()},
+{_kmeans_cents_sql()},
+asg AS (
+  SELECT vec_id, vec, nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, q_vec, q_nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT q_id, q_vec, q_nrm, cent_id FROM pr WHERE rn <= 4),
+s AS (
+  SELECT q_id, idx.vec_id,
+         ROUND(list_dot_product(idx.vec, q_vec) / (idx.nrm * q_nrm), 6) AS cosine
+  FROM idx JOIN probes USING (cent_id)
+  WHERE idx.vec_id != q_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
+"""
     o["sim_pq_trained_recall"] = f"""
 WITH truth AS ({o["sim_cosine_topk"]}),
 approx AS ({o["sim_pq_trained_topk"]}),

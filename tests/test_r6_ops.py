@@ -108,6 +108,60 @@ def test_pq_trained_beats_untrained_on_structured(spark):
     assert trained.recall.mean() >= 0.8
 
 
+def test_ivf_trained_centroids_recall_on_clusters(spark):
+    """kmeans_train_fixed through ivf_topk (the registered
+    sim_ivf_trained_topk composition) must match or beat the seeded-IVF
+    baseline on a clustered corpus under tight probing (n_probe=2 of 8
+    cells — routing quality is what differentiates) and clear 0.8
+    recall — the exactly-oracle-checkable counterpart of the MLlib
+    kmeans_centroids test (test_similarity.py, same fixture shape)."""
+    from dask_mwu_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_train_fixed,
+    )
+
+    centers = rng.normal(size=(8, 64))
+    base = centers[np.arange(96) % 8] + 0.05 * rng.normal(size=(96, 64))
+    emb = _emb(spark, base)
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(emb, n_queries=6, k=3)
+            .select("q_id", "vec_id")
+            .collect(),
+        )
+    )
+
+    def recall(centroids):
+        got = set(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, n_centroids=8, n_probe=2, n_queries=6, k=3,
+                    centroids=centroids,
+                ).select("q_id", "vec_id").collect(),
+            )
+        )
+        return len(got & exact) / len(exact)
+
+    r_seeded = recall(None)
+    r_trained = recall(kmeans_train_fixed(emb, k=8, n_train=96))
+    assert r_trained >= r_seeded
+    assert r_trained >= 0.8
+
+
+def test_kmeans_train_fixed_shape(spark):
+    from dask_mwu_spark.operators.similarity import kmeans_train_fixed
+
+    cb = kmeans_train_fixed(
+        _emb(spark, _structured_vectors(64)), k=8, n_train=64
+    ).toPandas()
+    assert len(cb) == 8
+    assert cb.embedding.map(len).eq(64).all()
+    assert sorted(cb.cent_id) == list(range(8))
+
+
 def test_pq_trained_empty_cluster_keeps_seed(spark):
     """A centroid that wins no assignments keeps its previous position
     (the LEFT JOIN + COALESCE arm) — with 17 identical vectors, at most
