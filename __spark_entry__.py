@@ -1065,13 +1065,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round with unchanged code) ---
         "sim_pq_trained_topk", "sim_pq_trained_recall",
         "sim_ivf_trained_topk",
-        # --- cross-family core-regression sample (16): flagship MWU
+        # (the fully trained IVF-PQ composition takes mwu_rank_ties'
+        # core-sample slot — driver-attested in every prior round with
+        # unchanged code)
+        "sim_ivf_pq_trained_topk",
+        # --- cross-family core-regression sample (15): flagship MWU
         # pipeline, rank machinery, the dedup + ANN ladders, text,
         # curation, streaming batch twins, bloom, graph, multimodal —
         # each driver-attested in 2+ prior rounds with unchanged code,
         # kept in the tier so a core regression is caught by the driver
         # and not only by the FULL artifacts ---
-        "wilcoxon_core", "mwu_full_rounded", "mwu_topk", "mwu_rank_ties",
+        "wilcoxon_core", "mwu_full_rounded", "mwu_topk",
         "mwu_events_core", "dedup_minhash_lsh",
         "dedup_simhash_pairs", "sim_cosine_topk", "sim_semantic_dedup",
         "text_quality", "cur_curate", "stream_windowed_agg",

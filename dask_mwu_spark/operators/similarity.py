@@ -1319,6 +1319,117 @@ def pq_topk_with_codebooks(
     )
 
 
+def ivf_pq_topk_trained(
+    emb: DataFrame,
+    *,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+    n_train: int = 256,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Fully TRAINED IVF-PQ — the deploy-grade FAISS composition with
+    BOTH halves learned from the corpus: coarse cells from
+    ``kmeans_train_fixed`` (full-vector Lloyd's) bound WHICH candidates
+    are scored, per-subspace codebooks from ``pq_train_codebooks`` bound
+    WHAT is read per candidate (codes + per-query LUT, never the float
+    vector).  Registered as ``sim_ivf_pq_trained_topk`` with a composed
+    unrolled-Lloyd DuckDB twin — every stage exactly oracle-checked.
+
+    Scale: both trainings are bounded-sample (corpus-size-flat, see
+    tools/scale_probe_pq_trained.py); cell assignment and encode are
+    each ONE broadcast-join corpus scan; the query path joins the
+    candidates' 8-row code tables to the broadcast n_queries x 128 LUT
+    exactly like ``ivf_pq_topk``.  Output (q_id, vec_id, score) with the
+    ADC contract (round6, score desc + vec_id tiebreak)."""
+    vecs = _with_vec(emb)
+    # train each half ONCE (the Lloyd loop is eager via localCheckpoint)
+    trained_cells = kmeans_train_fixed(
+        emb, k=k_cells, n_train=n_train, n_iter=n_iter
+    )
+    cents = _centroid_table(emb, k_cells, trained_cells)
+    idx = ivf_index(emb, centroids=trained_cells).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    codebooks = pq_train_codebooks(emb, n_train=n_train, n_iter=n_iter)
+    subs = _subvectors(vecs)
+    enc = subs.join(F.broadcast(codebooks), "s").select(
+        "vec_id", "s", "c", _sub_sq_dist(F.col("x"), F.col("w")).alias("d")
+    )
+    we = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d").asc(), F.col("c").asc()
+    )
+    codes = (
+        enc.withColumn("_rn", F.row_number().over(we))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "s", F.col("c").alias("code"))
+    )
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "cent_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("c_cos"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("q_id", "cent_id")
+    )
+    cand = (
+        idx.select("vec_id", "cent_id")
+        .join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    lut = (
+        subs.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(codebooks), "s")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "s",
+            F.col("c").alias("code"),
+            F.aggregate(
+                F.zip_with(F.col("x"), F.col("w"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("partial"),
+        )
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("s", "partial"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["partial"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "score")
+    )
+
+
 def _with_vec_label(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",

@@ -1751,6 +1751,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_trained_topk": lambda s, d: sim.ivf_topk(
             _emb(s, d), centroids=sim.kmeans_train_fixed(_emb(s, d))
         ),
+        # round 6: fully TRAINED IVF-PQ — learned coarse cells AND learned
+        # codebooks in one composition (the FAISS deploy shape, every
+        # stage exact-oracle)
+        "sim_ivf_pq_trained_topk": lambda s, d: sim.ivf_pq_topk_trained(
+            _emb(s, d)
+        ),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -3863,9 +3869,12 @@ FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
             f"{x}[{d}] * {w}[{d}]" for d in range(1, sim.PQ_SUB_DIM + 1)
         )
 
-    def _pq_trained_topk_sql(
-        n_train: int = 256, n_iter: int = 2, n_queries: int = 10, k: int = 5
+    def _pq_trained_blocks(
+        n_train: int = 256, n_iter: int = 2, n_queries: int = 10
     ) -> str:
+        """CTE blocks `sub, tr, cb0..cbN, codes, lut` (no _VEC_CTE, no
+        final select) — shared by sim_pq_trained_topk and the composed
+        sim_ivf_pq_trained_topk."""
         mean_dims = ", ".join(
             f"ROUND(list_aggregate(list(x[{d}] ORDER BY vec_id), 'sum')"
             f" / CAST(COUNT(*) AS DOUBLE), 6)"
@@ -3892,8 +3901,7 @@ cb{i} AS MATERIALIZED (
   FROM cb{i - 1} cb LEFT JOIN upd{i} u ON cb.s = u.s AND cb.c = u.c
 )""")
         return (
-            f"WITH {_VEC_CTE.strip()},\n"
-            + f"""sub AS MATERIALIZED (
+            f"""sub AS MATERIALIZED (
   SELECT vec_id, CAST(ss.s AS INT) AS s,
          list_slice(vec, CAST(ss.s * {sim.PQ_SUB_DIM} + 1 AS INT),
                     CAST(ss.s * {sim.PQ_SUB_DIM} + {sim.PQ_SUB_DIM} AS INT)) AS x
@@ -3918,7 +3926,16 @@ lut AS (
          {_pq_dot('x', 'w')} AS partial
   FROM sub JOIN cb{n_iter} cb ON sub.s = cb.s
   WHERE sub.vec_id < {n_queries}
-),
+)"""
+        )
+
+    def _pq_trained_topk_sql(
+        n_train: int = 256, n_iter: int = 2, n_queries: int = 10, k: int = 5
+    ) -> str:
+        return (
+            f"WITH {_VEC_CTE.strip()},\n"
+            + _pq_trained_blocks(n_train, n_iter, n_queries)
+            + f""",
 est AS (
   SELECT lut.q_id, codes.vec_id,
          ROUND(list_aggregate(list(partial ORDER BY codes.s), 'sum'), 6) AS score
@@ -4004,6 +4021,45 @@ s AS (
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
 SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
+"""
+    # round 6: fully trained IVF-PQ — the kmeans cell CTEs (k-prefixed)
+    # and the trained-PQ code/LUT CTEs compose with the IVF-PQ candidate
+    # chain; every stage mirrors the engine exactly
+    o["sim_ivf_pq_trained_topk"] = f"""
+WITH {_VEC_CTE.strip()},
+{_pq_trained_blocks()},
+{_kmeans_cents_sql()},
+asg AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT q_id, cent_id FROM pr WHERE rn <= 4),
+cand AS (
+  SELECT q_id, idx.vec_id FROM idx JOIN probes USING (cent_id)
+  WHERE idx.vec_id != q_id
+),
+est AS (
+  SELECT cand.q_id, cand.vec_id,
+         ROUND(list_aggregate(list(partial ORDER BY codes.s), 'sum'), 6) AS score
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN lut ON lut.q_id = cand.q_id AND lut.s = codes.s AND lut.code = codes.code
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM est) WHERE rn <= 5
 """
     o["sim_pq_trained_recall"] = f"""
 WITH truth AS ({o["sim_cosine_topk"]}),

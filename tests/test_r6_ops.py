@@ -151,6 +151,27 @@ def test_ivf_trained_centroids_recall_on_clusters(spark):
     assert r_trained >= 0.8
 
 
+def test_ivf_pq_trained_scores_match_full_trained_adc(spark):
+    """The fully trained composition restricts WHICH pairs are scored
+    (trained cells + probes) but every reported score must equal the
+    full trained-PQ ADC score of that pair — the cell restriction never
+    changes a score (the r5 ivf_pq vs pq consistency gate, trained)."""
+    from dask_mwu_spark.operators.similarity import (
+        ivf_pq_topk_trained,
+        pq_topk_with_codebooks,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark, _structured_vectors(60))
+    full = pq_topk_with_codebooks(
+        emb, pq_train_codebooks(emb, n_train=60), n_queries=10, k=59
+    ).toPandas().set_index(["q_id", "vec_id"]).score
+    composed = ivf_pq_topk_trained(emb, n_train=60).toPandas()
+    assert len(composed) > 0
+    for row in composed.itertuples():
+        assert row.score == full.loc[(row.q_id, row.vec_id)]
+
+
 def test_kmeans_train_fixed_shape(spark):
     from dask_mwu_spark.operators.similarity import kmeans_train_fixed
 
