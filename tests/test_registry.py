@@ -24,16 +24,27 @@ def test_rows_only_set_is_exactly_the_documented_two():
     assert set(qs) - set(os_) == ROWS_ONLY
 
 
-def test_priority_tier_is_50_oracle_backed_entries():
+def test_priority_tier_is_50_entries_rows_only_last():
+    """Round-6 tier contract (VERDICT r5 item 1): the 50-slot tier ends
+    with the two documented rows-only entries (their weaker rows-only
+    driver rows close the ledger in one rotation); every other tier slot
+    is oracle-backed so the driver's hash compare does real work."""
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     first50 = list(qs)[:50]
     assert len(first50) == 50
-    assert all(name in os_ for name in first50)
+    assert set(first50[-len(ROWS_ONLY):]) == ROWS_ONLY
+    assert all(name in os_ for name in first50[: -len(ROWS_ONLY)])
 
 
-def test_rows_only_entries_ordered_last():
-    names = list(entrymod.queries())
-    assert set(names[-len(ROWS_ONLY):]) == ROWS_ONLY
+def test_everything_past_the_tier_is_oracle_backed():
+    """With both rows-only entries spent inside the tier, the dict tail
+    must be 100% oracle-backed — a new rows-only query can only appear
+    by being added to the documented ROWS_ONLY set."""
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    rest = list(qs)[50:]
+    assert all(name in os_ for name in rest), [
+        n for n in rest if n not in os_
+    ]
 
 
 def test_oracle_sql_is_nonempty_select():
