@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     # encode/ADC; the recall harness adds the brute-truth comparison
     "sim_pq_trained_topk",
     "sim_pq_trained_recall",
+    # round-6 late additions: trained IVF (full-vector Lloyd's cells) and
+    # the fully trained IVF-PQ composition
+    "sim_ivf_trained_topk",
+    "sim_ivf_pq_trained_topk",
 ]
 
 
