@@ -758,9 +758,13 @@ def real_decode_stats(
     ``video_decoder=`` closes the inter-frame-codec seam: pass a
     ``payload -> (width, height, n_channels, sampled_frame_bytes)``
     callable (e.g. ``operators.video.best_video_decoder(every_k=...)`` —
-    pyav or ffmpeg-CLI backed, import/exec-guarded) and H.264/VP9-class
-    payloads decode through the identical plan; the default (None) keeps
-    the pure-stdlib MJPNG path byte-for-byte unchanged."""
+    pyav or ffmpeg-CLI backed, import/exec-guarded) and video payloads
+    decode through the identical plan; the default (None) keeps the
+    pure-stdlib MJPNG path byte-for-byte unchanged.  NOTE: an injected
+    decoder carries its OWN frame-sampling rate (the factory's
+    ``every_k=``); this function's ``every_k`` applies only to the
+    stdlib MJPNG fallback — pass the same value to both if you mix
+    MJPNG and codec videos in one table."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -775,7 +779,7 @@ def real_decode_stats(
                 elif mtype == "audio":
                     c, _sw, _fr, content = decode_wav(payload)
                     width = height = 0
-                elif video_decoder is not None:
+                elif mtype == "video" and video_decoder is not None:
                     width, height, c, content = video_decoder(bytes(payload))
                 else:
                     frames = split_png_frames(payload)

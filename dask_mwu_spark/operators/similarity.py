@@ -1246,6 +1246,48 @@ def kmeans_train_fixed(
     )
 
 
+def _encode_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, s, code) — nearest trained centroid per subvector:
+    round6 distance, first-min (d, c) tiebreak.  Shared by
+    pq_topk_with_codebooks and ivf_pq_topk_trained so the encode
+    contract cannot drift between them (and both oracle twins mirror
+    this single definition)."""
+    enc = subs.join(F.broadcast(codebooks), "s").select(
+        "vec_id", "s", "c", _sub_sq_dist(F.col("x"), F.col("w")).alias("d")
+    )
+    we = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d").asc(), F.col("c").asc()
+    )
+    return (
+        enc.withColumn("_rn", F.row_number().over(we))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "s", F.col("c").alias("code"))
+    )
+
+
+def _adc_lut(
+    subs: DataFrame, codebooks: DataFrame, *, n_queries: int
+) -> DataFrame:
+    """(q_id, s, code, partial) ADC lookup table against a TRAINED
+    codebook table — the join-based counterpart of ``_pq_lut`` (whose
+    codebooks are plan literals); partial is the in-order 8-term dot
+    fold.  Shared by pq_topk_with_codebooks and ivf_pq_topk_trained."""
+    return (
+        subs.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(codebooks), "s")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "s",
+            F.col("c").alias("code"),
+            F.aggregate(
+                F.zip_with(F.col("x"), F.col("w"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("partial"),
+        )
+    )
+
+
 def pq_topk_with_codebooks(
     emb: DataFrame,
     codebooks: DataFrame,
@@ -1266,34 +1308,8 @@ def pq_topk_with_codebooks(
     ``pq_topk``.  The float vectors never shuffle."""
     vecs = _with_vec(emb)
     subs = _subvectors(vecs)
-    enc = subs.join(F.broadcast(codebooks), "s").select(
-        "vec_id",
-        "s",
-        "c",
-        _sub_sq_dist(F.col("x"), F.col("w")).alias("d"),
-    )
-    we = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d").asc(), F.col("c").asc()
-    )
-    codes = (
-        enc.withColumn("_rn", F.row_number().over(we))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "s", F.col("c").alias("code"))
-    )
-    lut = (
-        subs.where(F.col("vec_id") < n_queries)
-        .join(F.broadcast(codebooks), "s")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "s",
-            F.col("c").alias("code"),
-            F.aggregate(
-                F.zip_with(F.col("x"), F.col("w"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ).alias("partial"),
-        )
-    )
+    codes = _encode_codes(subs, codebooks)
+    lut = _adc_lut(subs, codebooks, n_queries=n_queries)
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .where(F.col("vec_id") != F.col("q_id"))
@@ -1354,17 +1370,7 @@ def ivf_pq_topk_trained(
     )
     codebooks = pq_train_codebooks(emb, n_train=n_train, n_iter=n_iter)
     subs = _subvectors(vecs)
-    enc = subs.join(F.broadcast(codebooks), "s").select(
-        "vec_id", "s", "c", _sub_sq_dist(F.col("x"), F.col("w")).alias("d")
-    )
-    we = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d").asc(), F.col("c").asc()
-    )
-    codes = (
-        enc.withColumn("_rn", F.row_number().over(we))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "s", F.col("c").alias("code"))
-    )
+    codes = _encode_codes(subs, codebooks)
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -1391,20 +1397,7 @@ def ivf_pq_topk_trained(
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
-    lut = (
-        subs.where(F.col("vec_id") < n_queries)
-        .join(F.broadcast(codebooks), "s")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "s",
-            F.col("c").alias("code"),
-            F.aggregate(
-                F.zip_with(F.col("x"), F.col("w"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ).alias("partial"),
-        )
-    )
+    lut = _adc_lut(subs, codebooks, n_queries=n_queries)
     scored = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["q_id", "s", "code"])

@@ -11,10 +11,12 @@ doesn't:
 
 - ``av_video_decoder``  — PyAV (libav bindings): in-process decode of a
   bytes payload via BytesIO, no temp files.
-- ``ffmpeg_video_decoder`` — ffmpeg CLI: pipes the payload through
-  ``ffmpeg -i - -f rawvideo -pix_fmt rgb24 -`` (one subprocess per
-  payload — acceptable inside a scan-stage mapInPandas where each task
-  owns its payloads; no shuffle implications).
+- ``ffmpeg_video_decoder`` — ffmpeg CLI: writes the payload to a temp
+  file (seekable — stdin pipes fail on non-faststart MP4s whose moov
+  atom trails the data) and decodes via ``ffmpeg -i <f> -f rawvideo
+  -pix_fmt rgb24 -`` (one subprocess per payload — acceptable inside a
+  scan-stage mapInPandas where each task owns its payloads; no shuffle
+  implications).
 - ``best_video_decoder`` — pyav if importable, else ffmpeg if on PATH,
   else None (callers keep the MJPNG fallback).
 
@@ -50,7 +52,12 @@ def have_av() -> bool:
 
 
 def have_ffmpeg() -> bool:
-    return shutil.which("ffmpeg") is not None
+    # ffprobe ships separately in some minimal installs and the CLI
+    # decoder needs BOTH (probe for dims, ffmpeg for frames)
+    return (
+        shutil.which("ffmpeg") is not None
+        and shutil.which("ffprobe") is not None
+    )
 
 
 def av_video_decoder(*, every_k: int = 2) -> VideoDecoder:
@@ -80,29 +87,43 @@ def av_video_decoder(*, every_k: int = 2) -> VideoDecoder:
 
 def ffmpeg_video_decoder(*, every_k: int = 2) -> VideoDecoder:
     """ffmpeg-CLI-backed decoder factory (raises FileNotFoundError at
-    decode time if ffmpeg is not on PATH)."""
+    decode time if ffmpeg/ffprobe are not on PATH).
+
+    The payload goes through a TEMP FILE, not stdin: MP4 containers
+    commonly carry the moov atom at the END (non-faststart — pyav's
+    default output), and a non-seekable pipe makes ffprobe/ffmpeg fail
+    with 'moov atom not found'; a file path is seekable."""
 
     def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
-        probe = subprocess.run(
-            [
-                "ffprobe", "-v", "error", "-select_streams", "v:0",
-                "-show_entries", "stream=width,height",
-                "-of", "csv=p=0", "-",
-            ],
-            input=payload,
-            capture_output=True,
-            check=True,
-        )
-        width, height = (int(x) for x in probe.stdout.decode().strip().split(","))
-        raw = subprocess.run(
-            [
-                "ffmpeg", "-v", "error", "-i", "-",
-                "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
-            ],
-            input=payload,
-            capture_output=True,
-            check=True,
-        ).stdout
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".bin")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            probe = subprocess.run(
+                [
+                    "ffprobe", "-v", "error", "-select_streams", "v:0",
+                    "-show_entries", "stream=width,height",
+                    "-of", "csv=p=0", path,
+                ],
+                capture_output=True,
+                check=True,
+            )
+            width, height = (
+                int(x) for x in probe.stdout.decode().strip().split(",")
+            )
+            raw = subprocess.run(
+                [
+                    "ffmpeg", "-v", "error", "-i", path,
+                    "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+                ],
+                capture_output=True,
+                check=True,
+            ).stdout
+        finally:
+            os.unlink(path)
         frame_bytes = width * height * 3
         n_frames = len(raw) // frame_bytes
         if n_frames == 0:

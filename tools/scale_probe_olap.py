@@ -18,7 +18,7 @@ with planted skew that targets each probed query's hot path:
 Measurement: each REGISTERED query (the exact callable a user runs) is
 executed against the skewed dir under the default session (AQE + skew
 join ON, spark.ui enabled for the REST task API); for every new stage
-with >= 8 tasks and >= 1s of total executor run time we fetch the
+with >= 4 tasks and >= 0.5s of total executor run time we fetch the
 taskSummary quantiles and record max/median executorRunTime.  The probe
 asserts the worst such ratio stays under STRAGGLER_K and prints one
 JSON line per query (wall seconds, rows, worst stage ratio) for
@@ -95,21 +95,30 @@ def build_skewed_dir(spark, src: str, amplify: int) -> str:
     )
     hot_part = li.agg(F.min("l_partkey")).collect()[0][0]
     hot_order = li.agg(F.min("l_orderkey")).collect()[0][0]
+    # both masks hash the PRISTINE key columns (computed before either
+    # reassignment): hashing l_partkey after the hot-part rewrite would
+    # collapse the hot-part rows' hash key to (hot_part, l_linenumber)
+    # — <= 7 distinct values — making the order-skew selection lumpy
+    # and coupled to the part skew instead of an independent ~10%
+    part_mask = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0
+    order_mask = F.pmod(F.xxhash64("l_partkey", "l_linenumber"), F.lit(10)) == 3
     (
-        li.withColumn(
+        li.select(
+            "*",
+            part_mask.alias("_pm"),
+            order_mask.alias("_om"),
+        )
+        .withColumn(
             "l_partkey",
-            F.when(
-                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0,
-                F.lit(hot_part),
-            ).otherwise(F.col("l_partkey")),
+            F.when(F.col("_pm"), F.lit(hot_part)).otherwise(F.col("l_partkey")),
         )
         .withColumn(
             "l_orderkey",
-            F.when(
-                F.pmod(F.xxhash64("l_partkey", "l_linenumber"), F.lit(10)) == 3,
-                F.lit(hot_order),
-            ).otherwise(F.col("l_orderkey")),
+            F.when(F.col("_om"), F.lit(hot_order)).otherwise(
+                F.col("l_orderkey")
+            ),
         )
+        .drop("_pm", "_om")
         # repartition before write: the explode keeps the source's single
         # input partition, and ONE single-row-group 37 MB file makes 9 of
         # 10 scan tasks read empty byte ranges — a probe artifact that
