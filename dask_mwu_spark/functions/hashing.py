@@ -74,8 +74,12 @@ def md5_hex(c: Column) -> Column:
 
 
 def universal_hash(x: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:
+    """Carter-Wegman universal hash (a*x + b) mod p over a Mersenne prime
+    — the MinHash permutation family; coefficients are fixed literals so
+    both engines agree."""
     return (x % p * F.lit(a) + F.lit(b)) % p
 
 
 def universal_hash_sql(expr: str, a: int, b: int, p: int = MERSENNE_P) -> str:
+    """DuckDB twin of :func:`universal_hash` (same expression tree)."""
     return f"(({expr}) % {p} * {a} + {b}) % {p}"

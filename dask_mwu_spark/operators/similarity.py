@@ -31,6 +31,8 @@ _LCG_M = 2_147_483_648  # 2^31
 
 
 def plane_weight(p: int, d: int) -> float:
+    """Deterministic LCG weight for hyperplane p, dimension d — the
+    module's engine-agnostic source of 'random' plan literals."""
     return ((_LCG_A * (p * EMB_DIM + d + 1) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
 
 
@@ -47,6 +49,7 @@ PLANES: list[list[float]] = [
 
 
 def as_double(vec: Column) -> Column:
+    """Cast a float array column to array<double> elementwise."""
     return F.transform(vec, lambda x: x.cast("double"))
 
 
@@ -58,6 +61,7 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
+    """L2 norm via the sequential in-order square fold (engine-exact)."""
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 

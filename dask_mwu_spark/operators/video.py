@@ -43,6 +43,7 @@ VideoDecoder = Callable[[bytes], tuple[int, int, int, bytes]]
 
 
 def have_av() -> bool:
+    """True when PyAV is importable (gates :func:`av_video_decoder`)."""
     try:
         import av  # noqa: F401
 
@@ -52,6 +53,7 @@ def have_av() -> bool:
 
 
 def have_ffmpeg() -> bool:
+    """True when BOTH ffmpeg and ffprobe are on PATH."""
     # ffprobe ships separately in some minimal installs and the CLI
     # decoder needs BOTH (probe for dims, ffmpeg for frames)
     return (

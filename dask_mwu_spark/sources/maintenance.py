@@ -47,6 +47,9 @@ def _dir_bytes(path: str) -> int:
 
 
 def parquet_files(path: str) -> list[str]:
+    """Sorted data-file listing of a parquet directory (maintenance-tool
+    view; READERS of manifest-committed tables must resolve the manifest
+    instead of trusting directory listings)."""
     return sorted(
         os.path.join(root, f)
         for root, _dirs, files in os.walk(path)

@@ -78,6 +78,7 @@ def latest_version(path: str) -> int | None:
 
 
 def read_manifest(path: str, version: int) -> dict:
+    """Load one committed version's manifest JSON."""
     with open(
         os.path.join(_manifest_dir(path), f"v{version:020d}.json")
     ) as fh:

@@ -183,6 +183,35 @@ def test_kmeans_train_fixed_shape(spark):
     assert sorted(cb.cent_id) == list(range(8))
 
 
+def test_lloyd_training_is_partitioning_invariant(spark):
+    """THE determinism contract underpinning the trained-ANN oracles:
+    the fixed-round Lloyd loop must produce BIT-IDENTICAL codebooks
+    regardless of input partitioning (the vec_id-ordered mean folds and
+    round6 discipline are exactly what buys this)."""
+    from dask_mwu_spark.operators.similarity import (
+        kmeans_train_fixed,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark, _structured_vectors(80))
+
+    def snapshot(df):
+        return sorted(
+            (r.s, r.c, tuple(r.w)) for r in df.collect()
+        )
+
+    pq1 = snapshot(pq_train_codebooks(emb.repartition(1), n_train=80))
+    pq7 = snapshot(pq_train_codebooks(emb.repartition(7), n_train=80))
+    assert pq1 == pq7
+
+    def snap_k(df):
+        return sorted((r.cent_id, tuple(r.embedding)) for r in df.collect())
+
+    k1 = snap_k(kmeans_train_fixed(emb.repartition(1), k=8, n_train=80))
+    k7 = snap_k(kmeans_train_fixed(emb.repartition(7), k=8, n_train=80))
+    assert k1 == k7
+
+
 def test_pq_trained_empty_cluster_keeps_seed(spark):
     """A centroid that wins no assignments keeps its previous position
     (the LEFT JOIN + COALESCE arm) — with 17 identical vectors, at most
