@@ -1757,6 +1757,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_pq_trained_topk": lambda s, d: sim.ivf_pq_topk_trained(
             _emb(s, d)
         ),
+        # round 6: recall@k of the trained-IVF path through the shared
+        # harness — completes the symmetry (every trained ANN path has a
+        # recall-graded registered entry)
+        "sim_ivf_trained_recall": lambda s, d: sim.ann_recall_eval(
+            _emb(s, d),
+            approx=sim.ivf_topk(
+                _emb(s, d), centroids=sim.kmeans_train_fixed(_emb(s, d))
+            ).select("q_id", "vec_id"),
+        ),
         # round 5: fuzzy (MinHash-LSH) decontamination — paraphrase-robust
         # complement to cur_contamination, same every-50th-doc eval split
         "cur_fuzzy_contamination": lambda s, d: cur.fuzzy_contamination(
@@ -4060,6 +4069,21 @@ SELECT q_id, vec_id, score FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                ORDER BY score DESC, vec_id ASC) AS rn
   FROM est) WHERE rn <= 5
+"""
+    o["sim_ivf_trained_recall"] = f"""
+WITH truth AS ({o["sim_cosine_topk"]}),
+approx AS ({o["sim_ivf_trained_topk"]}),
+per_q AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+),
+napp AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1)
+SELECT p.q_id, p.n_truth, COALESCE(n.n_approx, 0) AS n_approx, p.n_hit,
+       ROUND(CAST(p.n_hit AS DOUBLE) / p.n_truth, 6) AS recall
+FROM per_q p LEFT JOIN napp n ON p.q_id = n.q_id
 """
     o["sim_pq_trained_recall"] = f"""
 WITH truth AS ({o["sim_cosine_topk"]}),

@@ -122,6 +122,9 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # the identical brute-force TRUTH arm (the trained ADC side is
         # all BroadcastHashJoins on (s, code), verified by plan read)
         "sim_pq_trained_recall": {"nested_loop"},
+        # round 6: trained-IVF recall — same brute TRUTH arm; the approx
+        # side is the IVF cell join (cent_id key)
+        "sim_ivf_trained_recall": {"nested_loop"},
         # round 5: the Matryoshka harness is N brute-force arms by design
         # (full-dim truth + one prefix-sliced scan per prefix, all against
         # the bounded broadcast query set — sim_ann_recall precedent)
