@@ -1038,52 +1038,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py run the full set; CORRECTNESS_FULL_r3.json is
     # an all-97 local run: 95 exact + 2 rows-only-by-design).
     priority = [
-        # --- round-6 rotation (VERDICT r5 item 1): the 29 queries that
-        # have never appeared in any CORRECTNESS_r0*.json lead the tier
-        # (all 29 were judge-re-run exact in r5; this closes the driver
-        # ledger — after this round every registered query has at least
-        # one driver-attested row).  The first three ALSO carry round-6
-        # code/oracle changes (ADVICE r5 fixes: chi2 empty-cell mass,
-        # drift-monitor NULL binning, KW has_nan gate) and must be
-        # re-attested anyway ---
-        "lineitem_chi2_assoc", "stream_drift_monitor", "mwu_kruskal_wallis",
-        "mwu_ks_test", "events_gap_profile", "events_time_to_convert",
-        "sim_ivf_recall_curve", "orders_monthly_growth",
-        "lineitem_supply_risk", "events_power_users", "customer_order_dist",
-        "lineitem_small_qty_revenue", "customer_dormant_balance",
-        "cur_group_split", "cur_split_leakage", "supplier_sole_late",
-        "part_supplier_cnt", "graph_kcore", "star_market_share",
-        "orders_priority_wait", "supplier_value_share",
-        "orders_large_volume", "lineitem_bracket_revenue",
-        "supplier_top_revenue", "star_nation_volume",
-        "lineitem_forecast_revenue", "lineitem_promo_share",
-        "star_retail_margin", "customer_returned_revenue",
-        # --- NEW round-6 queries (first driver attestation): trained PQ
-        # codebooks through the registered path (VERDICT r5 item 2) and
-        # trained IVF via the same fixed-round Lloyd machinery (which
-        # takes the slot of dedup_exact — driver-attested in every prior
-        # round with unchanged code) ---
-        "sim_pq_trained_topk", "sim_pq_trained_recall",
-        "sim_ivf_trained_topk",
-        # (the fully trained IVF-PQ composition takes mwu_rank_ties'
-        # core-sample slot — driver-attested in every prior round with
-        # unchanged code)
-        "sim_ivf_pq_trained_topk",
-        # --- cross-family core-regression sample (15): flagship MWU
-        # pipeline, rank machinery, the dedup + ANN ladders, text,
-        # curation, streaming batch twins, bloom, graph, multimodal —
-        # each driver-attested in 2+ prior rounds with unchanged code,
-        # kept in the tier so a core regression is caught by the driver
-        # and not only by the FULL artifacts ---
-        "wilcoxon_core", "mwu_full_rounded", "mwu_topk",
-        "mwu_events_core", "dedup_minhash_lsh",
-        "dedup_simhash_pairs", "sim_cosine_topk", "sim_semantic_dedup",
-        "text_quality", "cur_curate", "stream_windowed_agg",
-        "stream_sessionize", "events_anomaly", "lineitem_bloom_semi",
+        # --- round-7 rotation (VERDICT r6 item 1): sim_ivf_trained_recall
+        # leads — the single oracle-checkable query registered after the
+        # round-6 driver run (commit fdb1f85) and therefore the only one
+        # without a driver-attested row; a green row here closes the
+        # ledger at 201/201 oracle-checkable queries ---
+        "sim_ivf_trained_recall",
+        # --- queries whose EXECUTION PATH changed this round (the
+        # ADVICE-r6 tracked-persist registry replaced every lazy persist
+        # in similarity/dedup/graph/ranking/curation, and the multimodal
+        # video arm gained the mixed-container fallback) — re-attested
+        # so the driver, not only the FULL artifacts, covers the change.
+        # similarity (lsh buckets, ivf posting lists, trained ivf/pq):
+        "sim_lsh_topk", "sim_lsh_multi_topk", "sim_lsh_sample",
+        "sim_ivf_topk", "sim_ivf_recall_curve", "sim_ivf_trained_topk",
+        "sim_ivf_pq_topk", "sim_ivf_pq_trained_topk",
+        "sim_semantic_dedup", "sim_embedding_dup_pairs", "sim_ann_recall",
+        # dedup (shingle/signature/simhash/tfidf/ranked persists):
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_verified",
+        "dedup_simhash_pairs", "dedup_incremental", "dedup_tfidf_cosine",
+        "dedup_sorted_neighborhood", "dedup_containment",
+        "dedup_components_fixed", "dedup_cross_source", "dedup_lsh_recall",
+        # graph (canonical-edge persist), ranking (bucketed rank persist),
+        # curation (bucket-count + minhash-signature persists),
+        # multimodal (video-arm fallback):
+        "graph_pagerank", "graph_kcore", "graph_dup_stats",
+        "graph_degree_powerlaw", "mwu_rank_data", "mwu_rank_ties",
+        "cur_dsir_weights", "cur_dsir_resample", "cur_fuzzy_contamination",
         "mm_real_decode_stats",
-        # --- the 2 rows-only-by-design entries close the tier (VERDICT
-        # r5 item 1's ordering note): they get their weaker rows-only
-        # driver rows again, keeping the ledger complete in one rotation ---
+        # --- cross-family core-regression sample (15): flagship MWU
+        # pipeline, the trained-PQ path, text, curation, streaming batch
+        # twins, bloom — each driver-attested in 2+ prior rounds, kept in
+        # the tier so a core regression is caught by the driver ---
+        "wilcoxon_core", "mwu_full_rounded", "mwu_topk",
+        "mwu_events_core", "mwu_kruskal_wallis", "lineitem_chi2_assoc",
+        "sim_cosine_topk", "sim_pq_trained_topk", "text_quality",
+        "cur_curate", "stream_windowed_agg", "stream_sessionize",
+        "stream_drift_monitor", "events_anomaly", "lineitem_bloom_semi",
+        # --- the 2 rows-only-by-design entries close the tier: they get
+        # their weaker rows-only driver rows again each round ---
         "mwu_full_pipeline", "text_cardinality",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)

@@ -15,6 +15,7 @@ Public API mirrors the reference's seven functions (see SURVEY.md section 2)
 with Spark-native signatures.
 """
 
+from dask_mwu_spark.cache import release_caches, tracked_count
 from dask_mwu_spark.errors import (
     EmptyArrayError,
     InvalidChunkSizeError,
@@ -56,5 +57,7 @@ __all__ = [
     "rank_data",
     "rank_values",
     "rank_features_by_group",
+    "release_caches",
+    "tracked_count",
     "validate_obs_partition",
 ]

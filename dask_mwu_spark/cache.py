@@ -1,0 +1,72 @@
+"""Session-lifetime cache tracking for lazily persisted intermediates.
+
+Several operators persist an expensive intermediate (IVF posting lists,
+MinHash signature tables, LSH buckets, canonical edge lists) because the
+returned plan branches over it or re-derives it across self-joins.  The
+returned DataFrames are LAZY, so the operator cannot unpersist before the
+caller materializes — an eager ``finally: unpersist()`` (the
+exact-quantile fix, ``audit.py:824``) only works where the operator
+itself materializes via ``localCheckpoint``.
+
+This module is the shared fix (ADVICE r6, ``similarity.py:1372``): every
+lazy persist in the package goes through :func:`tracked_persist`, which
+records the DataFrame in a session-lifetime registry, and long-lived
+sessions call :func:`release_caches` after materializing results to drop
+every cached block in one call.  Unpersisting does NOT invalidate
+already-returned plans — Spark keeps the lineage, so a later action
+simply recomputes instead of reading cache.
+
+Caching contract (documented here once, referenced from operator
+docstrings): each call to a persisting operator caches its intermediate
+for the session lifetime; batch jobs that end with the session need do
+nothing, while long-lived sessions (notebooks, services) should call
+``dask_mwu_spark.release_caches()`` between logical units of work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+# Strong refs by design: the registry IS the owner of the cached blocks
+# until release_caches() drops them (a weak registry would silently lose
+# track of blocks whose Python handle was GC'd while the JVM cache lives
+# on — the exact leak this module exists to close).
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """``df.persist(level)`` plus registration in the session-lifetime
+    registry so :func:`release_caches` can drop the blocks later."""
+    out = df.persist(level)
+    _TRACKED.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate the package has persisted via
+    :func:`tracked_persist` and empty the registry.  Returns the number
+    of DataFrames released.  Safe to call at any time: plans already
+    returned by operators stay valid (lineage recomputes on the next
+    action instead of hitting cache); DataFrames whose SparkSession has
+    stopped are skipped silently.
+    """
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # a stopped session / torn-down JVM makes unpersist throw;
+            # the blocks are gone with the executor anyway
+            pass
+    return n
+
+
+def tracked_count() -> int:
+    """Number of currently tracked (persisted, unreleased) DataFrames."""
+    return len(_TRACKED)

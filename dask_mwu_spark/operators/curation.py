@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from dask_mwu_spark.cache import tracked_persist
 
 from dask_mwu_spark.functions.hashing import MINHASH_COEFFS, md5_long
 from dask_mwu_spark.operators.dedup import dup_components, exact_dedup, shingles
@@ -900,7 +901,7 @@ def dsir_weights(
     # persist at the branch point so the corpus-wide bigram explode +
     # groupBy runs ONCE, not once per consumer (the S3-checkpoint
     # convention; at 100 TB the second scan is the whole cost)
-    dc = bucket_counts(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dc = bucket_counts(docs).transform(tracked_persist)
     tc = bucket_counts(target).groupBy("bucket").agg(F.sum("cnt").alias("ct"))
     rc = dc.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
     dist = (
@@ -985,14 +986,12 @@ def fuzzy_contamination(
     )
 
     n_perm = len(MINHASH_COEFFS)
-    sig_t = minhash_signatures(train, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_t = minhash_signatures(train, n=n).transform(tracked_persist)
     # the eval signature table is tiny, but it feeds TWO broadcast
     # consumers (its band table and the agreement join) — unpersisted,
     # each broadcast job re-runs the eval shingle+minhash dataflow AND
     # re-scans the source (a doc_id predicate prunes no row groups)
-    sig_e = minhash_signatures(eval_docs, n=n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig_e = minhash_signatures(eval_docs, n=n).transform(tracked_persist)
     bands_t = _band_keys_from_sig(sig_t)
     bands_e = _band_keys_from_sig(sig_e).select(
         F.col("doc_id").alias("eval_id"), "band", "band_key"

@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from dask_mwu_spark.cache import tracked_persist
 
 from dask_mwu_spark.functions.hashing import (
     MERSENNE_P,
@@ -138,7 +139,7 @@ def ngram_jaccard_pairs(
     sides + sizes) and Spark has no cross-branch CSE — without the persist
     the token-explode/window pipeline runs three times.
     """
-    sh = shingles(docs, n=n, max_df=max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(docs, n=n, max_df=max_df).transform(tracked_persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -238,7 +239,7 @@ def minhash_lsh_pairs(
     (measured ~2x end-to-end on the bench corpus). This is the same
     "materialize the expensive intermediate" discipline the reference
     applies to its rank tensor (rank_data.py:221-223)."""
-    sig = minhash_signatures(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(docs, n=n).transform(tracked_persist)
     bands = _band_keys_from_sig(sig)
     cand = (
         bands.alias("x")
@@ -290,7 +291,7 @@ def verify_jaccard(
     ``cand`` needs columns (doc_a, doc_b); extra columns (e.g. the LSH
     est_jaccard) are carried through.
     """
-    sh = shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(docs, n=n).transform(tracked_persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # |A ∩ B|: expand each candidate by doc_a's shingles, keep those doc_b
     # also has — two equi-joins, the second on the fat (doc_id, shingle) key
@@ -560,7 +561,7 @@ def simhash_pairs(
     of the byte-bucket self-join, and Spark re-derives each branch from the
     raw token explode otherwise."""
     n_bytes = bits // 8
-    sh = simhash(docs, bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = simhash(docs, bits=bits).transform(tracked_persist)
     bytes_df = sh.select(
         "doc_id",
         "simhash",
@@ -647,7 +648,7 @@ def incremental_dedup_flags(
     """
     batch_bands = (
         minhash_band_keys(new_docs, n=n) if batch_bands is None else batch_bands
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     # membership is a question about the KEY SET, so collapse the history
     # index to distinct (band, band_key) before joining: a hot bucket (one
     # viral template duplicated d times) would otherwise contribute
@@ -959,7 +960,7 @@ def tfidf_cosine_pairs(
                 * F.log(F.col("n_docs").cast("double") / F.col("df"))
             ).alias("w"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     # a doc whose surviving terms ALL have df == n_docs has idf 0
     # everywhere -> zero norm -> cosine undefined; such docs carry no
@@ -1058,7 +1059,7 @@ def sorted_neighborhood_pairs(docs: DataFrame, *, window: int = 3) -> DataFrame:
             "_key",
             (F.col("_off") + F.row_number().over(rank_w)).alias("rank"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     probes = ranked.select(
         F.col("doc_id").alias("doc_a"),
@@ -1106,7 +1107,7 @@ def containment_pairs(
     cand = minhash_lsh_pairs(docs, n=n, est_threshold=est_threshold).select(
         "doc_a", "doc_b"
     )
-    sh = shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(docs, n=n).transform(tracked_persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")

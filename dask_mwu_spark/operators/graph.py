@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from dask_mwu_spark.cache import tracked_persist
 
 
 def canonical_edges(
@@ -73,7 +74,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dy"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     e1 = orient.select(
         F.col("x"), F.col("y").alias("y1"), F.col("dy").alias("dy1")
     )
@@ -102,9 +103,7 @@ def graph_stats(
     # persisted: edges feed the degree table (itself two union branches),
     # the triangle orientation, and — for dup graphs — sit on top of an
     # expensive minhash/LSH dataflow that must not re-run per branch
-    edges = canonical_edges(pairs, src=src, dst=dst).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    edges = canonical_edges(pairs, src=src, dst=dst).transform(tracked_persist)
     deg = degrees(edges)
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -737,6 +737,23 @@ def attach_real_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _mjpng_decode(
+    payload: bytes, every_k: int
+) -> tuple[int, int, int, bytes]:
+    """Stdlib MJPNG decode: frame-split the container and PNG-decode
+    every ``every_k``-th frame; returns (width, height, n_channels,
+    concatenated pixel bytes) — the shared fallback for both the
+    no-decoder default and codec-decoder failures on MJPNG payloads."""
+    frames = split_png_frames(payload)
+    sampled = []
+    width = height = c = None
+    for idx in range(0, len(frames), every_k):
+        w, h, c, px = decode_png(frames[idx])
+        width, height = w, h
+        sampled.append(px)
+    return width, height, c, b"".join(sampled)
+
+
 def real_decode_stats(
     media: DataFrame,
     *,
@@ -764,7 +781,10 @@ def real_decode_stats(
     decoder carries its OWN frame-sampling rate (the factory's
     ``every_k=``); this function's ``every_k`` applies only to the
     stdlib MJPNG fallback — pass the same value to both if you mix
-    MJPNG and codec videos in one table."""
+    MJPNG and codec videos in one table.  Mixed container formats are
+    safe: a payload the injected decoder cannot parse (e.g. an MJPNG
+    fixture row in a mostly-H.264 table) falls back to the stdlib MJPNG
+    path instead of throwing inside the executor task (ADVICE r6)."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -780,16 +800,23 @@ def real_decode_stats(
                     c, _sw, _fr, content = decode_wav(payload)
                     width = height = 0
                 elif mtype == "video" and video_decoder is not None:
-                    width, height, c, content = video_decoder(bytes(payload))
+                    # an injected codec decoder (pyav/ffmpeg) throws on the
+                    # repo's MJPNG container format — a table that mixes
+                    # MJPNG fixture payloads with real codec clips must not
+                    # kill the executor task, so codec failures fall back
+                    # to the stdlib MJPNG path below (ADVICE r6 fix)
+                    try:
+                        width, height, c, content = video_decoder(
+                            bytes(payload)
+                        )
+                    except Exception:
+                        width, height, c, content = _mjpng_decode(
+                            payload, every_k
+                        )
                 else:
-                    frames = split_png_frames(payload)
-                    sampled = []
-                    width = height = c = None
-                    for idx in range(0, len(frames), every_k):
-                        w, h, c, px = decode_png(frames[idx])
-                        width, height = w, h
-                        sampled.append(px)
-                    content = b"".join(sampled)
+                    width, height, c, content = _mjpng_decode(
+                        payload, every_k
+                    )
                 rows.append(
                     (
                         int(doc_id),

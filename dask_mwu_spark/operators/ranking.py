@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dask_mwu_spark.cache import tracked_persist
+
 from dask_mwu_spark.errors import InvalidDimensionError
 
 _REQUIRED = {"feature", "value", "group"}
@@ -207,7 +209,7 @@ def rank_values_bucketed(measure: DataFrame, *, n_buckets: int = 64) -> DataFram
             ),
         )
         .drop("_vmin", "_vmax")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     # tiny totals table: per-bucket row counts + per-bucket NaN flags
     btot = vcb.groupBy("feature", "_bkt").agg(

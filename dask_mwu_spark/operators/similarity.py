@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from dask_mwu_spark.cache import tracked_persist
 
 from dask_mwu_spark.functions.hashing import md5_long
 
@@ -193,7 +194,7 @@ def lsh_cosine_topk(
 
     Buckets are persisted — both join sides derive from them and the 8
     hyperplane projections per row are not free to recompute."""
-    b = lsh_buckets(emb, n_planes=n_planes).persist(StorageLevel.MEMORY_AND_DISK)
+    b = lsh_buckets(emb, n_planes=n_planes).transform(tracked_persist)
     queries = b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -238,7 +239,7 @@ def lsh_multi_topk(
     before scoring, so the score cost is |distinct candidates|, not
     n_tables x |candidates|.
     """
-    vecs = _with_vec(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = _with_vec(emb).transform(tracked_persist)
     cand = None
     for t in range(n_tables):
         b = lsh_buckets(vecs.select("vec_id", F.col("vec").alias("embedding")), n_planes=n_planes, table=t)
@@ -354,14 +355,16 @@ def ivf_topk(
     recall/cost dial (n_probe = n_centroids degenerates to brute force).
     Output (q_id, vec_id, cosine); approximate recall vs ``cosine_topk``.
     ``centroids=`` swaps in real (e.g. KMeans||) centers — see ivf_index.
+
+    Caching contract: the posting-list index is persisted for the session
+    (tracked — ``dask_mwu_spark.release_caches()`` drops it; see
+    ``cache.py`` for the full contract).
     """
     vecs = _with_vec(emb)
     cents = _centroid_table(emb, n_centroids, centroids)
     # persisted: the posting lists cost a C-way cross join + window to
     # build and should not be re-derived if the plan branches
-    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).transform(tracked_persist)
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -467,9 +470,7 @@ def semantic_dup_pairs(
     vector shuffle.  The assignment table is persisted — it feeds both
     sides of the self-join.
     """
-    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).transform(tracked_persist)
     join_keys = ["cent_id"]
     if max_cluster_size is not None:
         sizes = idx.groupBy("cent_id").agg(F.count(F.lit(1)).alias("_n"))
@@ -629,7 +630,7 @@ def embedding_dup_pairs(emb: DataFrame, *, tau: float = 0.99) -> DataFrame:
     multi-table candidate generation, dedup the candidates the way
     ``lsh_multi_topk`` does, before scoring.
     """
-    b = lsh_buckets(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    b = lsh_buckets(emb).transform(tracked_persist)
     pairs = (
         b.alias("x")
         .join(b.alias("y"), on="bucket")
@@ -831,7 +832,7 @@ def matryoshka_recall(
     truth = (
         cosine_topk(emb, n_queries=n_queries, k=k)
         .select("q_id", "vec_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     vecs = _with_vec(emb)
     per_prefix = []
@@ -1044,9 +1045,7 @@ def ivf_pq_topk(
     """
     vecs = _with_vec(emb)
     cents = _centroid_table(emb, n_centroids, centroids)
-    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    idx = ivf_index(emb, n_centroids=n_centroids, centroids=centroids).transform(tracked_persist)
     codes = pq_encode(emb)
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -1362,16 +1361,18 @@ def ivf_pq_topk_trained(
     each ONE broadcast-join corpus scan; the query path joins the
     candidates' 8-row code tables to the broadcast n_queries x 128 LUT
     exactly like ``ivf_pq_topk``.  Output (q_id, vec_id, score) with the
-    ADC contract (round6, score desc + vec_id tiebreak)."""
+    ADC contract (round6, score desc + vec_id tiebreak).
+
+    Caching contract: the posting-list index is persisted for the session
+    (tracked — ``dask_mwu_spark.release_caches()`` drops it; see
+    ``cache.py``; ADVICE r6 fix for the per-invocation cache leak)."""
     vecs = _with_vec(emb)
     # train each half ONCE (the Lloyd loop is eager via localCheckpoint)
     trained_cells = kmeans_train_fixed(
         emb, k=k_cells, n_train=n_train, n_iter=n_iter
     )
     cents = _centroid_table(emb, k_cells, trained_cells)
-    idx = ivf_index(emb, centroids=trained_cells).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    idx = ivf_index(emb, centroids=trained_cells).transform(tracked_persist)
     codebooks = pq_train_codebooks(emb, n_train=n_train, n_iter=n_iter)
     subs = _subvectors(vecs)
     codes = _encode_codes(subs, codebooks)

@@ -13,8 +13,10 @@ doesn't:
   bytes payload via BytesIO, no temp files.
 - ``ffmpeg_video_decoder`` — ffmpeg CLI: writes the payload to a temp
   file (seekable — stdin pipes fail on non-faststart MP4s whose moov
-  atom trails the data) and decodes via ``ffmpeg -i <f> -f rawvideo
-  -pix_fmt rgb24 -`` (one subprocess per payload — acceptable inside a
+  atom trails the data) and decodes via ``ffmpeg -i <f> -vf
+  framestep=k -vsync 0 -f rawvideo -pix_fmt rgb24 -`` — the framestep
+  filter samples INSIDE ffmpeg so only every ``every_k``-th frame
+  crosses the pipe (one subprocess per payload — acceptable inside a
   scan-stage mapInPandas where each task owns its payloads; no shuffle
   implications).
 - ``best_video_decoder`` — pyav if importable, else ffmpeg if on PATH,
@@ -116,9 +118,17 @@ def ffmpeg_video_decoder(*, every_k: int = 2) -> VideoDecoder:
             width, height = (
                 int(x) for x in probe.stdout.decode().strip().split(",")
             )
+            # the framestep filter emits only every every_k-th frame
+            # (0, k, 2k, ... — identical to the stdlib MJPNG sampling),
+            # so the subprocess buffer holds ceil(n/k) frames instead of
+            # the whole clip decoded to raw rgb24 (ADVICE r6: a long
+            # real-world clip fully buffered is GBs per payload inside
+            # an executor task); -vsync 0 (passthrough) stops ffmpeg
+            # re-duplicating frames back to the container frame rate
             raw = subprocess.run(
                 [
                     "ffmpeg", "-v", "error", "-i", path,
+                    "-vf", f"framestep={every_k}", "-vsync", "0",
                     "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
                 ],
                 capture_output=True,
@@ -130,11 +140,8 @@ def ffmpeg_video_decoder(*, every_k: int = 2) -> VideoDecoder:
         n_frames = len(raw) // frame_bytes
         if n_frames == 0:
             raise ValueError("no decodable video frames in payload")
-        content = b"".join(
-            raw[i * frame_bytes : (i + 1) * frame_bytes]
-            for i in range(0, n_frames, every_k)
-        )
-        return width, height, 3, content
+        # frames arrive pre-sampled; truncate any partial trailing write
+        return width, height, 3, raw[: n_frames * frame_bytes]
 
     return _decode
 

@@ -43,6 +43,27 @@ assert verified_pairs(docs, threshold=0.5).count() >= 0
 emb = load_table(spark, sf, "embeddings")
 nb = pq_topk_with_codebooks(emb, pq_train_codebooks(emb))
 assert nb.groupBy("q_id").count().count() == 10
+
+# streaming subsystem, batch twin (VERDICT r6 item 6): the same
+# sessionization a readStream pipeline runs, exercised as batch algebra
+from dask_mwu_spark.streaming.events import sessionize_batch
+sessions = sessionize_batch(load_table(spark, sf, "events"))
+assert sessions.count() > 0
+assert {"user_id", "n_events", "sum_value"} <= set(sessions.columns)
+
+# manifest-committed write path (VERDICT r6 item 6): writers fill a
+# fresh data dir, publish atomically, readers trust ONLY the manifest
+from dask_mwu_spark.sources.manifest import (
+    committed_data_path, new_data_dir, publish_version,
+)
+table_root = tempfile.mkdtemp()
+d0 = new_data_dir(table_root, tag="sessions")
+sessions.limit(100).write.mode("overwrite").parquet(d0)
+v = publish_version(table_root, d0)
+assert v == 0
+committed = committed_data_path(table_root)
+assert committed is not None
+assert spark.read.parquet(committed).count() > 0
 print("QUICKSTART_OK")
 """
 

@@ -18,6 +18,54 @@ from dask_mwu_spark.operators.video import (
 
 HAVE_CODEC = have_av() or have_ffmpeg()
 
+CLIP_W, CLIP_H, CLIP_FRAMES = 64, 48, 8
+
+
+def _encode_clip_ffmpeg(
+    n_frames: int = CLIP_FRAMES, w: int = CLIP_W, h: int = CLIP_H
+) -> bytes:
+    """ffmpeg-CLI twin of :func:`_encode_clip_av` (VERDICT r6 item 2a):
+    pipes the same per-frame-brightness-ramp raw rgb24 frames into
+    ``ffmpeg -f rawvideo ... -c:v mpeg4`` writing an MP4 temp file
+    (MP4 needs a seekable output — stdout is not), so ffmpeg-only
+    environments run the end-to-end seam test instead of skipping."""
+    import os
+    import subprocess
+    import tempfile
+
+    raw = b"".join(
+        np.full((h, w, 3), 32 + 16 * i, dtype=np.uint8).tobytes()
+        for i in range(n_frames)
+    )
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    os.close(fd)
+    try:
+        subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-y",
+                "-f", "rawvideo", "-pix_fmt", "rgb24",
+                "-s", f"{w}x{h}", "-r", "4", "-i", "-",
+                "-c:v", "mpeg4", "-pix_fmt", "yuv420p", path,
+            ],
+            input=raw,
+            check=True,
+            capture_output=True,
+        )
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def _encode_clip() -> bytes | None:
+    """Best available fixture encoder: pyav, else ffmpeg CLI, else None
+    (caller skips) — so the e2e test runs in EITHER codec environment."""
+    if have_av():
+        return _encode_clip_av()
+    if have_ffmpeg():
+        return _encode_clip_ffmpeg()
+    return None
+
 
 def _encode_clip_av(n_frames: int = 8, w: int = 64, h: int = 48) -> bytes:
     """Encode a synthetic clip with a per-frame-brightness ramp (frame i
@@ -62,15 +110,67 @@ def test_av_decoder_roundtrips_synthetic_clip():
         assert abs(float(frame.mean()) - exp) < 8.0
 
 
+@pytest.mark.skipif(not have_ffmpeg(), reason="ffmpeg CLI not installed")
+def test_ffmpeg_decoder_roundtrips_synthetic_clip():
+    """The CLI arm's framestep-sampled decode (ADVICE r6: sampling now
+    happens INSIDE ffmpeg) returns the same geometry/frame-count/ramp
+    contract as the pyav arm."""
+    from dask_mwu_spark.operators.video import ffmpeg_video_decoder
+
+    payload = _encode_clip_ffmpeg()
+    w, h, c, content = ffmpeg_video_decoder(every_k=2)(payload)
+    assert (w, h, c) == (CLIP_W, CLIP_H, 3)
+    frame_bytes = w * h * 3
+    n_sampled = len(content) // frame_bytes
+    assert n_sampled == 4  # every 2nd of 8 frames
+    for j, exp in zip(range(n_sampled), [32, 64, 96, 128]):
+        frame = np.frombuffer(
+            content[j * frame_bytes : (j + 1) * frame_bytes], dtype=np.uint8
+        )
+        assert abs(float(frame.mean()) - exp) < 8.0
+
+
+def test_injected_decoder_falls_back_on_undecodable_payload(spark):
+    """ADVICE r6 fix gate (runs with or without a codec): a table mixing
+    MJPNG fixture payloads with clips the injected decoder can't parse
+    must not throw in the executor — undecodable rows fall back to the
+    stdlib MJPNG path and produce EXACTLY the no-decoder result."""
+    from dask_mwu_spark.operators.multimodal import (
+        attach_real_payload,
+        real_decode_stats,
+    )
+    from dask_mwu_spark.sources.loaders import load_table
+
+    def _always_raises(payload: bytes):
+        raise ValueError("not a container this codec understands")
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    media = attach_real_payload(docs)
+    base = (
+        real_decode_stats(media)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    injected = (
+        real_decode_stats(media, video_decoder=_always_raises)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (base.media_type == "video").any()
+    pd.testing.assert_frame_equal(base, injected)
+
+
 @pytest.mark.skipif(not HAVE_CODEC, reason="no pyav and no ffmpeg CLI")
 def test_real_decode_stats_video_arm_end_to_end(spark):
     """THE seam gate: a genuine inter-frame clip flows through the
     registered mapInPandas plan when a real decoder is injected."""
     from dask_mwu_spark.operators.multimodal import real_decode_stats
 
-    payload = _encode_clip_av() if have_av() else None
-    if payload is None:
-        pytest.skip("ffmpeg-only env has no encoder binding for the fixture")
+    payload = _encode_clip()
+    if payload is None:  # pragma: no cover — skipif already gates this
+        pytest.skip("no codec available to encode the fixture clip")
     media = spark.createDataFrame(
         pd.DataFrame(
             {

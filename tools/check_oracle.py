@@ -6,6 +6,12 @@ Stricter than the driver: exact equality for non-rounded columns (if we pass
 here bit-for-bit, any value-hash scheme matches).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --smoke [sf_dir]
+
+``--smoke`` (VERDICT r6 item 5) runs the ~40-query family-representative
+subset at sf0.001 by default — the cheap iteration gate (a few minutes)
+for builders working on one operator family; the full battery at
+sf0.01 + sf0.1 stays the round-close gate.
 """
 
 from __future__ import annotations
@@ -26,6 +32,39 @@ from dask_mwu_spark.session import get_spark  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# Family-representative smoke tier: at least one query per operator family
+# (MWU pipeline, rank machinery, dedup ladder, ANN ladder incl. trained,
+# text battery, curation, streaming batch twins, graph, multimodal,
+# lakehouse/CDC, OLAP shapes, statistics) — chosen to touch every module's
+# hot path while finishing in a few minutes at sf0.001.
+SMOKE = [
+    # flagship MWU + rank machinery
+    "wilcoxon_core", "mwu_full_rounded", "mwu_topk", "mwu_events_core",
+    "mwu_rank_ties", "mwu_rank_data", "mwu_bh_adjust", "mwu_logfoldchange",
+    # statistics
+    "mwu_kruskal_wallis", "mwu_ks_test", "lineitem_chi2_assoc",
+    "events_ab_test", "lineitem_return_wilson",
+    # dedup ladder
+    "dedup_exact", "dedup_minhash_lsh", "dedup_verified",
+    "dedup_simhash_pairs", "dedup_components_fixed", "dedup_incremental",
+    # ANN ladder (untrained + trained)
+    "sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    "sim_ivf_pq_trained_topk", "sim_ivf_trained_recall",
+    "sim_semantic_dedup",
+    # text battery
+    "text_quality", "text_token_count", "text_lang_id", "text_bm25_topk",
+    "text_heavy_hitters",
+    # curation
+    "cur_curate", "cur_dsir_resample", "cur_bloom_decontaminate",
+    "cur_group_split",
+    # streaming batch twins
+    "stream_windowed_agg", "stream_sessionize", "stream_drift_monitor",
+    # graph + multimodal + lakehouse + OLAP
+    "graph_pagerank", "graph_kcore", "mm_real_decode_stats",
+    "orders_cdc_apply", "orders_scd2", "star_revenue_by_nation",
+    "lineitem_bloom_semi",
+]
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -79,8 +118,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    smoke = "--smoke" in argv
+    if smoke:
+        argv = [a for a in argv if a != "--smoke"]
+    default_sf = "/root/testdata/sf0.001" if smoke else "/root/testdata/sf0.01"
+    sf_dir = argv[0] if argv else default_sf
+    only = set(argv[1:]) or (set(SMOKE) if smoke else set())
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
