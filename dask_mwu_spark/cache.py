@@ -21,6 +21,13 @@ docstrings): each call to a persisting operator caches its intermediate
 for the session lifetime; batch jobs that end with the session need do
 nothing, while long-lived sessions (notebooks, services) should call
 ``dask_mwu_spark.release_caches()`` between logical units of work.
+
+Leak profile (measured, ``tools/scale_probe_cache.py``): Spark's
+CacheManager dedupes persists of an IDENTICAL logical plan, so
+repeating the same call never leaked; the per-invocation leak is real
+exactly when each call sees different data (a service processing daily
+slices) — there the JVM persistent-RDD count grows linearly without
+release and stays flat with it.
 """
 
 from __future__ import annotations
