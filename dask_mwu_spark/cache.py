@@ -77,3 +77,12 @@ def release_caches() -> int:
 def tracked_count() -> int:
     """Number of currently tracked (persisted, unreleased) DataFrames."""
     return len(_TRACKED)
+
+
+def jvm_cached_count(spark) -> int:
+    """Number of persisted RDDs the JVM currently tracks — the ground
+    truth the registry is audited against (tests/test_r7_ops.py,
+    tools/scale_probe_cache.py).  Uses a private py4j path
+    (``_jsc.sc().getPersistentRDDs()``); kept here as the single source
+    of truth so a Spark-internal rename is a one-line fix."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()

@@ -646,9 +646,17 @@ def incremental_dedup_flags(
     O(corpus).  The batch-side self-join is quadratic only within a band
     bucket, the standard LSH bound.
     """
+    # the internally-derived band table feeds THREE consumers below, so
+    # it is tracked-persisted; a CALLER-supplied batch_bands is the
+    # caller's object and is NOT re-persisted or registered here — the
+    # library must never let release_caches() unpersist a caller-owned
+    # cache.  Callers passing a reused band table should persist it
+    # themselves if their plan branches.
     batch_bands = (
-        minhash_band_keys(new_docs, n=n) if batch_bands is None else batch_bands
-    ).transform(tracked_persist)
+        minhash_band_keys(new_docs, n=n).transform(tracked_persist)
+        if batch_bands is None
+        else batch_bands
+    )
     # membership is a question about the KEY SET, so collapse the history
     # index to distinct (band, band_key) before joining: a hot bucket (one
     # viral template duplicated d times) would otherwise contribute

@@ -782,9 +782,11 @@ def real_decode_stats(
     ``every_k=``); this function's ``every_k`` applies only to the
     stdlib MJPNG fallback — pass the same value to both if you mix
     MJPNG and codec videos in one table.  Mixed container formats are
-    safe: a payload the injected decoder cannot parse (e.g. an MJPNG
-    fixture row in a mostly-H.264 table) falls back to the stdlib MJPNG
-    path instead of throwing inside the executor task (ADVICE r6)."""
+    safe: an MJPNG payload (PNG signature) the injected decoder cannot
+    parse falls back to the stdlib MJPNG path instead of throwing inside
+    the executor task (ADVICE r6); a NON-MJPNG payload that fails to
+    decode re-raises the decoder's real error (corrupt clip and missing
+    codec binary must stay distinguishable from bad fixture data)."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -803,13 +805,18 @@ def real_decode_stats(
                     # an injected codec decoder (pyav/ffmpeg) throws on the
                     # repo's MJPNG container format — a table that mixes
                     # MJPNG fixture payloads with real codec clips must not
-                    # kill the executor task, so codec failures fall back
-                    # to the stdlib MJPNG path below (ADVICE r6 fix)
+                    # kill the executor task (ADVICE r6 fix).  The fallback
+                    # is gated on the PNG signature so a GENUINE codec
+                    # failure (corrupt clip, missing binary on the node)
+                    # re-raises with its real error instead of dying later
+                    # inside the MJPNG parser with the cause lost
                     try:
                         width, height, c, content = video_decoder(
                             bytes(payload)
                         )
                     except Exception:
+                        if bytes(payload[:8]) != PNG_SIG:
+                            raise
                         width, height, c, content = _mjpng_decode(
                             payload, every_k
                         )

@@ -183,8 +183,6 @@ def rank_values_bucketed(measure: DataFrame, *, n_buckets: int = 64) -> DataFram
     ranks are NULL anyway (propagate semantics) but their counts must
     survive for group sizes, so they stay in the table.
     """
-    from pyspark.storagelevel import StorageLevel
-
     vc = value_counts(measure)
     stats = vc.groupBy("feature").agg(
         F.min("value").alias("_vmin"), F.max("value").alias("_vmax")

@@ -7,6 +7,7 @@ import importlib.util
 import os
 
 from dask_mwu_spark import release_caches, tracked_count
+from dask_mwu_spark.cache import jvm_cached_count
 from dask_mwu_spark.sources.loaders import load_table
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,26 +32,21 @@ def test_docs_md_is_current():
     )
 
 
-def _jvm_cached_count(spark) -> int:
-    """Number of persisted RDDs the JVM currently tracks (local mode)."""
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-
-
 def test_release_caches_drops_ivf_index_blocks(spark, sf_dir):
     from dask_mwu_spark.operators.similarity import ivf_topk
 
     release_caches()  # clean slate from earlier tests in the session
-    before = _jvm_cached_count(spark)
+    before = jvm_cached_count(spark)
     emb = load_table(spark, sf_dir, "embeddings").limit(40)
     out = ivf_topk(emb, n_queries=4, k=3)
     n_rows = out.count()  # materialize so the index is actually cached
     assert n_rows > 0
     assert tracked_count() >= 1
-    assert _jvm_cached_count(spark) > before
+    assert jvm_cached_count(spark) > before
     released = release_caches()
     assert released >= 1
     assert tracked_count() == 0
-    assert _jvm_cached_count(spark) <= before
+    assert jvm_cached_count(spark) <= before
     # the returned plan stays VALID after release (lineage recomputes)
     assert out.count() == n_rows
 

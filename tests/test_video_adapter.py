@@ -162,6 +162,31 @@ def test_injected_decoder_falls_back_on_undecodable_payload(spark):
     pd.testing.assert_frame_equal(base, injected)
 
 
+@pytest.mark.filterwarnings("ignore::UserWarning")  # pyspark warns before
+# re-raising the worker error — the raise is this test's point
+def test_injected_decoder_reraises_on_non_mjpng_payload(spark):
+    """The fallback is gated on the PNG signature: a non-MJPNG payload
+    the decoder fails on must surface the decoder's REAL error (corrupt
+    clip / missing codec binary), not die later inside the MJPNG
+    parser with the cause lost."""
+    from dask_mwu_spark.operators.multimodal import real_decode_stats
+
+    def _always_raises(payload: bytes):
+        raise ValueError("codec binary missing on this node")
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "media_type": ["video"],
+                "payload": [bytearray(b"\x00\x01notpng" * 4)],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="codec binary missing"):
+        real_decode_stats(media, video_decoder=_always_raises).toPandas()
+
+
 @pytest.mark.skipif(not HAVE_CODEC, reason="no pyav and no ffmpeg CLI")
 def test_real_decode_stats_video_arm_end_to_end(spark):
     """THE seam gate: a genuine inter-frame clip flows through the

@@ -8,7 +8,7 @@ here bit-for-bit, any value-hash scheme matches).
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
        python tools/check_oracle.py --smoke [sf_dir]
 
-``--smoke`` (VERDICT r6 item 5) runs the ~40-query family-representative
+``--smoke`` (VERDICT r6 item 5) runs the 45-query family-representative
 subset at sf0.001 by default — the cheap iteration gate (a few minutes)
 for builders working on one operator family; the full battery at
 sf0.01 + sf0.1 stays the round-close gate.

@@ -21,13 +21,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dask_mwu_spark import release_caches
+from dask_mwu_spark.cache import jvm_cached_count as jvm_cached
 from dask_mwu_spark.operators.similarity import ivf_topk
 from dask_mwu_spark.session import get_spark
 from dask_mwu_spark.sources.loaders import load_table
-
-
-def jvm_cached(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
 def main() -> None:
