@@ -47,6 +47,28 @@ def test_everything_past_the_tier_is_oracle_backed():
     ]
 
 
+def test_smoke_tier_names_are_registered_and_oracle_backed():
+    """The --smoke iteration gate (tools/check_oracle.py, VERDICT r6
+    item 5) must not rot: every SMOKE name stays a registered,
+    oracle-backed query (a rename that misses the smoke list would
+    silently shrink the gate — check_oracle filters by set membership,
+    so an unknown name is skipped, not failed)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_oracle.py"),
+    )
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(co.SMOKE) <= set(qs), sorted(set(co.SMOKE) - set(qs))
+    assert set(co.SMOKE) <= set(os_), sorted(set(co.SMOKE) - set(os_))
+    assert len(co.SMOKE) == len(set(co.SMOKE))
+
+
 def test_oracle_sql_is_nonempty_select():
     for name, sql in entrymod.oracle_sql().items():
         s = sql.strip().upper()
