@@ -508,7 +508,6 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_events(
         ev.where(F.col("event_type") == "purchase"),
         ev.where(F.col("event_type") == "click"),
-        gap="24 hours",
         gap_us=24 * 3600 * 10**6,
     )
 
@@ -1232,7 +1231,7 @@ FROM h
 WITH m AS (
   {_MELT_RAW}
 ),
-m2 AS (SELECT * FROM m WHERE grp IN ('A', 'R')),
+m2 AS (SELECT * FROM m WHERE grp IN ('A', 'R') AND value IS NOT NULL),
 vc AS (
   SELECT feature, value,
          CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c1,

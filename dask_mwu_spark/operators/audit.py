@@ -122,8 +122,16 @@ def value_histogram(
 
     At scale this IS the histogram you can afford on 100 TB: no sort, no
     per-value state, shuffle bounded by n_bins x partitions.
+
+    NULL/NaN rows are EXCLUDED (round-7 review fix): min/max already
+    ignore them, and without the filter a NULL value slid into the top
+    bin (``least(n, NULL+1)`` ignores the NULL operand) and a constant
+    column counted NULL rows into bin 1 — an audit must not report
+    missingness as in-range mass.  Mirror any SQL twin with ``WHERE col
+    IS NOT NULL``.
     """
     c = F.col(col).cast("double")
+    df = df.where(c.isNotNull() & ~F.isnan(c))
     rng = df.agg(
         F.min(c).alias("_lo"), F.max(c).alias("_hi")
     )
@@ -503,7 +511,16 @@ def chi2_independence(
     Kruskal-Wallis contract.  For dof != 2 the p is NULL (general dof
     needs the regularized incomplete gamma; no closed SQL form).  No
     counterpart in the reference (SURVEY.md section 2.1).
+
+    Rows with a NULL in EITHER category column are excluded (round-7
+    review fix): previously a NULL category participated in the cells,
+    marginals, and chi2 but not in ``countDistinct``, so dof (and the
+    dof==2 p-value gate) was computed for the wrong table shape.  To
+    test missingness-as-category, coalesce to an explicit sentinel
+    first.  Mirror any SQL twin with ``WHERE a IS NOT NULL AND b IS NOT
+    NULL``.
     """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -579,8 +596,19 @@ def ks_two_sample(
     the series alternates so it is bounded by the 9th term), clipped to
     [0, 1], rounded to 6 (the Kruskal-Wallis exp contract).  No
     counterpart in the reference (SURVEY.md section 2.1).
+
+    NULL/NaN values are excluded (round-7 review fix, the drift_monitor
+    discipline): a NULL cannot occupy a position on a CDF — previously
+    it grouped as its own value row, sorted first, and shifted every
+    subsequent CDF step by the null mass, so D measured missingness
+    instead of distribution.  Mirror any SQL twin with ``WHERE value IS
+    NOT NULL``.
     """
-    m2 = measure.where(F.col("group").isin(group_a, group_b))
+    m2 = measure.where(
+        F.col("group").isin(group_a, group_b)
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value").cast("double"))
+    )
     vc = m2.groupBy("feature", "value").agg(
         F.sum(
             F.when(F.col("group") == group_a, 1).otherwise(0)
@@ -742,6 +770,14 @@ def benford_profile(
     on a ulp knife-edge where engines can disagree by a whole digit,
     while integer→string is bit-identical everywhere.  Scaling by a
     power of 10 does not change the leading significant digit.
+
+    PRECISION CONTRACT (round-7 review): the column must be exact at
+    ``1/cents_scale`` granularity (the operator's money-like domain —
+    TPC-H prices, ledger amounts).  Sub-granularity values are distorted
+    by the rounding itself: 999.996 rounds to 100000 cents (digit 9 read
+    as 1) and positive values below half a cent round to 0 and drop out.
+    For such columns pass a larger ``cents_scale`` (any power of 10)
+    that makes the values exact.
 
     Scale: ONE scan, one 9-key groupBy with map-side partials, totals as
     a 1-row broadcast.  No counterpart in the reference (SURVEY 2.1).

@@ -42,7 +42,17 @@ def write_bucketed_table(
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         if warehouse.startswith("file:"):
             warehouse = warehouse[5:]
-        loc = os.path.join(warehouse, name.lower())
+        # managed-table location: warehouse/<table> for the default
+        # database, warehouse/<db>.db/<table> for a qualified name
+        # (round-7 review fix: the unqualified form missed db-qualified
+        # stale locations, reproducing LOCATION_ALREADY_EXISTS)
+        parts = name.lower().split(".")
+        rel = (
+            os.path.join(f"{parts[-2]}.db", parts[-1])
+            if len(parts) > 1
+            else parts[0]
+        )
+        loc = os.path.join(warehouse, rel)
         if warehouse and os.path.isdir(loc):
             shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)

@@ -62,6 +62,17 @@ def read_meta(store: str) -> dict:
             f"unsupported compressor {comp.get('id')!r} — re-write the "
             "store with zlib/gzip/raw (blosc needs the blosc codec)"
         )
+    # filters run BEFORE the compressor in the zarr codec chain; silently
+    # ignoring them would np.frombuffer filtered bytes as raw values
+    # (e.g. delta residuals read as absolute counts) — corrupt output
+    # with no exception, the one failure mode worse than refusing
+    if meta.get("filters"):
+        ids = [f.get("id") for f in meta["filters"]]
+        raise ValueError(
+            f"unsupported zarr filters {ids!r} — re-write the store "
+            "without filters (every other unsupported profile raises "
+            "here too; silent reinterpretation is not an option)"
+        )
     np.dtype(meta["dtype"])  # raises on junk
     return meta
 

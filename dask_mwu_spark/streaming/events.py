@@ -47,12 +47,19 @@ def ts_us(ts_ns: Column | str) -> Column:
 
     ``(col / 1000).cast("long")`` would be DOUBLE division — at 2026-epoch
     nano magnitudes (~1.7e18) the quotient rounds before the cast truncates,
-    landing one µs off on roughly half of all timestamps. Decimal division
-    is exact at this precision and matches Python ``//`` and DuckDB's
-    nanos→micros truncation bit-for-bit.
+    landing one µs off on roughly half of all timestamps.  Subtracting
+    ``pmod(ts, 1000)`` first makes the numerator an exact multiple of 1000,
+    so the decimal divide is remainder-free and the result is TRUE floor
+    division — matching Python ``//`` bit-for-bit for negative (pre-epoch)
+    timestamps too (round-7 review fix: the previous decimal-divide+cast
+    truncated toward zero, one µs above ``//`` on every pre-1970 value,
+    which the streaming twins' ``int(ts) // 1000`` folds use).
     """
     c = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
-    return (c.cast("decimal(30,0)") / F.lit(NS_PER_US)).cast("long")
+    return (
+        (c - F.pmod(c, F.lit(NS_PER_US))).cast("decimal(30,0)")
+        / F.lit(NS_PER_US)
+    ).cast("long")
 
 
 def event_time(ts_ns: Column | str) -> Column:
@@ -253,13 +260,20 @@ def interval_join_events(
     left: DataFrame,
     right: DataFrame,
     *,
-    gap: str = "10 minutes",
     gap_us: int = 600 * 10**6,
     watermark: str | None = None,
 ) -> DataFrame:
     """Pair every LEFT event with each RIGHT event by the same user whose
-    event time falls within ``gap`` BEFORE the left event (inclusive both
-    ends) — e.g. purchases joined to the clicks that preceded them.
+    event time falls within ``gap_us`` microseconds BEFORE the left event
+    (inclusive both ends) — e.g. purchases joined to the clicks that
+    preceded them.
+
+    The join's time-range predicate is DERIVED from ``gap_us`` (round-7
+    review fix: the old signature took an independent ``gap`` interval
+    string encoding the same bound, and a caller who changed one without
+    the other got silently truncated results), so there is one source of
+    truth for the window; event times are microsecond-truncated
+    (``ts_us``), making the range predicate exactly the µs bound.
 
     Mode-agnostic: on batch DataFrames this is a plain time-bounded
     equi+range join; on streams (pass ``watermark=``) it becomes a
@@ -285,15 +299,21 @@ def interval_join_events(
     joined = l.join(
         r,
         (F.col("l_user") == F.col("r_user"))
-        & (F.col("r_time") >= F.col("l_time") - F.expr(f"INTERVAL {gap}"))
+        & (
+            F.col("r_time")
+            >= F.col("l_time") - F.expr(f"INTERVAL {int(gap_us)} MICROSECOND")
+        )
         & (F.col("r_time") <= F.col("l_time")),
     )
+    # no trailing re-filter: the range predicate on µs-truncated times IS
+    # the gap_us bound (and it must live in the join condition anyway so
+    # streaming state expiry sees it)
     return joined.select(
         F.col("l_user").alias("user_id"),
         "left_event_id",
         "right_event_id",
         (F.col("l_ts_us") - F.col("r_ts_us")).alias("gap_us"),
-    ).where(F.col("gap_us") <= gap_us)
+    )
 
 
 def dedup_stream(
@@ -426,9 +446,16 @@ def sessionize_stream(
                 s_idx, n, t0, t1, sv = state.get
             else:
                 s_idx, n, t0, t1, sv = 0, 0, None, None, 0.0
-            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-            for ts, val in zip(rows["ts"], rows["value"]):
-                ts = int(ts) // NS_PER_US
+            # fold in the BATCH TWIN's order — (microsecond-truncated ts,
+            # event_id), not raw nanos (round-7 review fix: two events in
+            # the same microsecond whose nano order disagrees with their
+            # event_id order otherwise accumulate sum_value in a
+            # different float order than sessionize_batch's window)
+            rows = pd.concat(list(pdfs)).assign(
+                _ts_us=lambda d: d["ts"].astype("int64") // NS_PER_US
+            ).sort_values(["_ts_us", "event_id"])
+            for ts, val in zip(rows["_ts_us"], rows["value"]):
+                ts = int(ts)
                 if n > 0 and ts - t1 > gap_us:
                     closed.append((user_id, s_idx, n, t0, t1, round(sv, 6)))
                     s_idx, n, t0, sv = s_idx + 1, 0, ts, 0.0
@@ -550,9 +577,13 @@ def anomaly_stream(
             n, s, ss = state.get
         else:
             n, s, ss = 0, 0.0, 0.0
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # batch-twin fold order: (microsecond ts, event_id) — see the
+        # sessionize_stream note (round-7 review fix)
+        rows = pd.concat(list(pdfs)).assign(
+            _ts_us=lambda d: d["ts"].astype("int64") // NS_PER_US
+        ).sort_values(["_ts_us", "event_id"])
         out = []
-        for eid, ts, val in zip(rows["event_id"], rows["ts"], rows["value"]):
+        for eid, ts, val in zip(rows["event_id"], rows["_ts_us"], rows["value"]):
             v = float(val)
             z = None
             if n >= min_history:
@@ -563,7 +594,7 @@ def anomaly_stream(
                 (
                     user_id,
                     int(eid),
-                    int(ts) // NS_PER_US,
+                    int(ts),
                     v,
                     n,
                     z,
@@ -679,13 +710,23 @@ def read_upsert_table(spark, path: str) -> DataFrame:
     COMMITTED manifest (sources/manifest.py) — never a raw directory
     listing, so a concurrently-crashed writer is invisible — and filters
     out the delete tombstones (``_op='D'``) the table keeps for
-    stale-late-arrival correctness.  Tombstone filtering is a scan-stage
-    predicate (parquet dictionary/stats-prunable), so the live view costs
-    nothing extra at scale.  Falls back to reading ``path`` directly for
-    legacy flat tables that predate the manifest protocol."""
+    stale-late-arrival correctness.  Tombstone filtering EXCLUDES
+    ``_op='D'`` rather than requiring ``_op='U'`` (round-7 review fix):
+    upsert_sink passes a changelog's ``op`` column through verbatim, so a
+    source using 'c'/'u'/'r' (Debezium) or 'I' persisted winners that
+    the old equality filter silently hid from every read.  The predicate
+    is scan-stage (parquet dictionary/stats-prunable), so the live view
+    costs nothing extra at scale.  Falls back to reading ``path``
+    directly for legacy flat tables that predate the manifest protocol."""
     from dask_mwu_spark.sources import manifest as mf
 
     committed = mf.committed_data_path(path)
-    return spark.read.parquet(
-        committed if committed is not None else path
-    ).where(F.col("_op") == "U")
+    df = spark.read.parquet(committed if committed is not None else path)
+    if "_op" not in df.columns:
+        # legacy flat table with no op column: nothing is a tombstone
+        return df
+    # a NULL _op (changelog with op absent on some rows) is a live row:
+    # only an explicit delete is a tombstone
+    return df.where(
+        F.col("_op").isNull() | (F.col("_op") != "D")
+    )

@@ -2966,6 +2966,7 @@ binned AS (
          END AS bin,
          r.lo AS lo0, r.hi AS hi0
   FROM lineitem, rng r
+  WHERE l_extendedprice IS NOT NULL
 )
 SELECT bin,
        ROUND(ANY_VALUE(lo0) + (bin - 1) * (ANY_VALUE(hi0) - ANY_VALUE(lo0)) / 20, 6) AS lo,
@@ -5205,7 +5206,9 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
     o["lineitem_chi2_assoc"] = """
 WITH cells AS (
   SELECT l_returnflag AS a, l_linestatus AS b, CAST(COUNT(*) AS BIGINT) AS n
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2
 ),
 tot AS (
   SELECT a, b, n,

@@ -136,13 +136,12 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir):
     ev = load_table(spark, sf_dir, "events")
     # events are sparse (~11 h mean per-user gap) — 24 h window gives a
     # meaningful pair count
-    gap, gap_us = "24 hours", 24 * 3600 * 10**6
+    gap_us = 24 * 3600 * 10**6
     batch = {
         tuple(r)
         for r in interval_join_events(
             ev.where(F.col("event_type") == "purchase"),
             ev.where(F.col("event_type") == "click"),
-            gap=gap,
             gap_us=gap_us,
         ).collect()
     }
@@ -150,7 +149,6 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir):
     stream = interval_join_events(
         s_ev.where(F.col("event_type") == "purchase"),
         s_ev.where(F.col("event_type") == "click"),
-        gap=gap,
         gap_us=gap_us,
         watermark="48 hours",
     )
