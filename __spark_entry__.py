@@ -1302,7 +1302,8 @@ raw AS (
   FROM pp
 )
 SELECT feature, grp, p_pseudo,
-       LEAST(1.0, MIN(r) OVER (PARTITION BY grp ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adjusted
+       CASE WHEN p_pseudo IS NULL THEN NULL
+            ELSE LEAST(1.0, MIN(r) OVER (PARTITION BY grp ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) END AS p_adjusted
 FROM raw
 """,
         "mwu_topk": f"""
@@ -1349,9 +1350,10 @@ bh AS (
 ),
 adj AS (
   SELECT feature, grp, u_stat, lfc_raw, p,
-         LEAST(1.0, MIN(p * m / i) OVER (
+         CASE WHEN p IS NULL THEN NULL
+              ELSE LEAST(1.0, MIN(p * m / i) OVER (
            PARTITION BY grp ORDER BY i
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) END AS p_adj
   FROM bh
 )
 SELECT grp, feature AS gene, u_stat AS U,

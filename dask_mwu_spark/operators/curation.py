@@ -126,28 +126,15 @@ def group_split(
     documents; holding out whole sources is the standard defense, and
     ``split_leakage`` measures how much it buys.
 
-    Same deterministic bucket scheme as ``hash_split`` (md5 % 10000,
-    cumulative-weight bounds, boundary docs go to the later split) —
-    retry-stable, reproducible by the DuckDB oracle.  Scale: one row
+    Delegates to ``hash_split`` with the group column as the hashed id
+    (round-7 review: the bucket scheme — md5 % 10000, cumulative-weight
+    bounds, boundary docs to the later split — was duplicated verbatim;
+    one implementation means a boundary-logic fix cannot diverge).
+    Retry-stable, reproducible by the DuckDB oracle.  Scale: one row
     expression, no shuffle added to whatever follows; group cardinality
     is irrelevant (no group table is materialized).
     """
-    if weights is None:
-        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
-    total = sum(weights.values())
-    bucket = md5_long(
-        F.concat(F.lit(salt), F.lit(":"), F.col(group_col).cast("string"))
-    ) % N_SPLIT_BUCKETS
-    expr = None
-    cum = 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        cum += weights[name] / total
-        bound = int(cum * N_SPLIT_BUCKETS)
-        cond = bucket < bound
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    return docs.withColumn("split", expr)
+    return hash_split(docs, weights=weights, salt=salt, id_col=group_col)
 
 
 def split_leakage(
@@ -326,21 +313,13 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         F.sum("cnt").alias("n_tokens"),
         F.max("cnt").alias("top_cnt"),
     )
-    # bigrams straight from the token ARRAY (zip with its own shift) — a
-    # scan-stage generator like tokens(), not a lead() window: the window
-    # form costs a full (doc_id, pos) shuffle + per-doc sort before the
-    # bigram table even exists (~2x the operator's runtime at 1M docs,
-    # tools/scale_probe_curation.py)
-    toks = F.split(F.col("text"), " ")
-    bigrams = docs.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
-                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
-            )
-        ).alias("z"),
-    ).select("doc_id", F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("bigram"))
+    # shared scan-stage bigram generator (text.adjacent_bigrams — see
+    # its docstring for the measured lead()-window comparison)
+    from dask_mwu_spark.operators.text import adjacent_bigrams
+
+    bigrams = adjacent_bigrams(docs, with_pos=False).select(
+        "doc_id", F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("bigram")
+    )
     bi_stats = bigrams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.countDistinct("bigram").alias("n_uniq_bigrams"),
@@ -550,6 +529,16 @@ def calibrated_quality_filter(
     """
     if method not in ("agg", "histogram"):
         raise ValueError(f"unknown method {method!r}: use 'agg' or 'histogram'")
+    if method == "histogram" and not exact:
+        # round-7 review fix: this combination previously fell through to
+        # the percentile_approx sketch SILENTLY — a contradictory request
+        # (the histogram path exists precisely to keep exactness) must
+        # fail loudly like the unknown-method case above
+        raise ValueError(
+            "method='histogram' requires exact=True (the histogram path "
+            "IS the bounded-state exact quantile); use exact=False with "
+            "method='agg' for the t-digest sketch"
+        )
     scored = classifier_score(docs).select(
         "doc_id", "clf_score"
     )
@@ -759,6 +748,16 @@ def weighted_sample(
     0.0 — hash-compare-safe); rows with non-positive weight are excluded
     (they have zero inclusion probability).
 
+    The 6-decimal rounding is the cross-engine determinism compromise
+    (``ln`` differs by ~1 ulp across libms, so both engines must rank
+    the SAME rounded value), but it collapses nearby keys into ties —
+    for large weights the whole key range is a few thousandths, so ties
+    at the k-th boundary are common.  Ties break by a SALTED HASH of the
+    id, not ascending id (round-7 review fix: doc_id order
+    systematically favored small ids, biasing the sample away from
+    weight-proportional within the tie set; a hash is uniform over the
+    tie set and equally deterministic on both engines).
+
     Scale: key is a pure row expression; selection is orderBy().limit(k)
     = TakeOrderedAndProject (each task keeps its local k, driver merges) —
     ZERO shuffles of the corpus, the minimum possible cost for an exact
@@ -767,10 +766,14 @@ def weighted_sample(
         F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
     ).cast("double") + 1.0) / float(1 << 60)
     key = F.log(u) / F.col(weight_col).cast("double")
-    order = [F.col("key").desc(), F.col(id_col).asc()]
+    tiebreak = md5_long(
+        F.concat(F.lit(salt), F.lit("#tb:"), F.col(id_col).cast("string"))
+    )
+    order = [F.col("key").desc(), F.col("_tb").asc(), F.col(id_col).asc()]
     top = (
         docs.where(F.col(weight_col) > 0)
         .withColumn("key", F.round(key, 6) + F.lit(0.0))
+        .withColumn("_tb", tiebreak)
         .orderBy(*order)
         .limit(k)
     )
@@ -798,21 +801,22 @@ def mixture_kl(docs: DataFrame, target: dict[str, float]) -> DataFrame:
 
     ``target`` weights are normalized; sources absent from ``target`` get
     a NULL target share and NULL kl term (flagging off-recipe data rather
-    than silently folding it in).
+    than silently folding it in).  Conversely a target source the corpus
+    DELIVERED NOTHING of — the most important divergence the diagnostic
+    exists to catch — appears as an explicit row with n_tokens=0,
+    actual_share=0 and kl_term=0 (the x·ln x → 0 limit), instead of
+    being silently absent (round-7 review fix; full outer join against
+    the broadcast target table).
 
     Scale: ONE corpus scan — per-doc token counts are a row expression,
     the per-source sums a map-side-combinable groupBy on the (few-valued)
     source key, and the grand total a broadcast 1-row aggregate.  The
-    target mixture rides as plan literals (no join)."""
+    target mixture is a |target|-row broadcast table."""
     total_w = sum(target.values())
-    share_expr = None
-    for src, wgt in target.items():
-        cond = F.col("source") == src
-        val = F.lit(wgt / total_w)
-        share_expr = (
-            F.when(cond, val) if share_expr is None else share_expr.when(cond, val)
-        )
-    share_expr = share_expr.otherwise(F.lit(None).cast("double"))
+    tgt = docs.sparkSession.createDataFrame(
+        [(s, w / total_w) for s, w in target.items()],
+        "source: string, target_share: double",
+    )
     per_source = (
         docs.select(
             "source", F.size(F.split("text", " ")).cast("long").alias("_nt")
@@ -821,17 +825,21 @@ def mixture_kl(docs: DataFrame, target: dict[str, float]) -> DataFrame:
         .agg(F.sum("_nt").alias("n_tokens"))
     )
     total = per_source.agg(F.sum("n_tokens").alias("_total"))
-    actual = F.col("n_tokens").cast("double") / F.col("_total")
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    actual = n_tok.cast("double") / F.col("_total")
     return (
-        per_source.crossJoin(F.broadcast(total))
-        .withColumn("target_share", share_expr)
+        per_source.join(tgt, "source", "full")
+        .crossJoin(F.broadcast(total))
         .select(
             "source",
-            "n_tokens",
+            n_tok.alias("n_tokens"),
             F.round(actual, 6).alias("actual_share"),
             F.round("target_share", 6).alias("target_share"),
             F.round(
-                actual * F.log(actual / F.col("target_share")), 6
+                F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                    actual * F.log(actual / F.col("target_share"))
+                ),
+                6,
             ).alias("kl_term"),
         )
     )

@@ -123,6 +123,14 @@ def bh_adjust(
     receive (SURVEY.md A5), but row_number still gets a deterministic
     tiebreak for reproducible plans.  Pure window functions — per-partition
     parallelism matches the reference's per-column map_blocks chunks.
+
+    NULL p-values stay NULL (round-7 review fix): a NaN-poisoned feature
+    carries NULL through rank/z/p, and without the explicit guard
+    ``least(1.0, NULL)`` silently returned 1.0 here (Spark's ``least``
+    skips NULL operands — the exact trap ``two_sided_p_from_z`` already
+    guards).  Non-null rows are unaffected: NULLs sort last and window
+    ``min`` ignores them, so m (total row count, matching statsmodels'
+    input length) and the suffix minima are unchanged.
     """
     parts = [F.col(c) for c in partition_cols]
     order = [F.col(p_col).asc_nulls_last()] + [F.col(c) for c in tiebreak_cols]
@@ -133,7 +141,11 @@ def bh_adjust(
     i = F.row_number().over(w_rank)
     raw = F.col(p_col) * m.cast("double") / i.cast("double")
     return df.withColumn(
-        out_col, F.least(F.lit(1.0), F.min(raw).over(w_suffix))
+        out_col,
+        F.when(
+            F.col(p_col).isNotNull(),
+            F.least(F.lit(1.0), F.min(raw).over(w_suffix)),
+        ),
     )
 
 

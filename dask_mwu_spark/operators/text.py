@@ -43,6 +43,36 @@ def tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def adjacent_bigrams(
+    docs: DataFrame, *, with_doc_id: bool = True, with_pos: bool = True
+) -> DataFrame:
+    """(doc_id?, pos?, w1, w2) for every adjacent whitespace-token pair —
+    the shared bigram generator (round-7 review: this construction was
+    copy-pasted across the LM score, PMI, TextRank, and repetition
+    operators; one implementation means a slice-edge fix cannot diverge).
+
+    Bigrams come straight from the token ARRAY (zipped with its own
+    shift) — a scan-stage generator like ``tokens()``, never a lead()
+    window: the window form costs a full (doc_id, pos) shuffle + per-doc
+    sort before the bigram table even exists (~2x the operator's runtime
+    at 1M docs, tools/scale_probe_curation.py)."""
+    toks = F.split(F.col("text"), " ")
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+    )
+    lead = ["doc_id"] if with_doc_id else []
+    if with_pos:
+        gen = docs.select(*lead, F.posexplode(zipped).alias("pos", "z"))
+        mid = ["pos"]
+    else:
+        gen = docs.select(*lead, F.explode(zipped).alias("z"))
+        mid = []
+    return gen.select(
+        *lead, *mid, F.col("z.a").alias("w1"), F.col("z.b").alias("w2")
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc quality/statistics signals, pure expression work (no shuffle):
     char count, token count, distinct tokens, mean token length,
@@ -268,13 +298,22 @@ def chunk_documents(
     window starts per row and ``slice`` cuts each window out of the
     already-split token array, so chunking is zero-shuffle and scales
     like the scan itself.  Deterministic in (text, chunk_tokens, overlap).
+
+    A window start s > 0 is generated only while s <= n_tokens - overlap
+    - 1, i.e. the window contains at least one token beyond the previous
+    window's coverage (round-7 review fix: the old bound n_tokens - 1
+    emitted a trailing chunk FULLY CONTAINED in its predecessor whenever
+    n_tokens fell in (m*stride, m*stride + overlap] — pure duplicate
+    content inflating any downstream index).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size(toks) - overlap - 1, F.lit(0)),
+        F.lit(stride),
     )
     return (
         docs.select(
@@ -399,17 +438,31 @@ def winnow_fingerprints(
     whose guarantee is that any shared substring of length k+window-1 yields
     a shared fingerprint.
 
-    Returns per-doc aggregates (n_fingerprints, min_fp, fp_checksum) so the
-    output stays one row per document at any scale.  The explode is k-gram
-    positions (~n_chars rows), re-aggregated by doc_id — uniform shuffle key.
+    Returns per-doc aggregates (n_fingerprints, min_fp, fp_checksum) —
+    one row per document that has at least one k-gram (docs shorter than
+    ``k`` have nothing to fingerprint and are absent).  The explode is
+    k-gram positions (~n_chars rows), re-aggregated by doc_id — uniform
+    shuffle key.
+
+    Only FULL windows select fingerprints (round-7 review fix: the
+    shrinking trailing frames of ``rowsBetween(current, window-1)``
+    previously emitted mins of partial windows — hashes Schleimer
+    winnowing never selects, inflating n_fingerprints and cross-doc
+    false positives).  A doc with fewer than ``window`` k-grams keeps
+    the min over all its grams (one partial window is the whole doc —
+    winnowing's short-input convention, at least one fingerprint).
     """
     pos = F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("pos")
     grams = docs.where(F.length("text") >= k).select(
-        "doc_id", pos, F.col("text")
+        "doc_id",
+        pos,
+        F.col("text"),
+        (F.length("text") - (k - 1)).alias("n_grams"),
     )
     grams = grams.select(
         "doc_id",
         "pos",
+        "n_grams",
         (md5_long(F.expr(f"substring(text, pos, {k})")) % F.lit(MERSENNE_P)).alias("h"),
     )
     w = (
@@ -417,9 +470,17 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    fps = grams.select(
-        "doc_id", F.min("h").over(w).alias("fp")
-    ).distinct()
+    fps = (
+        grams.select(
+            "doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp")
+        )
+        .where(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - (window - 1), F.lit(1))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
@@ -456,8 +517,14 @@ def heavy_hitters(docs: DataFrame, *, theta: float = 0.001) -> DataFrame:
     """
     import math
 
+    from dask_mwu_spark.cache import tracked_persist
+
     m = int(math.ceil(1.0 / theta))
-    toks = tokens(docs).select("word")
+    # the token stream feeds THREE branches (MG pass, total count, exact
+    # recount) — persist at the branch point or Catalyst re-runs the
+    # tokenize scan per branch (round-7 review fix: the docstring's "two
+    # passes" was three corpus scans without this)
+    toks = tokens(docs).select("word").transform(tracked_persist)
     cand = mg_candidates(toks, m)
     totals = toks.agg(F.count(F.lit(1)).alias("_n"))
     exact = (
@@ -834,18 +901,7 @@ def lm_bigram_score(docs: DataFrame, *, alpha: float = 0.5) -> DataFrame:
     length.  No counterpart in the reference (SURVEY.md section 2.1).
     """
     toks = F.split(F.col("text"), " ")
-    # bigrams from the token array (zip with its own shift) — scan-stage
-    # generator, no (doc_id, pos) shuffle; see repetition_signals for the
-    # measured lead()-window comparison
-    bigrams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.arrays_zip(
-                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
-                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
-            )
-        ).alias("pos", "z"),
-    ).select("doc_id", "pos", F.col("z.a").alias("w1"), F.col("z.b").alias("w2"))
+    bigrams = adjacent_bigrams(docs)
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     vocab = docs.select(F.explode(toks).alias("word")).agg(
@@ -1046,15 +1102,7 @@ def pmi_collocations(
     (pmi desc, w1, w2) ordering makes the limit boundary stable.  No
     counterpart in the reference (SURVEY.md section 2.1).
     """
-    toks = F.split("text", " ")
-    bigrams = docs.select(
-        F.posexplode(
-            F.arrays_zip(
-                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
-                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
-            )
-        ).alias("pos", "z"),
-    ).select(F.col("z.a").alias("w1"), F.col("z.b").alias("w2"))
+    bigrams = adjacent_bigrams(docs, with_doc_id=False, with_pos=False)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
@@ -1119,15 +1167,7 @@ def textrank_keywords(
     """
     from dask_mwu_spark.operators.graph import pagerank
 
-    toks = F.split("text", " ")
-    pairs = docs.select(
-        F.posexplode(
-            F.arrays_zip(
-                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
-                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
-            )
-        ).alias("pos", "z"),
-    ).select(F.col("z.a").alias("w1"), F.col("z.b").alias("w2"))
+    pairs = adjacent_bigrams(docs, with_doc_id=False, with_pos=False)
     pr = pagerank(pairs, n_iter=n_iter, damping=damping, src="w1", dst="w2")
     return (
         pr.select(F.col("node").alias("word"), "rank")

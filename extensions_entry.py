@@ -2107,19 +2107,23 @@ FROM pred GROUP BY lang, pred_lang
 """,
         "text_fingerprints": f"""
 WITH pos AS (
-  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS pos
+  SELECT doc_id, text, length(text) - 7 AS n_grams,
+         unnest(range(1, length(text) - 6)) AS pos
   FROM documents WHERE length(text) >= 8
 ),
 grams AS (
-  SELECT doc_id, pos, {_MD5H.format(x="substr(text, CAST(pos AS INT), 8)")} % {MERSENNE_P} AS h
+  SELECT doc_id, pos, n_grams, {_MD5H.format(x="substr(text, CAST(pos AS INT), 8)")} % {MERSENNE_P} AS h
   FROM pos
 ),
 winnow AS (
-  SELECT doc_id,
+  SELECT doc_id, pos, n_grams,
          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM grams
 ),
-fps AS (SELECT DISTINCT doc_id, fp FROM winnow)
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winnow
+  WHERE pos <= GREATEST(n_grams - 3, 1)
+)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
        CAST(MIN(fp) AS BIGINT) AS min_fp,
@@ -2793,7 +2797,7 @@ FROM ranked WHERE rank <= 20
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (
   SELECT doc_id, toks,
-         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS chunk_start
+         unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS chunk_start
   FROM t
 )
 SELECT doc_id,
@@ -3107,12 +3111,13 @@ WITH keyed AS (
   SELECT doc_id, n_chars AS weight,
          ROUND(LN(({_MD5H.format(x="'ws:' || CAST(doc_id AS VARCHAR)")} + 1.0)
                   / 1152921504606846976.0)
-               / CAST(n_chars AS DOUBLE), 6) + 0.0 AS key
+               / CAST(n_chars AS DOUBLE), 6) + 0.0 AS key,
+         {_MD5H.format(x="'ws#tb:' || CAST(doc_id AS VARCHAR)")} AS tb
   FROM documents WHERE n_chars > 0
 ),
-top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 12)
+top AS (SELECT * FROM keyed ORDER BY key DESC, tb ASC, doc_id ASC LIMIT 12)
 SELECT doc_id, weight, key,
-       CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+       CAST(ROW_NUMBER() OVER (ORDER BY key DESC, tb ASC, doc_id ASC) AS BIGINT) AS rank
 FROM top
 """,
         "text_novelty": "WITH " + _SHINGLE_CTE + """,
@@ -3139,13 +3144,20 @@ WITH per_source AS (
 tgt(source, target_share) AS (
   VALUES {", ".join(f"('src{i}', {(i + 1) / 210.0!r})" for i in range(20))}
 ),
-tot AS (SELECT SUM(n_tokens) AS _total FROM per_source)
-SELECT p.source, p.n_tokens,
-       ROUND(CAST(p.n_tokens AS DOUBLE) / t._total, 6) AS actual_share,
-       ROUND(g.target_share, 6) AS target_share,
-       ROUND(CAST(p.n_tokens AS DOUBLE) / t._total
-             * LN(CAST(p.n_tokens AS DOUBLE) / t._total / g.target_share), 6) AS kl_term
-FROM per_source p CROSS JOIN tot t LEFT JOIN tgt g USING (source)
+tot AS (SELECT SUM(n_tokens) AS _total FROM per_source),
+j AS (
+  SELECT COALESCE(p.source, g.source) AS source,
+         COALESCE(p.n_tokens, 0) AS n_tokens, g.target_share
+  FROM per_source p FULL JOIN tgt g ON p.source = g.source
+)
+SELECT j.source, CAST(j.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(j.n_tokens AS DOUBLE) / t._total, 6) AS actual_share,
+       ROUND(j.target_share, 6) AS target_share,
+       ROUND(CASE WHEN j.n_tokens = 0 THEN 0.0
+                  ELSE CAST(j.n_tokens AS DOUBLE) / t._total
+                       * LN(CAST(j.n_tokens AS DOUBLE) / t._total / j.target_share) END,
+             6) AS kl_term
+FROM j CROSS JOIN tot t
 """,
         "dedup_rate_by_source": f"""
 WITH keyed AS (

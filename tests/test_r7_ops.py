@@ -192,6 +192,112 @@ def test_bucketed_overwrite_handles_db_qualified_stale_location(spark, sf_dir):
     spark.sql("DROP TABLE r7db.nation_b")
 
 
+def test_bh_adjust_keeps_null_p_null(spark):
+    """NaN-propagate contract through BH (round-7 review fix): a NULL
+    p-value must stay NULL in p_adjusted — least(1.0, NULL) silently
+    returned 1.0 — while non-null rows keep statsmodels semantics
+    (m = total row count, NULLs sorted last and ignored by min)."""
+    from dask_mwu_spark.operators.mwu import bh_adjust
+
+    df = spark.createDataFrame(
+        [("g", "f1", 0.01), ("g", "f2", 0.04), ("g", "f3", None)],
+        "group: string, feature: string, p_value: double",
+    )
+    out = (
+        bh_adjust(df).toPandas().set_index("feature").p_adjusted
+    )
+    assert out["f3"] != out["f3"] or out["f3"] is None  # NULL/NaN stays
+    # m=3 (statsmodels input length): adj(f1)=min(0.01*3/1, 0.04*3/2)=0.03
+    assert abs(out["f1"] - 0.03) < 1e-12
+    assert abs(out["f2"] - 0.06) < 1e-12
+
+
+def test_chunk_documents_no_fully_contained_trailing_chunk(spark):
+    """n_tokens in (stride, stride+overlap] must yield ONE chunk (the
+    old bound emitted a second chunk fully contained in the first)."""
+    from dask_mwu_spark.operators.text import chunk_documents
+
+    doc25 = " ".join(f"t{i}" for i in range(25))   # 25 tokens
+    doc33 = " ".join(f"t{i}" for i in range(33))   # 33: real 2nd chunk
+    docs = spark.createDataFrame(
+        [(1, doc25), (2, doc33)], "doc_id: long, text: string"
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).toPandas()
+    assert len(out[out.doc_id == 1]) == 1
+    two = out[out.doc_id == 2].sort_values("chunk_id")
+    assert len(two) == 2
+    # the second chunk carries at least one token beyond the first
+    assert two.iloc[1].chunk_start + two.iloc[1].n_chunk_tokens == 33
+
+
+def test_winnow_selects_only_full_window_minima(spark):
+    """Exactly n_grams - window + 1 full windows select fingerprints; a
+    doc shorter than window k-grams still yields >= 1 fingerprint."""
+    from dask_mwu_spark.operators.text import winnow_fingerprints
+
+    long_doc = "abcdefghijkl"   # 12 chars -> 5 grams of k=8 -> 2 full win
+    short_doc = "abcdefghi"     # 9 chars -> 2 grams < window=4 -> 1 win
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id: long, text: string"
+    )
+    out = (
+        winnow_fingerprints(docs, k=8, window=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 1: mins over the 2 full windows — at most 2 distinct fps, and
+    # never the 5 the partial-window bug produced
+    assert out.loc[1].n_fingerprints <= 2
+    assert out.loc[2].n_fingerprints >= 1
+
+
+def test_mixture_kl_reports_undelivered_target_sources(spark):
+    from dask_mwu_spark.operators.curation import mixture_kl
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1")],
+        "doc_id: long, text: string, source: string",
+    )
+    out = (
+        mixture_kl(docs, {"s1": 1.0, "s_missing": 1.0})
+        .toPandas()
+        .set_index("source")
+    )
+    assert out.loc["s_missing"].n_tokens == 0
+    assert out.loc["s_missing"].actual_share == 0.0
+    assert out.loc["s_missing"].kl_term == 0.0  # x·ln x -> 0 limit
+    assert out.loc["s1"].n_tokens == 5
+
+
+def test_calibrated_quality_rejects_approx_histogram(spark, sf_dir):
+    import pytest as _pytest
+
+    from dask_mwu_spark.operators.curation import calibrated_quality_filter
+    from dask_mwu_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with _pytest.raises(ValueError, match="histogram"):
+        calibrated_quality_filter(docs, exact=False, method="histogram")
+
+
+def test_weighted_sample_tiebreak_is_hash_not_id_order(spark):
+    """All-equal weights on a tiny range produce heavy key ties; the
+    winner set must NOT be the ascending-id prefix (the old bias)."""
+    from dask_mwu_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x", 10**7) for i in range(200)],
+        "doc_id: long, text: string, n_chars: long",
+    )
+    out = weighted_sample(docs, k=10)
+    got = sorted(r.doc_id for r in out.collect())
+    assert len(got) == 10
+    assert got != list(range(10))  # not the small-id prefix
+    # deterministic: same input -> same sample
+    again = sorted(r.doc_id for r in weighted_sample(docs, k=10).collect())
+    assert got == again
+
+
 def test_trained_ivf_pq_registers_its_persist(spark, sf_dir):
     """The specific ADVICE-r6 site: ivf_pq_topk_trained's posting-list
     persist must be releasable instead of leaking for the session."""

@@ -216,15 +216,16 @@ def test_chunk_documents_windows_and_tail(spark):
         .toPandas()
         .sort_values("chunk_id")
     )
-    # stride 3, 10 tokens -> starts 0,3,6,9
-    assert list(got.chunk_start) == [0, 3, 6, 9]
+    # stride 3, 10 tokens -> starts 0,3,6 (a start at 9 would be the
+    # single token w9, fully contained in the chunk at 6 — the round-7
+    # review fix stops generating starts past n_tokens - overlap - 1)
+    assert list(got.chunk_start) == [0, 3, 6]
     assert list(got.chunk_text) == [
         "w0 w1 w2 w3",
         "w3 w4 w5 w6",
         "w6 w7 w8 w9",
-        "w9",
     ]
-    assert list(got.n_chunk_tokens) == [4, 4, 4, 1]
+    assert list(got.n_chunk_tokens) == [4, 4, 4]
     # overlap invariant: consecutive chunks share `overlap` tokens
     import pytest
 
