@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-MERSENNE_P = 1_000_000_007  # < 2^30
+PRIME_P = 1_000_000_007  # a plain prime, < 2^30
+# backwards-compat alias; the old name was a MISNOMER (10^9 + 7 is not a
+# Mersenne prime — do NOT apply the Mersenne shift-and-add modular
+# reduction when porting this family to another engine; round-7 review)
+MERSENNE_P = PRIME_P
 
 # 16 fixed universal-hash coefficient pairs (seeded once, hardcoded so the
 # SQL oracles embed the exact same constants)
@@ -73,13 +77,15 @@ def md5_hex(c: Column) -> Column:
     return F.md5(c)
 
 
-def universal_hash(x: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:
-    """Carter-Wegman universal hash (a*x + b) mod p over a Mersenne prime
-    — the MinHash permutation family; coefficients are fixed literals so
-    both engines agree."""
+def universal_hash(x: Column, a: int, b: int, p: int = PRIME_P) -> Column:
+    """Carter-Wegman universal hash (a*x + b) mod p over a fixed prime
+    (10^9 + 7 — a plain prime, NOT a Mersenne prime; a porter must use
+    ordinary ``%``, never the 2^k−1 shift-reduction) — the MinHash
+    permutation family; coefficients are fixed literals so both engines
+    agree."""
     return (x % p * F.lit(a) + F.lit(b)) % p
 
 
-def universal_hash_sql(expr: str, a: int, b: int, p: int = MERSENNE_P) -> str:
+def universal_hash_sql(expr: str, a: int, b: int, p: int = PRIME_P) -> str:
     """DuckDB twin of :func:`universal_hash` (same expression tree)."""
     return f"(({expr}) % {p} * {a} + {b}) % {p}"

@@ -29,11 +29,10 @@ from pyspark.sql import functions as F
 from dask_mwu_spark.cache import tracked_persist
 
 from dask_mwu_spark.functions.hashing import (
-    MERSENNE_P,
     MINHASH_COEFFS,
+    PRIME_P,
     md5_hex,
     md5_long,
-    universal_hash,
 )
 
 # ---------------------------------------------------------------------------
@@ -193,7 +192,7 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3) -> DataFrame:
         .select(
             "doc_id",
             "i",
-            (((F.col("sh_h") % MERSENNE_P) * F.col("a") + F.col("b")) % MERSENNE_P).alias(
+            (((F.col("sh_h") % PRIME_P) * F.col("a") + F.col("b")) % PRIME_P).alias(
                 "h"
             ),
         )
@@ -710,8 +709,15 @@ def band_index_update(
     """The index-maintenance half of incremental dedup: history bands plus
     the bands of the batch docs that survived this run.  Writing this back
     bucketed by (band, band_key) keeps the next run's history join
-    shuffle-free on the corpus side."""
-    bands = minhash_band_keys(new_docs, n=n)
+    shuffle-free on the corpus side.
+
+    The batch band table is tracked-persisted HERE (round-7 review fix:
+    after incremental_dedup_flags stopped persisting caller-supplied
+    tables, this caller fed four plan branches — the flags' three
+    consumers plus kept_bands — with an unpersisted table, re-running
+    the shingle+minhash dataflow per branch).  Library-owned, so
+    registering it in the cache registry is correct."""
+    bands = minhash_band_keys(new_docs, n=n).transform(tracked_persist)
     flags = incremental_dedup_flags(
         new_docs, history_bands, n=n, batch_bands=bands
     )

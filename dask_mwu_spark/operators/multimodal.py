@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dask_mwu_spark.functions.hashing import MERSENNE_P
+from dask_mwu_spark.functions.hashing import PRIME_P
 
 # media kinds are assigned deterministically from doc_id so the same doc
 # always gets the same kind in every engine
@@ -344,7 +344,7 @@ def sample_frames(media: DataFrame, *, every_k: int = 4) -> DataFrame:
                     frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
                     out_doc.append(doc_id)
                     out_idx.append(idx)
-                    out_ck.append(_md5_60(frame) % MERSENNE_P)
+                    out_ck.append(_md5_60(frame) % PRIME_P)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -382,7 +382,7 @@ def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             feats = [
                 [
-                    _round6((_md5_60(p + f"#{j}".encode()) % MERSENNE_P) / MERSENNE_P)
+                    _round6((_md5_60(p + f"#{j}".encode()) % PRIME_P) / PRIME_P)
                     for j in range(dim)
                 ]
                 for p in pdf["payload"]

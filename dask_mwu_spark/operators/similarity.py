@@ -707,10 +707,23 @@ def ann_recall_eval(
     neighbors report n_approx < k (empty buckets report 0 via the left
     join), which is exactly the signal the harness exists to surface.
     """
-    truth = cosine_topk(emb, n_queries=n_queries, k=k).select("q_id", "vec_id")
+    # both heads are <= n_queries*k rows but carry EXPENSIVE lineage (the
+    # brute-force cross join / the approximate pipeline); each feeds two
+    # plan branches below (truth: the per_q join + the identical plan a
+    # recall-curve caller rebuilds per arm, deduped by the CacheManager;
+    # approx: the per_q join + the napp groupBy) — tracked-persist both
+    # (round-7 review fix; derived frames, so caller objects are never
+    # registered)
+    truth = (
+        cosine_topk(emb, n_queries=n_queries, k=k)
+        .select("q_id", "vec_id")
+        .transform(tracked_persist)
+    )
     if approx is None:
         approx = lsh_cosine_topk(emb, n_queries=n_queries, k=k)
-    approx = approx.select("q_id", "vec_id", F.lit(1).alias("_hit"))
+    approx = approx.select(
+        "q_id", "vec_id", F.lit(1).alias("_hit")
+    ).transform(tracked_persist)
     per_q = (
         truth.join(approx.select("q_id", "vec_id", "_hit"), ["q_id", "vec_id"], "left")
         .groupBy("q_id")

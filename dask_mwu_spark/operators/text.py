@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dask_mwu_spark.functions.hashing import MERSENNE_P, md5_long
+from dask_mwu_spark.functions.hashing import PRIME_P, md5_long
 
 # Deterministic per-language marker words for the n-gram/stopword heuristic.
 # (The synthetic corpus shares one vocabulary across langs, so like any
@@ -463,7 +463,7 @@ def winnow_fingerprints(
         "doc_id",
         "pos",
         "n_grams",
-        (md5_long(F.expr(f"substring(text, pos, {k})")) % F.lit(MERSENNE_P)).alias("h"),
+        (md5_long(F.expr(f"substring(text, pos, {k})")) % F.lit(PRIME_P)).alias("h"),
     )
     w = (
         Window.partitionBy("doc_id")
@@ -484,7 +484,7 @@ def winnow_fingerprints(
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
-        (F.sum("fp") % F.lit(MERSENNE_P)).alias("fp_checksum"),
+        (F.sum("fp") % F.lit(PRIME_P)).alias("fp_checksum"),
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from dask_mwu_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+from dask_mwu_spark.functions.hashing import PRIME_P, MINHASH_COEFFS
 from dask_mwu_spark.sources.loaders import load_table
 from dask_mwu_spark.operators import affinity as af
 from dask_mwu_spark.operators import audit as au
@@ -68,7 +68,7 @@ _SIG_CTE = (
 coeff(i, a, b) AS (VALUES {_COEFF_VALUES}),
 sig AS (
   SELECT doc_id, i,
-         MIN(({_MD5H.format(x='shingle')} % {MERSENNE_P} * a + b) % {MERSENNE_P}) AS minh
+         MIN(({_MD5H.format(x='shingle')} % {PRIME_P} * a + b) % {PRIME_P}) AS minh
   FROM sh, coeff
   GROUP BY doc_id, i
 )
@@ -2112,7 +2112,7 @@ WITH pos AS (
   FROM documents WHERE length(text) >= 8
 ),
 grams AS (
-  SELECT doc_id, pos, n_grams, {_MD5H.format(x="substr(text, CAST(pos AS INT), 8)")} % {MERSENNE_P} AS h
+  SELECT doc_id, pos, n_grams, {_MD5H.format(x="substr(text, CAST(pos AS INT), 8)")} % {PRIME_P} AS h
   FROM pos
 ),
 winnow AS (
@@ -2127,7 +2127,7 @@ fps AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
        CAST(MIN(fp) AS BIGINT) AS min_fp,
-       CAST(SUM(fp) % {MERSENNE_P} AS BIGINT) AS fp_checksum
+       CAST(SUM(fp) % {PRIME_P} AS BIGINT) AS fp_checksum
 FROM fps GROUP BY doc_id
 """,
         "text_quality": f"""
@@ -2426,7 +2426,7 @@ fr AS (
 )
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST('0x' || substr(md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)), 1, 15) AS BIGINT)
-         % {MERSENNE_P} AS frame_checksum
+         % {PRIME_P} AS frame_checksum
 FROM fr
 """,
         # round 5: independent oracle for the REAL-codec path.  Spark
@@ -2468,8 +2468,8 @@ FROM s
         "mm_features": f"""
 WITH {_DEC_CTE}
 SELECT doc_id, CAST(j AS INT) AS dim_idx,
-       FLOOR((CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT) % {MERSENNE_P})
-             / {MERSENNE_P}.0 * 1e6 + 0.5) / 1e6 AS feat
+       FLOOR((CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT) % {PRIME_P})
+             / {PRIME_P}.0 * 1e6 + 0.5) / 1e6 AS feat
 FROM dec, (SELECT unnest(range(0, 8)) AS j)
 """,
         "sim_cosine_topk": f"""
