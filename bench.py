@@ -16,6 +16,13 @@ import os
 import sys
 import time
 
+# The driver records only the LAST ~2000 characters of bench stdout and
+# parses the trailing JSON line out of that window (BENCH_r07.json lost the
+# first ~11 medians when the single line, medians + spread, outgrew it —
+# VERDICT r7 #2).  Budget for the final line, with headroom for a trailing
+# newline and stray progress-bar bytes after it.
+TAIL_CAPTURE_BUDGET = 1900
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
@@ -91,7 +98,14 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("dask-mwu-spark-bench")
+    # console progress bars share the driver's capture window with our JSON
+    # line (the r4 tail shows "\r[Stage 681:>" bytes inside it) — keep the
+    # window clean so the budget assertion below is the only thing that
+    # matters
+    spark = get_spark(
+        "dask-mwu-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
@@ -119,24 +133,53 @@ def main() -> None:
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": n_runs,
-                "spread": {
-                    name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
-                },
-            }
-        )
+    line, detail = format_bench_output(timings, sf, n_runs, samples)
+    # spread + raw samples go to a sidecar file, NOT stdout: stdout stays
+    # exactly ONE compact line so the driver's tail capture keeps it whole
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(line)
     spark.stop()
+
+
+def format_bench_output(
+    timings: dict[str, float],
+    sf: str,
+    n_runs: int,
+    samples: dict[str, list[float]] | None = None,
+) -> tuple[str, dict]:
+    """Build (stdout_line, detail_sidecar).  The stdout line is medians-only
+    with compact separators and is asserted to fit the driver's tail-capture
+    window, so a tail-truncation of bench stdout still recovers every median.
+    """
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= TAIL_CAPTURE_BUDGET, (
+        f"bench stdout line is {len(line)} chars > {TAIL_CAPTURE_BUDGET}; "
+        "the driver's tail capture would truncate it — trim BENCH_QUERIES "
+        "or split the emission"
+    )
+    detail = dict(payload)
+    if samples is not None:
+        detail["spread"] = {
+            name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
+        }
+        detail["samples"] = {
+            name: [round(t, 3) for t in ts] for name, ts in samples.items()
+        }
+    return line, detail
 
 
 if __name__ == "__main__":
