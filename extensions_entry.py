@@ -433,12 +433,16 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and split even/odd — banding is per-doc, so filtering the shared
     (persisted) table is identical to banding each side, and it mirrors
     production where the history index is already materialized (a second
-    shingle+minhash pass over history per batch would defeat the point)."""
-    from pyspark.storagelevel import StorageLevel
+    shingle+minhash pass over history per batch would defeat the point).
 
-    bands = dd.minhash_band_keys(_docs(spark, sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    The band index is caller-owned (the operator must never unpersist
+    it — dedup.py:649), but this caller is repo code, so it opts its own
+    cache into the session registry via ``tracked_persist``: round-8
+    harness dogfooding caught exactly this site leaking one persistent
+    RDD per invocation past ``release_caches()``."""
+    from dask_mwu_spark.cache import tracked_persist
+
+    bands = tracked_persist(dd.minhash_band_keys(_docs(spark, sf_dir)))
     return dd.incremental_dedup_flags(
         _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 1),
         bands.where(F.col("doc_id") % 2 == 0),

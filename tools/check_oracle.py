@@ -27,6 +27,8 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from dask_mwu_spark import release_caches  # noqa: E402
+from dask_mwu_spark.cache import jvm_cached_count  # noqa: E402
 from dask_mwu_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -139,6 +141,13 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # dogfood the long-lived-session cache contract (VERDICT r7 item
+        # 8): drop the previous query's tracked persists before starting
+        # the next — this harness runs the full 200+-query battery in one
+        # session, the exact profile release_caches() exists for, so every
+        # run doubles as a leak test (asserted against the JVM after the
+        # loop).
+        release_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -165,6 +174,15 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name}: exact match ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    release_caches()
+    leftover = jvm_cached_count(spark)
+    if leftover:
+        failures += 1
+        print(
+            f"FAIL cache-leak: {leftover} persistent RDDs remain in the JVM "
+            "after release_caches() — an operator persisted outside "
+            "tracked_persist"
+        )
     spark.stop()
     print("FAILURES:", failures)
     return 1 if failures else 0

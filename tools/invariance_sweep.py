@@ -71,6 +71,7 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
     session between them (one SparkContext per process)."""
     import __spark_entry__ as entrymod
     from dask_mwu_spark import release_caches
+    from dask_mwu_spark.cache import jvm_cached_count
     from dask_mwu_spark.session import get_spark
 
     cfg = REGIMES[regime]
@@ -96,7 +97,19 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
             hashes[name] = hashlib.md5(blob.encode()).hexdigest()
         except Exception as e:  # noqa: BLE001
             hashes[name] = f"ERROR: {e}"
+        # dogfood the documented long-lived-session contract (VERDICT r7
+        # item 8): this harness runs 200+ queries in one session — exactly
+        # the service profile the cache registry exists for.  Release after
+        # every query; results are already materialized (toPandas above),
+        # so correctness is unaffected and the sweep doubles as a
+        # continuous leak test.
+        release_caches()
     release_caches()
+    leftover = jvm_cached_count(spark)
+    assert leftover == 0, (
+        f"cache leak: {leftover} persistent RDDs remain in the JVM after "
+        "release_caches() — an operator persisted outside tracked_persist"
+    )
     spark.stop()
     return hashes
 
