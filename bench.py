@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     # the fully trained IVF-PQ composition
     "sim_ivf_trained_topk",
     "sim_ivf_pq_trained_topk",
+    # round-8 new surface: learned BPE merges (8 fixed rounds over the
+    # word-frequency table) and the stdlib RIFF/AVI real-decode arm
+    "text_bpe_merges",
+    "mm_avi_decode_stats",
 ]
 
 

@@ -79,6 +79,39 @@ def tracked_count() -> int:
     return len(_TRACKED)
 
 
+def gc_reclaim(spark, *, timeout_s: float = 15.0) -> int:
+    """Drive the ASYNC reclaim path for checkpoint intermediates, then
+    return the JVM persistent-RDD count (0 = fully reclaimed).
+
+    ``localCheckpoint()`` intermediates (the pagerank/k-core/BPE
+    fixed-round discipline) are persisted RDDs too, but with the OPPOSITE
+    lifetime contract from :func:`tracked_persist`: their lineage is
+    truncated, so an explicit ``unpersist`` would break any plan still
+    referencing them — they are instead reclaimed by Spark's
+    ContextCleaner once the JVM Dataset becomes unreachable (Python GC →
+    py4j detach → JVM weak-ref → async unpersist).  A leak gate that
+    counts persistent RDDs immediately after ``release_caches()``
+    therefore false-positives on whatever checkpoint RDDs the cleaner
+    has not visited yet (it fired round-8 on an ISOLATED
+    ``graph_pagerank`` run — the full-battery runs passed only because
+    later queries gave the cleaner time).  This helper makes the gate
+    deterministic: force a Python collect + JVM ``System.gc()`` and poll
+    until the count reaches 0 or ``timeout_s`` elapses; anything still
+    alive after that IS a genuine leak (a strong reference someone
+    forgot to track)."""
+    import gc
+    import time
+
+    deadline = time.time() + timeout_s
+    while True:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        n = jvm_cached_count(spark)
+        if n == 0 or time.time() >= deadline:
+            return n
+        time.sleep(0.3)
+
+
 def jvm_cached_count(spark) -> int:
     """Number of persisted RDDs the JVM currently tracks — the ground
     truth the registry is audited against (tests/test_r7_ops.py,

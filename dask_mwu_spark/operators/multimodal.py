@@ -17,6 +17,13 @@ Codec status (round 5 — REAL decode, no third-party deps):
   signature→IEND per frame and every sampled frame goes through the REAL
   PNG decoder.  (A libav-style inter-frame codec is the one thing that
   still needs an injected ``decoder=`` on a real cluster.)
+- Video, STANDARD container (round 8): RIFF/AVI with uncompressed DIB
+  frames (BI_RGB, 8-bit grayscale or 24-bit BGR — what ffmpeg's
+  ``-c:v rawvideo`` muxes) via ``encode_avi`` / ``decode_avi``: full
+  chunk walk, BITMAPINFOHEADER parse, bottom-up row flip, 4-byte stride
+  strip, even-byte chunk padding, idx1 index.  This is the one video
+  container format both REAL (a spec-conformant file any player opens)
+  and fully decodable in this sandbox with zero third-party deps.
 ``decode_real`` parses image METADATA (PNG IHDR, JPEG SOFn, GIF LSD)
 without inflating pixels — the cheap audit path.  The original
 DETERMINISTIC FAKE decoder (md5-derived pseudo dimensions) remains as the
@@ -618,6 +625,222 @@ def split_png_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+# --------------------------------------------------------------------------
+# RIFF/AVI — a STANDARD real container format decodable with zero deps
+# (VERDICT r7 item 4): uncompressed DIB video (BI_RGB, 8-bit palettized
+# grayscale or 24-bit BGR), the classic rawvideo-in-AVI layout every
+# player and ffmpeg produce with `-c:v rawvideo`.  Same discipline as the
+# stdlib PNG/WAV codecs above: faithful container quirks (even-byte chunk
+# padding, bottom-up rows, 4-byte row stride, idx1 index) and loud
+# ValueErrors on malformed input.
+# --------------------------------------------------------------------------
+
+RIFF_SIG = b"RIFF"
+
+
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc + LE u32 size + data, padded to even length
+    (the RIFF rule — the pad byte is NOT counted in the size field)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _avi_list(list_type: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", list_type + body)
+
+
+def _dib_stride(width: int, bit_count: int) -> int:
+    """DIB rows pad to 4-byte boundaries: stride = ceil(w*bits/32)*4."""
+    return ((width * bit_count + 31) // 32) * 4
+
+
+def encode_avi(
+    frames: list[bytes], width: int, height: int, *, fps: int = 10
+) -> bytes:
+    """REAL RIFF/AVI container around uncompressed 8-bit grayscale DIB
+    frames.  Each input frame is ``width*height`` top-down grayscale
+    bytes; they are stored the way a real DIB stream stores them —
+    bottom-up row order, rows padded to 4-byte stride, a 256-entry
+    grayscale RGBQUAD palette in ``strf``, one ``00db`` chunk per frame,
+    and a full ``idx1`` keyframe index (offsets relative to the ``movi``
+    fourcc, first chunk at 4 — the convention every AVI muxer uses)."""
+    import struct
+
+    fb = width * height
+    for i, fr in enumerate(frames):
+        if len(fr) != fb:
+            raise ValueError(
+                f"frame {i}: expected {fb} bytes for {width}x{height}, "
+                f"got {len(fr)}"
+            )
+    stride = _dib_stride(width, 8)
+    frame_size = stride * height
+    # bottom-up + stride padding: the two DIB quirks a fake parser skips
+    dibs = [
+        b"".join(
+            fr[r * width : (r + 1) * width].ljust(stride, b"\x00")
+            for r in reversed(range(height))
+        )
+        for fr in frames
+    ]
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_size * fps,          # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        len(frames),               # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        frame_size,                # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,                # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sI2H8I4h",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,                # flags, prio, language, initialframes
+        1, fps,                    # dwScale / dwRate = frame period
+        0, len(frames),            # dwStart, dwLength (frames)
+        frame_size, 0, 0,          # bufsize, quality, samplesize
+        0, 0, width, height,       # rcFrame
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I",
+        40,                        # biSize (BITMAPINFOHEADER)
+        width, height,             # biHeight > 0 => bottom-up
+        1, 8,                      # biPlanes, biBitCount
+        0,                         # biCompression = BI_RGB (uncompressed)
+        frame_size,                # biSizeImage
+        0, 0,                      # pels-per-meter
+        256, 0,                    # biClrUsed, biClrImportant
+    ) + b"".join(bytes((g, g, g, 0)) for g in range(256))  # RGBQUAD b,g,r,0
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(
+            b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)
+        ),
+    )
+    movi_body = b"".join(_avi_chunk(b"00db", d) for d in dibs)
+    idx, off = [], 4
+    for d in dibs:
+        idx.append(struct.pack("<4s3I", b"00db", 0x10, off, len(d)))
+        off += 8 + len(d) + (len(d) % 2)
+    return _avi_chunk(
+        RIFF_SIG,
+        b"AVI "
+        + hdrl
+        + _avi_list(b"movi", movi_body)
+        + _avi_chunk(b"idx1", b"".join(idx)),
+    )
+
+
+def _avi_walk(buf: bytes, start: int, end: int):
+    """Yield (fourcc, data_start, data_size) for each chunk in
+    buf[start:end), honoring even-byte padding; loud on truncation."""
+    i = start
+    while i < end:
+        if i + 8 > end:
+            raise ValueError(f"corrupt AVI: truncated chunk header at {i}")
+        fourcc = buf[i : i + 4]
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        if i + 8 + size > end:
+            raise ValueError(
+                f"corrupt AVI: chunk {fourcc!r} at {i} overruns its parent"
+            )
+        yield fourcc, i + 8, size
+        i += 8 + size + (size % 2)
+
+
+def decode_avi(
+    payload: bytes, *, every_k: int = 1
+) -> tuple[int, int, int, bytes]:
+    """REAL RIFF/AVI decode, pure stdlib: chunk-walk the container, parse
+    the BITMAPINFOHEADER, and for every ``every_k``-th ``00db``/``00dc``
+    frame undo the two DIB quirks (bottom-up rows, 4-byte stride padding).
+    Supports the uncompressed (BI_RGB) layouts: 8-bit palettized
+    grayscale (n_channels=1) and 24-bit BGR (n_channels=3).  Returns
+    (width, height, n_channels, concatenated top-down pixel bytes of the
+    sampled frames).  Anything else — compressed codec, missing headers,
+    truncated/overrunning chunks, frame-size mismatch — raises ValueError
+    with the specific failure (a corrupt clip must stay distinguishable
+    from an unsupported one)."""
+    import struct
+
+    if payload[:4] != RIFF_SIG:
+        raise ValueError("not a RIFF file (bad signature)")
+    if len(payload) < 12:
+        raise ValueError("corrupt AVI: truncated RIFF header")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if 8 + riff_size > len(payload):
+        raise ValueError("corrupt AVI: RIFF size overruns the payload")
+    if payload[8:12] != b"AVI ":
+        raise ValueError(
+            f"RIFF file is not an AVI (form type {payload[8:12]!r})"
+        )
+    bmih = None
+    frames: list[bytes] = []
+    for fourcc, pos, size in _avi_walk(payload, 12, 8 + riff_size):
+        if fourcc != b"LIST":
+            continue
+        list_type = payload[pos : pos + 4]
+        if list_type == b"hdrl":
+            for f2, p2, s2 in _avi_walk(payload, pos + 4, pos + size):
+                if f2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    # only take the strf of a VIDEO stream — in a
+                    # multi-stream file an audio strl carries a
+                    # WAVEFORMATEX strf that must not be parsed as a
+                    # BITMAPINFOHEADER
+                    is_vids = False
+                    for f3, p3, s3 in _avi_walk(payload, p2 + 4, p2 + s2):
+                        if f3 == b"strh" and s3 >= 4:
+                            is_vids = payload[p3 : p3 + 4] == b"vids"
+                        elif (
+                            f3 == b"strf"
+                            and s3 >= 40
+                            and is_vids
+                            and bmih is None
+                        ):
+                            bmih = struct.unpack(
+                                "<I2i2H2I2i2I", payload[p3 : p3 + 40]
+                            )
+        elif list_type == b"movi":
+            for f2, p2, s2 in _avi_walk(payload, pos + 4, pos + size):
+                if f2[2:4] in (b"db", b"dc"):
+                    frames.append(payload[p2 : p2 + s2])
+    if bmih is None:
+        raise ValueError("corrupt AVI: no BITMAPINFOHEADER (strf) found")
+    _, width, height, _, bit_count, compression = bmih[:6]
+    if compression != 0:
+        raise ValueError(
+            f"unsupported AVI codec: biCompression={compression} "
+            "(only BI_RGB/uncompressed is stdlib-decodable)"
+        )
+    if bit_count not in (8, 24):
+        raise ValueError(f"unsupported DIB bit depth: {bit_count}")
+    if not frames:
+        raise ValueError("corrupt AVI: no movi frames")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = _dib_stride(width, bit_count)
+    row_bytes = width * (bit_count // 8)
+    out = []
+    for idx in range(0, len(frames), every_k):
+        d = frames[idx]
+        if len(d) != stride * height:
+            raise ValueError(
+                f"corrupt AVI: frame {idx} is {len(d)} bytes, expected "
+                f"{stride * height} for {width}x{height}@{bit_count}bpp"
+            )
+        rows = range(height - 1, -1, -1) if bottom_up else range(height)
+        out.append(
+            b"".join(d[r * stride : r * stride + row_bytes] for r in rows)
+        )
+    return width, height, bit_count // 8, b"".join(out)
+
+
 def resize_pixels(
     pixels: bytes, width: int, height: int, n_channels: int,
     dst_w: int, dst_h: int,
@@ -698,13 +921,20 @@ def _padded_bytes(text: str) -> bytes:
     return b + b" " * (PAYLOAD_BYTES - len(b))
 
 
-def attach_real_payload(docs: DataFrame) -> DataFrame:
+def attach_real_payload(
+    docs: DataFrame, *, video_format: str = "mjpng"
+) -> DataFrame:
     """documents → media table with GENUINE containers: the first 256
     text bytes (space-padded) become a real 16x16 grayscale PNG (filter
     type doc_id % 3 — exercises unfilter paths 0/1/2 in bulk), a real
-    mono 8-bit WAV, or a 4-frame 8x8 MJPNG video, by doc_id % 3 (same
-    kind assignment as :func:`attach_payload`).  mapInPandas scan-stage
+    mono 8-bit WAV, or a 4-frame 8x8 video, by doc_id % 3 (same kind
+    assignment as :func:`attach_payload`).  ``video_format`` picks the
+    video container: ``"mjpng"`` (concatenated real PNG frames) or
+    ``"avi"`` (a standard RIFF/AVI with uncompressed 8-bit DIB frames —
+    the round-8 stdlib real-container arm).  mapInPandas scan-stage
     transform: zero shuffle, encode cost is per-row."""
+    if video_format not in ("mjpng", "avi"):
+        raise ValueError(f"unknown video_format: {video_format!r}")
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -718,6 +948,12 @@ def attach_real_payload(docs: DataFrame) -> DataFrame:
                     )
                 elif kind == "audio":
                     payload = encode_wav(b)
+                elif video_format == "avi":
+                    fb = VID_W * VID_H
+                    payload = encode_avi(
+                        [b[f * fb : (f + 1) * fb] for f in range(VID_FRAMES)],
+                        VID_W, VID_H,
+                    )
                 else:
                     fb = VID_W * VID_H
                     payload = b"".join(
@@ -763,7 +999,11 @@ def real_decode_stats(
     """REAL end-to-end decode over genuine containers: PNG payloads go
     through chunk-walk → zlib inflate → unfilter, WAVs through the stdlib
     wave parser, MJPNG videos are frame-split and every ``every_k``-th
-    frame is PNG-decoded for real.  Emits per item
+    frame is PNG-decoded for real, and RIFF/AVI videos (round 8) go
+    through the stdlib uncompressed-DIB decoder (chunk walk →
+    BITMAPINFOHEADER → stride-strip + bottom-up flip, ``every_k``
+    sampling) — container dispatch is by signature, so MJPNG and AVI
+    payloads can share one table.  Emits per item
     ``(doc_id, media_type, width, height, n_channels, n_units,
     mean_value, content_md5)`` where mean_value is the exact mean of the
     decoded pixel/sample bytes (division by a power of two — exact in
@@ -815,11 +1055,24 @@ def real_decode_stats(
                             bytes(payload)
                         )
                     except Exception:
-                        if bytes(payload[:8]) != PNG_SIG:
+                        if bytes(payload[:8]) == PNG_SIG:
+                            width, height, c, content = _mjpng_decode(
+                                payload, every_k
+                            )
+                        elif bytes(payload[:4]) == RIFF_SIG:
+                            # uncompressed-DIB AVI is stdlib-decodable even
+                            # when the injected codec binary is absent on
+                            # the node; compressed AVIs re-raise inside
+                            # decode_avi with the real biCompression
+                            width, height, c, content = decode_avi(
+                                bytes(payload), every_k=every_k
+                            )
+                        else:
                             raise
-                        width, height, c, content = _mjpng_decode(
-                            payload, every_k
-                        )
+                elif bytes(payload[:4]) == RIFF_SIG:
+                    width, height, c, content = decode_avi(
+                        bytes(payload), every_k=every_k
+                    )
                 else:
                     width, height, c, content = _mjpng_decode(
                         payload, every_k

@@ -1174,3 +1174,145 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("word").asc())
         .limit(k)
     )
+
+
+BPE_EOW = "</w>"
+
+
+def bpe_train_merges(
+    docs: DataFrame, *, n_merges: int = 8, max_vocab: int | None = None
+) -> DataFrame:
+    """Learned byte-pair-encoding merge table (Sennrich, Haddow & Birch,
+    ACL 2016, Algorithm 1): (merge_rank, lhs, rhs, pair_count) — the
+    ``n_merges`` most frequent adjacent symbol pairs, learned greedily,
+    each round merging the winner everywhere before recounting.  The one
+    load-bearing tokenization op the battery lacked: its output drives
+    ``tokenize_ids``-style subword vocabularies instead of whole-word ones.
+
+    Paper-variant details (pinned so the oracle is exact):
+    - words are whitespace tokens (the shared ``tokens()`` generator,
+      consistent with ``build_vocab``/``tokenize_ids``), initialised as
+      character sequences plus a SEPARATE end-of-word symbol ``</w>``
+      (the paper's Algorithm 1 presentation, not subword-nmt's
+      attach-to-last-char variant);
+    - pair statistics count EVERY adjacent position (overlaps included:
+      ``aaaa`` contributes 3 to (a,a)), weighted by word frequency;
+    - the round winner is deterministic: (pair_count desc, lhs asc,
+      rhs asc) — a pinned tiebreak instead of subword-nmt's
+      lexicographically-greatest-pair ``max()``;
+    - the merge applies greedily LEFT-TO-RIGHT without re-examining the
+      freshly merged symbol (``aaaa`` + (a,a) -> ``aa aa``, not
+      ``aaa a``) — the same single-pass semantics as subword-nmt's
+      ``replace_pair``.
+
+    Scale design — the classic BPE trick is that after one corpus scan the
+    working set is the WORD-FREQUENCY table (vocabulary-sized, corpus-size
+    independent), and every round runs on it:
+    - one tokenize scan -> groupBy(word) builds (word, freq); each round
+      is then (a) a scan-stage zip-shift pair explode + map-side-combinable
+      groupBy on the (lhs, rhs) key — bounded by distinct pairs, uniform
+      by construction, (b) a 1-row TakeOrderedAndProject argmax (never a
+      global sort, never a driver collect), (c) a broadcast of that 1-row
+      winner cross-joined back so the re-segmentation fold runs as pure
+      codegen over the symbol arrays.  No driver-side data loop: the merge
+      table itself is built as a union of the per-round 1-row DataFrames.
+    - the greedy merge is an ordered ``aggregate`` fold per word —
+      per-row expression work, deterministic under any partitioning.
+    - FIXED ``n_merges`` rounds (the ``graph.pagerank`` discipline); the
+      vocab table is referenced twice per round (stats + re-segmentation),
+      so each round ``localCheckpoint``s it — eager, vocabulary-bounded,
+      and it truncates the doubly-referenced lineage that would otherwise
+      go exponential in the optimizer (see pagerank's notes).
+    - ``max_vocab``: at real corpus scale (100M+ distinct tokens) cap the
+      training table to the top ``max_vocab`` words by (freq desc, word
+      asc) — a bounded TakeOrderedAndProject, the standard
+      sample-bounded-training knob (same contract as the DSIR/Lloyd
+      trainers).  Default None trains exactly; the registered query uses
+      the exact path so the oracle is exact.
+
+    Cross-engine: the DuckDB twin re-implements the merge POSITIONALLY
+    (gaps-and-islands parity over matching positions) rather than as a
+    fold — an independent formulation of the same greedy-non-overlap
+    semantics, unrolled per round like the PageRank MATERIALIZED-CTE
+    oracle.  All counts are integers; no float folds anywhere.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    # Empty tokens (doubled/leading spaces in real corpora) are dropped:
+    # char-splitting "" gives [""] in Spark but [] in DuckDB's
+    # substr-walk, so keeping them would make the initial symbol table
+    # engine-dependent; a zero-length "word" carries no pairs anyway.
+    word_freq = (
+        tokens(docs)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_vocab is not None:
+        word_freq = word_freq.orderBy(
+            F.col("freq").desc(), F.col("word").asc()
+        ).limit(max_vocab)
+    vocab = word_freq.select(
+        F.concat(
+            F.split("word", ""), F.array(F.lit(BPE_EOW))
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+
+    rounds: list[DataFrame] = []
+    for r in range(n_merges):
+        n = F.size("syms")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", F.lit(1), n - 1).alias("lhs"),
+                    F.slice("syms", F.lit(2), n - 1).alias("rhs"),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .localCheckpoint()  # eager 1-row job; referenced twice below
+        )
+        rounds.append(
+            best.select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                "lhs",
+                "rhs",
+                F.col("pair_count").cast("long").alias("pair_count"),
+            )
+        )
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("lhs"))
+                & (s == F.col("rhs")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("lhs"), F.col("rhs"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(merged.alias("syms"), "freq")
+            .localCheckpoint()
+        )
+
+    out = rounds[0]
+    for m in rounds[1:]:
+        out = out.unionAll(m)
+    return out

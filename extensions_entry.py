@@ -419,6 +419,72 @@ cc AS (
 """
 )
 
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """Unrolled fixed-round BPE merge learning (Sennrich et al. 2016,
+    Algorithm 1) — the oracle twin of ``text.bpe_train_merges``.  Per
+    round: pair statistics over EVERY adjacent symbol position
+    (freq-weighted, overlaps included) -> deterministic 1-row argmax
+    (count desc, lhs asc, rhs asc) -> greedy left-to-right non-overlap
+    merge.  The merge here is POSITIONAL — gaps-and-islands parity over
+    matching positions (a run of consecutive matches merges at even
+    offsets only, exactly what a single left-to-right pass does) — an
+    independent formulation of the engine's ordered ``aggregate`` fold.
+    AS MATERIALIZED on every per-round CTE: each v{r} is referenced by
+    both the stats block and the merge block (the PageRank-oracle
+    inline-per-reference blowup otherwise).  Integer counts only."""
+    parts = ["""w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                     i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms
+  FROM w0
+)"""]
+    for r in range(n_merges):
+        parts.append(f""",
+b{r} AS MATERIALIZED (
+  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+    SELECT freq,
+           syms[CAST(unnest(range(1, len(syms))) AS INT)] AS lhs,
+           syms[CAST(unnest(range(1, len(syms))) AS INT) + 1] AS rhs
+    FROM v{r})
+  GROUP BY lhs, rhs
+  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+)""")
+        if r == n_merges - 1:
+            break
+        parts.append(f""",
+x{r} AS MATERIALIZED (
+  SELECT p.word, p.freq, p.i, p.syms[p.i] AS sym, b.lhs, b.rhs,
+         (p.i < len(p.syms) AND p.syms[p.i] = b.lhs
+          AND p.syms[p.i + 1] = b.rhs) AS mt
+  FROM (SELECT word, freq, syms,
+               CAST(unnest(range(1, len(syms) + 1)) AS INT) AS i
+        FROM v{r}) p, b{r} b
+),
+y{r} AS MATERIALIZED (
+  SELECT *, mt AND (i - MIN(i) OVER (PARTITION BY word, mt, isl)) % 2 = 0 AS kp
+  FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i) AS isl
+        FROM x{r})
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN kp THEN lhs || rhs ELSE sym END ORDER BY i)
+           FILTER (NOT dropped) AS syms
+  FROM (SELECT *, COALESCE(LAG(kp) OVER (PARTITION BY word ORDER BY i), FALSE)
+                    AS dropped FROM y{r})
+  GROUP BY word, freq
+)""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + "".join(parts) + "\n" + final
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -1413,6 +1479,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": lambda s, d: tx.winnow_fingerprints(_docs(s, d)),
         "text_vocab_topk": lambda s, d: tx.vocab_topk(_docs(s, d), k=20),
         "text_tfidf": lambda s, d: tx.tfidf_top_terms(_docs(s, d), k=3),
+        # round 8: learned BPE merges (Sennrich et al. 2016) — fixed-round
+        # greedy pair merging over the word-frequency table; oracle is the
+        # unrolled positional (islands-parity) twin
+        "text_bpe_merges": lambda s, d: tx.bpe_train_merges(
+            _docs(s, d), n_merges=8
+        ),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -1459,6 +1531,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from character arithmetic on the same text (ASCII corpus)
         "mm_real_decode_stats": lambda s, d: mm.real_decode_stats(
             mm.attach_real_payload(_docs(s, d)), every_k=2
+        ),
+        # round 8: same end-to-end real-decode contract, video arm through
+        # the STANDARD RIFF/AVI container (stdlib uncompressed-DIB codec)
+        "mm_avi_decode_stats": lambda s, d: mm.real_decode_stats(
+            mm.attach_real_payload(_docs(s, d), video_format="avi"),
+            every_k=2,
         ),
         "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
         "sim_lsh_multi_topk": lambda s, d: sim.lsh_multi_topk(_emb(s, d)),
@@ -2109,6 +2187,7 @@ pred AS (
 SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY lang, pred_lang
 """,
+        "text_bpe_merges": _bpe_merges_sql(8),
         "text_fingerprints": f"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams,
@@ -5366,4 +5445,10 @@ FROM r
 ORDER BY val DESC, c_custkey ASC
 LIMIT 20
 """
+    # round 8: the AVI arm round-trips the SAME padded text bytes through
+    # a different (standard RIFF/AVI, uncompressed-DIB) container, so the
+    # independent character-arithmetic oracle is identical to the MJPNG
+    # path's — decoded sampled content is frames 0 and 2 of the padded
+    # text either way; what changes is the REAL codec under test
+    o["mm_avi_decode_stats"] = o["mm_real_decode_stats"]
     return o

@@ -25,25 +25,33 @@ def test_rows_only_set_is_exactly_the_documented_two():
 
 
 def test_priority_tier_is_50_entries_rows_only_last():
-    """Round-6 tier contract (VERDICT r5 item 1): the 50-slot tier ends
-    with the two documented rows-only entries (their weaker rows-only
-    driver rows close the ledger in one rotation); every other tier slot
-    is oracle-backed so the driver's hash compare does real work."""
+    """Tier contract, rotation-agnostic form (the r6 one-time
+    ledger-closing shape pinned the rows-only pair at tier end; from the
+    r8 freshness rotation on, the tier re-attests the STALEST queries,
+    which the rows-only pair — attested r7 — need not be): exactly 50
+    entries; every slot is either oracle-backed (the driver's hash
+    compare does real work) or one of the documented ROWS_ONLY pair; and
+    any ROWS_ONLY entries that ARE in the tier sit at its end so they
+    never displace an oracle-backed slot ordering decision."""
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     first50 = list(qs)[:50]
     assert len(first50) == 50
-    assert set(first50[-len(ROWS_ONLY):]) == ROWS_ONLY
-    assert all(name in os_ for name in first50[: -len(ROWS_ONLY)])
+    in_tier_rows_only = [n for n in first50 if n in ROWS_ONLY]
+    assert all(
+        name in os_ or name in ROWS_ONLY for name in first50
+    ), [n for n in first50 if n not in os_ and n not in ROWS_ONLY]
+    if in_tier_rows_only:
+        assert first50[-len(in_tier_rows_only):] == in_tier_rows_only
 
 
 def test_everything_past_the_tier_is_oracle_backed():
-    """With both rows-only entries spent inside the tier, the dict tail
-    must be 100% oracle-backed — a new rows-only query can only appear
-    by being added to the documented ROWS_ONLY set."""
+    """The dict tail must be oracle-backed except for the documented
+    ROWS_ONLY pair — a NEW rows-only query can only appear by being
+    added to the documented set (which the exact-set test above pins)."""
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     rest = list(qs)[50:]
-    assert all(name in os_ for name in rest), [
-        n for n in rest if n not in os_
+    assert all(name in os_ or name in ROWS_ONLY for name in rest), [
+        n for n in rest if n not in os_ and n not in ROWS_ONLY
     ]
 
 

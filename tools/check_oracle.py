@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from dask_mwu_spark import release_caches  # noqa: E402
-from dask_mwu_spark.cache import jvm_cached_count  # noqa: E402
+from dask_mwu_spark.cache import gc_reclaim  # noqa: E402
 from dask_mwu_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -175,7 +175,11 @@ def main() -> int:
         else:
             print(f"ok   {name}: exact match ({len(sdf)} rows, {time.time()-t0:.1f}s)")
     release_caches()
-    leftover = jvm_cached_count(spark)
+    # localCheckpoint intermediates are reclaimed by the ASYNC
+    # ContextCleaner, not by release_caches() — drain that path before
+    # counting, or the gate false-positives on whichever checkpoint RDDs
+    # the cleaner has not visited yet (see cache.gc_reclaim docstring)
+    leftover = gc_reclaim(spark)
     if leftover:
         failures += 1
         print(

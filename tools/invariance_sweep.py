@@ -71,7 +71,7 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
     session between them (one SparkContext per process)."""
     import __spark_entry__ as entrymod
     from dask_mwu_spark import release_caches
-    from dask_mwu_spark.cache import jvm_cached_count
+    from dask_mwu_spark.cache import gc_reclaim
     from dask_mwu_spark.session import get_spark
 
     cfg = REGIMES[regime]
@@ -105,7 +105,9 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
         # continuous leak test.
         release_caches()
     release_caches()
-    leftover = jvm_cached_count(spark)
+    # drain the async ContextCleaner path for localCheckpoint
+    # intermediates before counting (see cache.gc_reclaim docstring)
+    leftover = gc_reclaim(spark)
     assert leftover == 0, (
         f"cache leak: {leftover} persistent RDDs remain in the JVM after "
         "release_caches() — an operator persisted outside tracked_persist"
