@@ -1229,6 +1229,17 @@ def bpe_train_merges(
       sample-bounded-training knob (same contract as the DSIR/Lloyd
       trainers).  Default None trains exactly; the registered query uses
       the exact path so the oracle is exact.
+    - Large-``n_merges`` regime (production BPE learns 32k-100k merges):
+      each round is one small Spark job over the vocabulary-bounded
+      table, so wall-clock is dominated by per-round scheduling, not
+      data.  The corpus-scale work is the ONE tokenize scan that builds
+      the word-frequency table; past a few hundred merges the standard
+      move (what subword-nmt itself does after its counting pass) is to
+      collect that bounded table and run the merge loop driver-side or
+      on a single worker — same merges by construction, since this
+      implementation's semantics are pinned to the sequential algorithm.
+      This operator keeps every round distributed so the learned table
+      is exactly oracle-checkable end to end.
 
     Cross-engine: the DuckDB twin re-implements the merge POSITIONALLY
     (gaps-and-islands parity over matching positions) rather than as a
