@@ -79,7 +79,7 @@ def tracked_count() -> int:
     return len(_TRACKED)
 
 
-def gc_reclaim(spark, *, timeout_s: float = 15.0) -> int:
+def gc_reclaim(spark, *, timeout_s: float = 30.0) -> int:
     """Drive the ASYNC reclaim path for checkpoint intermediates, then
     return the JVM persistent-RDD count (0 = fully reclaimed).
 
@@ -102,10 +102,17 @@ def gc_reclaim(spark, *, timeout_s: float = 15.0) -> int:
     import gc
     import time
 
+    jvm = spark.sparkContext._jvm
     deadline = time.time() + timeout_s
     while True:
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        jvm.System.gc()
+        # weak refs enqueue at the GC that clears the referent; the
+        # finalization pass plus a second GC catches referents that only
+        # became unreachable DURING the first cycle (py4j detach landing
+        # between the collect and the gc)
+        jvm.System.runFinalization()
+        jvm.System.gc()
         n = jvm_cached_count(spark)
         if n == 0 or time.time() >= deadline:
             return n

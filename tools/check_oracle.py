@@ -138,6 +138,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -148,6 +149,13 @@ def main() -> int:
         # run doubles as a leak test (asserted against the JVM after the
         # loop).
         release_caches()
+        # also drain the checkpoint-RDD reclaim path periodically: a full
+        # 200+-query backlog left the END-OF-RUN drain 4 RDDs short of
+        # converging inside its budget in one sf0.1 run (probe-verified:
+        # per-query drains end at exactly 0), so keep the backlog small
+        n_run += 1
+        if n_run % 10 == 0:
+            gc_reclaim(spark, timeout_s=2.0)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
