@@ -141,12 +141,15 @@ def main() -> None:
     line, detail = format_bench_output(timings, sf, n_runs, samples)
     # spread + raw samples go to a sidecar file, NOT stdout: stdout stays
     # exactly ONE compact line so the driver's tail capture keeps it whole
+    # print FIRST: the stdout line is the primary artifact the driver
+    # records — a failed sidecar write (read-only checkout, full disk)
+    # must not lose the benchmark after all queries already ran
+    print(line)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    print(line)
     spark.stop()
 
 
@@ -170,11 +173,15 @@ def format_bench_output(
         "runs_per_query": n_runs,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    assert len(line) <= TAIL_CAPTURE_BUDGET, (
-        f"bench stdout line is {len(line)} chars > {TAIL_CAPTURE_BUDGET}; "
-        "the driver's tail capture would truncate it — trim BENCH_QUERIES "
-        "or split the emission"
-    )
+    if len(line) > TAIL_CAPTURE_BUDGET:
+        # explicit raise, not `assert`: python -O would strip an assert
+        # and silently reintroduce the exact truncation this guard exists
+        # to make loud (BENCH_r07.json lost 11 medians that way)
+        raise AssertionError(
+            f"bench stdout line is {len(line)} chars > {TAIL_CAPTURE_BUDGET}; "
+            "the driver's tail capture would truncate it — trim BENCH_QUERIES "
+            "or split the emission"
+        )
     detail = dict(payload)
     if samples is not None:
         detail["spread"] = {

@@ -781,18 +781,32 @@ def decode_avi(
             f"RIFF file is not an AVI (form type {payload[8:12]!r})"
         )
     bmih = None
+    vid_stream = None  # stream NUMBER of the first vids strl (strl order)
     frames: list[bytes] = []
+
+    def _collect_frames(start: int, end: int, want: bytes) -> None:
+        # interleaved AVIs group chunks inside 'LIST rec ' — recurse one
+        # level; frame ids are '<nn>db'/'<nn>dc' where <nn> is the
+        # stream number, so a second stream's frames must not leak in
+        for f2, p2, s2 in _avi_walk(payload, start, end):
+            if f2 == b"LIST" and payload[p2 : p2 + 4] == b"rec ":
+                _collect_frames(p2 + 4, p2 + s2, want)
+            elif f2[:2] == want and f2[2:4] in (b"db", b"dc"):
+                frames.append(payload[p2 : p2 + s2])
+
     for fourcc, pos, size in _avi_walk(payload, 12, 8 + riff_size):
         if fourcc != b"LIST":
             continue
         list_type = payload[pos : pos + 4]
         if list_type == b"hdrl":
+            stream_no = -1
             for f2, p2, s2 in _avi_walk(payload, pos + 4, pos + size):
                 if f2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
-                    # only take the strf of a VIDEO stream — in a
-                    # multi-stream file an audio strl carries a
-                    # WAVEFORMATEX strf that must not be parsed as a
-                    # BITMAPINFOHEADER
+                    # stream numbers are assigned by strl ORDER; only the
+                    # first VIDEO stream's strf is a BITMAPINFOHEADER (an
+                    # audio strl carries a WAVEFORMATEX that must not be
+                    # parsed as one) and only ITS '<nn>db' chunks decode
+                    stream_no += 1
                     is_vids = False
                     for f3, p3, s3 in _avi_walk(payload, p2 + 4, p2 + s2):
                         if f3 == b"strh" and s3 >= 4:
@@ -806,10 +820,13 @@ def decode_avi(
                             bmih = struct.unpack(
                                 "<I2i2H2I2i2I", payload[p3 : p3 + 40]
                             )
+                            vid_stream = stream_no
         elif list_type == b"movi":
-            for f2, p2, s2 in _avi_walk(payload, pos + 4, pos + size):
-                if f2[2:4] in (b"db", b"dc"):
-                    frames.append(payload[p2 : p2 + s2])
+            if vid_stream is None:
+                raise ValueError(
+                    "corrupt AVI: movi list before any video stream header"
+                )
+            _collect_frames(pos + 4, pos + size, b"%02d" % vid_stream)
     if bmih is None:
         raise ValueError("corrupt AVI: no BITMAPINFOHEADER (strf) found")
     _, width, height, _, bit_count, compression = bmih[:6]

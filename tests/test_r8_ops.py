@@ -312,6 +312,43 @@ def test_avi_multistream_takes_video_strf_not_audio():
     avih_chunk = good[hdrl_pos + 4 : avih_end]
     video_strl = good[avih_end : good.find(b"LIST", avih_end + 4)]
     movi_on = good[good.find(b"LIST", avih_end + 4) :]
+    # with audio spliced in as stream 0, the video stream becomes stream
+    # 1 — a real muxer numbers movi chunk ids by strl order, so the
+    # video frames must be '01db' for the file to stay spec-consistent
+    movi_on = movi_on.replace(b"00db", b"01db")
     hdrl = _avi_list(b"hdrl", avih_chunk + audio_strl + video_strl)
     spliced = _avi_chunk(b"RIFF", b"AVI " + hdrl + movi_on)
     assert decode_avi(spliced) == (8, 8, 1, frames[0])
+
+
+def test_avi_interleaved_rec_lists_and_stream_filter():
+    """Spec-valid layouts the first parser rejected (review r8): frames
+    grouped inside 'LIST rec ' (classic interleaved AVI) decode, and a
+    second stream's '01db' chunks are excluded rather than interleaved
+    into the video sequence."""
+    from dask_mwu_spark.operators.multimodal import (
+        _avi_chunk,
+        _avi_list,
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [bytes((i * 11 + j) % 256 for j in range(64)) for i in range(2)]
+    good = encode_avi(frames, 8, 8)
+    # keep the real file's hdrl; rebuild the movi with rec groupings
+    movi_pos = good.find(b"movi")
+    hdrl_start = good.find(b"LIST")
+    movi_list_start = good.rfind(b"LIST", 0, movi_pos)
+    hdrl_blob = good[hdrl_start:movi_list_start]
+
+    def dib(fr: bytes) -> bytes:  # 8x8 8-bit rows are stride-exact
+        return b"".join(fr[r * 8 : (r + 1) * 8] for r in reversed(range(8)))
+
+    rec_movi = _avi_list(
+        b"movi",
+        _avi_list(b"rec ", _avi_chunk(b"00db", dib(frames[0]))
+                  + _avi_chunk(b"01db", bytes(64)))       # foreign stream
+        + _avi_list(b"rec ", _avi_chunk(b"00db", dib(frames[1]))),
+    )
+    rebuilt = _avi_chunk(b"RIFF", b"AVI " + hdrl_blob + rec_movi)
+    assert decode_avi(rebuilt) == (8, 8, 1, frames[0] + frames[1])

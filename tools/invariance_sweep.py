@@ -114,10 +114,12 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
     # drain the async ContextCleaner path for localCheckpoint
     # intermediates before counting (see cache.gc_reclaim docstring)
     leftover = gc_reclaim(spark)
-    assert leftover == 0, (
-        f"cache leak: {leftover} persistent RDDs remain in the JVM after "
-        "release_caches() — an operator persisted outside tracked_persist"
-    )
+    if leftover:
+        # explicit raise, not `assert`: python -O would strip the gate
+        raise AssertionError(
+            f"cache leak: {leftover} persistent RDDs remain in the JVM after "
+            "release_caches() — an operator persisted outside tracked_persist"
+        )
     spark.stop()
     return hashes
 
