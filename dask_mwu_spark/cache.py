@@ -139,3 +139,28 @@ def jvm_cached_count(spark) -> int:
     (``_jsc.sc().getPersistentRDDs()``); kept here as the single source
     of truth so a Spark-internal rename is a one-line fix."""
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def jvm_leaked_count(spark) -> int:
+    """Persistent RDDs that are NOT localCheckpoint intermediates — the
+    quantity the harness leak gates assert to zero.
+
+    The distinction is the two lifetime contracts: a non-checkpoint
+    persist surviving ``release_caches()`` means an operator persisted
+    OUTSIDE ``tracked_persist`` — a real registry leak.  A
+    ``localCheckpoint`` RDD, by contrast, lives in Spark's WEAK-VALUED
+    ``persistentRdds`` map and lingers only until the JVM collects the
+    Dataset that references it — traced round 8: the count can stay
+    pinned for 18-30s under explicit-GC hammering and then drop all at
+    once, timing that varies run to run (py4j detach batching + JVM GC
+    scheduling).  Gating on it made the battery gates flaky; gating on
+    the non-checkpoint count tests the actual contract and is
+    deterministic.  (Checkpoint blocks are still reclaimed: the
+    ContextCleaner unpersists them as the JVM GCs, and gc_reclaim
+    accelerates that for tests that need the full drain.)"""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    n = 0
+    while it.hasNext():
+        if not it.next()._2().isLocallyCheckpointed():
+            n += 1
+    return n

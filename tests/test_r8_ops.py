@@ -131,18 +131,16 @@ def test_bpe_max_vocab_caps_training_table(spark):
     assert (capped[0].lhs, capped[0].rhs, capped[0].pair_count) == ("x", "y", 3)
 
 
-def test_gc_reclaim_drains_checkpoint_rdds(spark):
-    """Round-8 gate fix: localCheckpoint intermediates are reclaimed by
-    the async ContextCleaner, not release_caches(); gc_reclaim must drive
-    that path to zero so the harness leak gates are deterministic (an
-    isolated graph_pagerank run false-positived before)."""
-    from dask_mwu_spark.cache import gc_reclaim
+def test_leak_gate_ignores_checkpoints_counts_untracked_persists(spark):
+    """Round-8 gate contract: the leak gates assert zero NON-checkpoint
+    persistent RDDs (the tracked_persist registry contract).  A
+    localCheckpoint intermediate must NOT count (it lingers on JVM GC
+    timing — traced 18-30s holds that made count-based gates flaky),
+    while a genuinely untracked persist MUST."""
+    from dask_mwu_spark.cache import gc_reclaim, jvm_leaked_count
     from dask_mwu_spark.operators.text import bpe_train_merges
 
-    # baseline-relative: in the full suite, OTHER tests may legitimately
-    # hold persisted DataFrames alive (session-scoped fixtures), which
-    # gc_reclaim correctly refuses to count as reclaimed
-    baseline = gc_reclaim(spark)
+    baseline = jvm_leaked_count(spark)
     docs = spark.createDataFrame(
         [(i, "low lower newest widest") for i in range(10)],
         ["doc_id", "text"],
@@ -150,7 +148,19 @@ def test_gc_reclaim_drains_checkpoint_rdds(spark):
     res = bpe_train_merges(docs, n_merges=3).toPandas()
     assert len(res) == 3
     del res
-    assert gc_reclaim(spark) == baseline
+    # checkpoint RDDs from the trainer may still be draining; the gate
+    # quantity is unaffected by them
+    assert jvm_leaked_count(spark) == baseline
+    # an untracked persist IS counted...
+    leak = spark.range(100).persist()
+    leak.count()
+    assert jvm_leaked_count(spark) == baseline + 1
+    # ...until released
+    leak.unpersist()
+    assert jvm_leaked_count(spark) == baseline
+    # and gc_reclaim still drives the checkpoint drain (bounded wait,
+    # no exact-count assertion — that timing is the flake we removed)
+    gc_reclaim(spark, timeout_s=2.0)
 
 
 # ---------------------------------------------------------------------------

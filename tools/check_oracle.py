@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from dask_mwu_spark import release_caches  # noqa: E402
-from dask_mwu_spark.cache import gc_reclaim  # noqa: E402
+from dask_mwu_spark.cache import gc_reclaim, jvm_leaked_count  # noqa: E402
 from dask_mwu_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -183,17 +183,20 @@ def main() -> int:
         else:
             print(f"ok   {name}: exact match ({len(sdf)} rows, {time.time()-t0:.1f}s)")
     release_caches()
-    # localCheckpoint intermediates are reclaimed by the ASYNC
-    # ContextCleaner, not by release_caches() — drain that path before
-    # counting, or the gate false-positives on whichever checkpoint RDDs
-    # the cleaner has not visited yet (see cache.gc_reclaim docstring)
-    leftover = gc_reclaim(spark)
-    if leftover:
+    # the leak gate asserts the REGISTRY contract: zero persistent RDDs
+    # that are not localCheckpoint intermediates.  Checkpoint RDDs live
+    # in Spark's weak-valued persistentRdds map and linger on JVM GC
+    # timing (traced r8: 18-30s holds varying run to run — gating on
+    # them was flaky); they are excluded via isLocallyCheckpointed, and
+    # the short drain still bounds their block footprint
+    gc_reclaim(spark, timeout_s=5.0)
+    leaked = jvm_leaked_count(spark)
+    if leaked:
         failures += 1
         print(
-            f"FAIL cache-leak: {leftover} persistent RDDs remain in the JVM "
-            "after release_caches() — an operator persisted outside "
-            "tracked_persist"
+            f"FAIL cache-leak: {leaked} non-checkpoint persistent RDDs "
+            "remain in the JVM after release_caches() — an operator "
+            "persisted outside tracked_persist"
         )
     spark.stop()
     print("FAILURES:", failures)

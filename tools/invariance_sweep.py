@@ -71,7 +71,7 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
     session between them (one SparkContext per process)."""
     import __spark_entry__ as entrymod
     from dask_mwu_spark import release_caches
-    from dask_mwu_spark.cache import gc_reclaim
+    from dask_mwu_spark.cache import gc_reclaim, jvm_leaked_count
     from dask_mwu_spark.session import get_spark
 
     cfg = REGIMES[regime]
@@ -111,14 +111,16 @@ def _run_pass(regime: str, sf_dir: str, only: set[str]) -> dict[str, str]:
         if n_run % 10 == 0:
             gc_reclaim(spark, timeout_s=2.0)
     release_caches()
-    # drain the async ContextCleaner path for localCheckpoint
-    # intermediates before counting (see cache.gc_reclaim docstring)
-    leftover = gc_reclaim(spark)
-    if leftover:
+    # gate on NON-checkpoint persists only (the registry contract);
+    # checkpoint RDDs linger on JVM GC timing — see tools/check_oracle.py
+    gc_reclaim(spark, timeout_s=5.0)
+    leaked = jvm_leaked_count(spark)
+    if leaked:
         # explicit raise, not `assert`: python -O would strip the gate
         raise AssertionError(
-            f"cache leak: {leftover} persistent RDDs remain in the JVM after "
-            "release_caches() — an operator persisted outside tracked_persist"
+            f"cache leak: {leaked} non-checkpoint persistent RDDs remain in "
+            "the JVM after release_caches() — an operator persisted outside "
+            "tracked_persist"
         )
     spark.stop()
     return hashes
