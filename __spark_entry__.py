@@ -1037,9 +1037,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-attested green row across rounds 1-7), so this round the
         # 50-slot tier re-attests the STALEST entries — oldest last-green
         # round first — to keep the closed ledger from silently rotting.
-        # First the two queries REGISTERED this round (no attestation at
-        # all yet): learned BPE merges and the stdlib RIFF/AVI decode arm.
-        "text_bpe_merges", "mm_avi_decode_stats",
+        # First the three queries REGISTERED this round (no attestation
+        # at all yet): learned BPE merges, their apply twin, and the
+        # stdlib RIFF/AVI decode arm.
+        "text_bpe_merges", "text_bpe_segments", "mm_avi_decode_stats",
         # --- last driver-attested in round 1 (4) ---
         "dedup_simhash", "mm_decode_meta", "mm_resize_plan",
         "mm_sample_frames",
@@ -1050,9 +1051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_grouping_sets", "orders_top_revenue", "events_enriched",
         "orders_cdc_apply", "audit_lineitem_nulls", "audit_orders_keys",
         "events_pivot", "events_window_rank", "lineitem_unpivot",
-        # --- last driver-attested in round 3 (26 of 27; cur_classifier
-        # is the one r3 entry that did not fit the 50 slots — it leads
-        # the round-9 rotation) ---
+        # --- last driver-attested in round 3 (25 of 27; cur_classifier
+        # and cur_hash_split are the two r3 entries that did not fit the
+        # 50 slots — they lead the round-9 rotation) ---
         "mwu_distinct_groups", "mwu_group_sizes", "mwu_tie_term",
         "mwu_rank_sum", "mwu_u_stat", "mwu_z_score", "mwu_group_means",
         "mwu_logfoldchange", "mwu_bh_adjust", "events_asof_join",
@@ -1061,7 +1062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf", "dedup_exact", "dedup_minhash_signatures",
         "dedup_components", "mm_features", "events_funnel",
         "events_cohort", "events_resample", "cur_contamination",
-        "cur_hash_split",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

@@ -1264,7 +1264,19 @@ def bpe_train_merges(
         word_freq = word_freq.orderBy(
             F.col("freq").desc(), F.col("word").asc()
         ).limit(max_vocab)
+    merges, _vocab = _bpe_train(word_freq, n_merges)
+    return merges
+
+
+def _bpe_train(
+    word_freq: DataFrame, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE training loop over a (word, freq) table: returns
+    (merge_table, final_vocab) where final_vocab is (word, syms, freq)
+    with ``syms`` the word's segmentation AFTER all ``n_merges`` merges.
+    See :func:`bpe_train_merges` for the algorithm/scale contract."""
     vocab = word_freq.select(
+        "word",
         F.concat(
             F.split("word", ""), F.array(F.lit(BPE_EOW))
         ).alias("syms"),
@@ -1319,11 +1331,56 @@ def bpe_train_merges(
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
-            .select(merged.alias("syms"), "freq")
+            .select("word", merged.alias("syms"), "freq")
             .localCheckpoint()
         )
 
     out = rounds[0]
     for m in rounds[1:]:
         out = out.unionAll(m)
-    return out
+    return out, vocab
+
+
+def bpe_segment_words(
+    docs: DataFrame, *, n_merges: int = 8, max_vocab: int | None = None
+) -> DataFrame:
+    """Apply the learned BPE merges back to the vocabulary — the second
+    half of the tokenizer: (word, pos, subword, freq) with ``pos`` the
+    0-based subword position and ``freq`` the word's corpus frequency.
+    ``SUM(freq) GROUP BY subword`` is the subword-vocabulary frequency
+    table; joining ``tokens()`` on word carries the segmentation to the
+    corpus without ever re-walking document text (the same
+    dictionary-encode-then-broadcast shape as ``tokenize_ids``).
+
+    Training and application share one loop (``_bpe_train``), so the
+    segmentation is BY CONSTRUCTION the greedy left-to-right application
+    of the learned merge sequence in rank order — no drift between the
+    trainer's internal state and a separate re-application pass (the
+    classic subword-nmt learn/apply mismatch class).  Same scale
+    contract as :func:`bpe_train_merges`: the working set after the one
+    tokenize scan is the vocabulary-bounded word table; the posexplode
+    output stays vocabulary-bounded (words x subwords-per-word).
+    Deterministic: everything derives from the pinned trainer.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    word_freq = (
+        tokens(docs)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_vocab is not None:
+        word_freq = word_freq.orderBy(
+            F.col("freq").desc(), F.col("word").asc()
+        ).limit(max_vocab)
+    _merges, vocab = _bpe_train(word_freq, n_merges)
+    return vocab.select(
+        "word",
+        F.posexplode("syms").alias("pos", "subword"),
+        "freq",
+    ).select(
+        "word", F.col("pos").cast("long").alias("pos"), "subword",
+        F.col("freq").cast("long").alias("freq"),
+    )

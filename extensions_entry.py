@@ -419,7 +419,7 @@ cc AS (
 """
 )
 
-def _bpe_merges_sql(n_merges: int = 8) -> str:
+def _bpe_merges_sql(n_merges: int = 8, *, segments: bool = False) -> str:
     """Unrolled fixed-round BPE merge learning (Sennrich et al. 2016,
     Algorithm 1) — the oracle twin of ``text.bpe_train_merges``.  Per
     round: pair statistics over EVERY adjacent symbol position
@@ -431,7 +431,13 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
     independent formulation of the engine's ordered ``aggregate`` fold.
     AS MATERIALIZED on every per-round CTE: each v{r} is referenced by
     both the stats block and the merge block (the PageRank-oracle
-    inline-per-reference blowup otherwise).  Integer counts only."""
+    inline-per-reference blowup otherwise).  Integer counts only.
+
+    ``segments=True`` emits the APPLY twin instead: the same unrolled
+    training chain carried through all rounds, finally unnesting
+    v{n_merges} into (word, pos, subword, freq) — the oracle for
+    ``text.bpe_segment_words`` (train and apply share the chain exactly
+    as the engine shares ``_bpe_train``)."""
     parts = ["""w0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -454,7 +460,7 @@ b{r} AS MATERIALIZED (
   GROUP BY lhs, rhs
   ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 )""")
-        if r == n_merges - 1:
+        if r == n_merges - 1 and not segments:
             break
         parts.append(f""",
 x{r} AS MATERIALIZED (
@@ -478,10 +484,17 @@ v{r + 1} AS MATERIALIZED (
                     AS dropped FROM y{r})
   GROUP BY word, freq
 )""")
-    final = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM b{r}"
-        for r in range(n_merges)
-    )
+    if segments:
+        final = f"""SELECT word, CAST(i - 1 AS BIGINT) AS pos,
+       syms[CAST(i AS INT)] AS subword, freq
+FROM (SELECT word, freq, syms,
+             CAST(unnest(range(1, len(syms) + 1)) AS INT) AS i
+      FROM v{n_merges})"""
+    else:
+        final = "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM b{r}"
+            for r in range(n_merges)
+        )
     return "WITH " + "".join(parts) + "\n" + final
 
 
@@ -1485,6 +1498,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": lambda s, d: tx.bpe_train_merges(
             _docs(s, d), n_merges=8
         ),
+        # the APPLY twin: learned merges segmented back onto the vocab
+        "text_bpe_segments": lambda s, d: tx.bpe_segment_words(
+            _docs(s, d), n_merges=8
+        ),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -2188,6 +2205,7 @@ SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY lang, pred_lang
 """,
         "text_bpe_merges": _bpe_merges_sql(8),
+        "text_bpe_segments": _bpe_merges_sql(8, segments=True),
         "text_fingerprints": f"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams,

@@ -362,3 +362,29 @@ def test_avi_interleaved_rec_lists_and_stream_filter():
     )
     rebuilt = _avi_chunk(b"RIFF", b"AVI " + hdrl_blob + rec_movi)
     assert decode_avi(rebuilt) == (8, 8, 1, frames[0] + frames[1])
+
+
+def test_bpe_segment_words_matches_paper_segmentations(spark):
+    """The apply twin: after the paper's 5 merges (es, est, est</w>, lo,
+    low), the four vocabulary words segment exactly as Sennrich et al.'s
+    example implies — including 'lower' reusing the (lo, w) merge learned
+    from 'low'."""
+    from dask_mwu_spark.operators.text import bpe_segment_words
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    rows = bpe_segment_words(docs, n_merges=5).collect()
+    segs: dict[str, list[str]] = {}
+    freqs: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r.word, r.pos)):
+        segs.setdefault(r.word, []).append(r.subword)
+        freqs[r.word] = r.freq
+    assert segs == {
+        "low": ["low", "</w>"],
+        "lower": ["low", "e", "r", "</w>"],
+        "newest": ["n", "e", "w", "est</w>"],
+        "widest": ["w", "i", "d", "est</w>"],
+    }
+    assert freqs == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
