@@ -157,7 +157,15 @@ def jvm_leaked_count(spark) -> int:
     the non-checkpoint count tests the actual contract and is
     deterministic.  (Checkpoint blocks are still reclaimed: the
     ContextCleaner unpersists them as the JVM GCs, and gc_reclaim
-    accelerates that for tests that need the full drain.)"""
+    accelerates that for tests that need the full drain.)
+
+    Acknowledged trade-off (review r8): a checkpointed DataFrame held
+    STRONGLY forever (e.g. a module-global) would pin its blocks and be
+    invisible to this gate.  That pattern does not exist in the package
+    (operators hold no module-level DataFrame state — grep-audited) and
+    is kept out by review; the alternative (counting checkpoints) was
+    demonstrably flaky on GC timing, which is worse than the narrowed
+    scope."""
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
     n = 0
     while it.hasNext():

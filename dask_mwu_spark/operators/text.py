@@ -1250,10 +1250,19 @@ def bpe_train_merges(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    # Empty tokens (doubled/leading spaces in real corpora) are dropped:
-    # char-splitting "" gives [""] in Spark but [] in DuckDB's
-    # substr-walk, so keeping them would make the initial symbol table
-    # engine-dependent; a zero-length "word" carries no pairs anyway.
+    merges, _vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
+    return merges
+
+
+def _bpe_word_freq(docs: DataFrame, max_vocab: int | None) -> DataFrame:
+    """Shared (word, freq) builder for the BPE train/apply pair — ONE
+    implementation so the empty-token filter and the max_vocab tiebreak
+    cannot diverge between them (review r8).
+
+    Empty tokens (doubled/leading spaces in real corpora) are dropped:
+    char-splitting "" gives [""] in Spark but [] in DuckDB's
+    substr-walk, so keeping them would make the initial symbol table
+    engine-dependent; a zero-length "word" carries no pairs anyway."""
     word_freq = (
         tokens(docs)
         .filter(F.col("word") != "")
@@ -1264,8 +1273,7 @@ def bpe_train_merges(
         word_freq = word_freq.orderBy(
             F.col("freq").desc(), F.col("word").asc()
         ).limit(max_vocab)
-    merges, _vocab = _bpe_train(word_freq, n_merges)
-    return merges
+    return word_freq
 
 
 def _bpe_train(
@@ -1308,6 +1316,16 @@ def _bpe_train(
             .limit(1)
             .localCheckpoint()  # eager 1-row job; referenced twice below
         )
+        if best.rdd.isEmpty():
+            # pairs exhausted before n_merges rounds (tiny vocab / huge
+            # n_merges): every word is one symbol, nothing left to merge.
+            # STOP — the crossJoin below would annihilate the vocabulary
+            # (0-row best x vocab = 0 rows) and lose every segmentation
+            # (review r8).  The merge table simply has fewer rows; the
+            # oracle agrees because its per-round merge is a LEFT join
+            # that no-ops on an empty b{r}.  isEmpty on the checkpointed
+            # 0/1-row table is a cached lookup, not a recompute.
+            break
         rounds.append(
             best.select(
                 F.lit(r).cast("long").alias("merge_rank"),
@@ -1335,6 +1353,12 @@ def _bpe_train(
             .localCheckpoint()
         )
 
+    if not rounds:
+        # empty corpus: no words, no pairs, round 0 already exhausted
+        empty = vocab.sparkSession.createDataFrame(
+            [], "merge_rank long, lhs string, rhs string, pair_count long"
+        )
+        return empty, vocab
     out = rounds[0]
     for m in rounds[1:]:
         out = out.unionAll(m)
@@ -1365,17 +1389,7 @@ def bpe_segment_words(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    word_freq = (
-        tokens(docs)
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    if max_vocab is not None:
-        word_freq = word_freq.orderBy(
-            F.col("freq").desc(), F.col("word").asc()
-        ).limit(max_vocab)
-    _merges, vocab = _bpe_train(word_freq, n_merges)
+    _merges, vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
     return vocab.select(
         "word",
         F.posexplode("syms").alias("pos", "subword"),

@@ -464,12 +464,16 @@ b{r} AS MATERIALIZED (
             break
         parts.append(f""",
 x{r} AS MATERIALIZED (
+  -- LEFT JOIN ON TRUE, not a cross join: when b{r} is EMPTY (pairs
+  -- exhausted before n_merges rounds) the merge must be a NO-OP that
+  -- keeps every word, exactly like the engine's early break — a cross
+  -- join would annihilate the vocabulary (review r8)
   SELECT p.word, p.freq, p.i, p.syms[p.i] AS sym, b.lhs, b.rhs,
-         (p.i < len(p.syms) AND p.syms[p.i] = b.lhs
-          AND p.syms[p.i + 1] = b.rhs) AS mt
+         COALESCE(p.i < len(p.syms) AND p.syms[p.i] = b.lhs
+                  AND p.syms[p.i + 1] = b.rhs, FALSE) AS mt
   FROM (SELECT word, freq, syms,
                CAST(unnest(range(1, len(syms) + 1)) AS INT) AS i
-        FROM v{r}) p, b{r} b
+        FROM v{r}) p LEFT JOIN b{r} b ON TRUE
 ),
 y{r} AS MATERIALIZED (
   SELECT *, mt AND (i - MIN(i) OVER (PARTITION BY word, mt, isl)) % 2 = 0 AS kp

@@ -388,3 +388,24 @@ def test_bpe_segment_words_matches_paper_segmentations(spark):
         "widest": ["w", "i", "d", "est</w>"],
     }
     assert freqs == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_bpe_pair_exhaustion_stops_instead_of_annihilating(spark):
+    """Review r8: when merge pairs run out before n_merges rounds, the
+    trainer must STOP (merge table simply shorter), not crossJoin the
+    vocabulary against an empty winner and lose every segmentation."""
+    from dask_mwu_spark.operators.text import (
+        bpe_segment_words,
+        bpe_train_merges,
+    )
+
+    # 'a' -> [a, </w>]: exactly ONE pair exists, then nothing to merge
+    docs = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
+    merges = bpe_train_merges(docs, n_merges=4).collect()
+    assert [(m.merge_rank, m.lhs, m.rhs, m.pair_count) for m in merges] == [
+        (0, "a", "</w>", 3)
+    ]
+    segs = bpe_segment_words(docs, n_merges=4).collect()
+    assert [(r.word, r.pos, r.subword, r.freq) for r in segs] == [
+        ("a", 0, "a</w>", 3)
+    ]
