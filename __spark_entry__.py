@@ -1032,36 +1032,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_FULL_r{N}_sf*.json artifacts run the FULL set at three
     # scale factors.
     priority = [
-        # --- round-8 rotation (VERDICT r7 item 7: attestation freshness).
-        # The ledger closed in round 7 (every oracle-checkable query has a
-        # driver-attested green row across rounds 1-7), so this round the
-        # 50-slot tier re-attests the STALEST entries — oldest last-green
-        # round first — to keep the closed ledger from silently rotting.
-        # First the three queries REGISTERED this round (no attestation
-        # at all yet): learned BPE merges, their apply twin, and the
-        # stdlib RIFF/AVI decode arm.
-        "text_bpe_merges", "text_bpe_segments", "mm_avi_decode_stats",
-        # --- last driver-attested in round 1 (4) ---
-        "dedup_simhash", "mm_decode_meta", "mm_resize_plan",
-        "mm_sample_frames",
-        # --- last driver-attested in round 2 (18) ---
-        "events_json_agg", "lineitem_rollup", "lineitem_cube",
-        "lineitem_range_join", "star_revenue_by_nation", "events_set_ops",
-        "orders_by_month", "lineitem_percentiles", "text_lang_id",
-        "lineitem_grouping_sets", "orders_top_revenue", "events_enriched",
-        "orders_cdc_apply", "audit_lineitem_nulls", "audit_orders_keys",
-        "events_pivot", "events_window_rank", "lineitem_unpivot",
-        # --- last driver-attested in round 3 (25 of 27; cur_classifier
-        # and cur_hash_split are the two r3 entries that did not fit the
-        # 50 slots — they lead the round-9 rotation) ---
-        "mwu_distinct_groups", "mwu_group_sizes", "mwu_tie_term",
-        "mwu_rank_sum", "mwu_u_stat", "mwu_z_score", "mwu_group_means",
-        "mwu_logfoldchange", "mwu_bh_adjust", "events_asof_join",
-        "events_interval_join", "events_rolling_window", "text_stats",
-        "text_token_count", "text_fingerprints", "text_vocab_topk",
-        "text_tfidf", "dedup_exact", "dedup_minhash_signatures",
-        "dedup_components", "mm_features", "events_funnel",
-        "events_cohort", "events_resample", "cur_contamination",
+        # --- round-9 rotation (VERDICT r8 item 1: attestation freshness).
+        # The tier = this round's newly REGISTERED query (no driver row
+        # yet) + the 49 STALEST by last driver-attested round, computed
+        # from the CORRECTNESS_r0*.json ledger: the 2 remaining r3
+        # entries (cur_classifier/cur_hash_split, named by the r8
+        # rotation note), all 41 r4 entries, and the first 6 of the r5
+        # cohort (name asc within a round — no finer ordering exists).
+        "text_bpe_encode",
+        # --- last driver-attested in round 3 (2) ---
+        "cur_classifier", "cur_hash_split",
+        # --- last driver-attested in round 4 (41) ---
+        "cur_funnel", "cur_mixture_kl", "cur_pack_stats",
+        "cur_quality_calibrated", "cur_repetition", "cur_sample_mixture",
+        "cur_stratified", "cur_token_shards", "cur_weighted_sample",
+        "customer_k_anonymity", "dedup_dup_spans", "dedup_purge",
+        "dedup_rate_by_source", "dedup_span_stats", "dedup_trim_spans",
+        "events_cooccurrence", "events_path_ngrams", "events_psi_drift",
+        "events_rolling_dau", "events_salted_join", "events_skew_profile",
+        "events_user_sequences", "events_window_dedup",
+        "lineitem_correlations", "lineitem_price_histogram",
+        "orders_snapshot_diff", "sim_dimension_stats", "sim_quantized_topk",
+        "sim_random_projection", "text_bm25_topk", "text_chunks",
+        "text_heavy_hitters", "text_lm_score", "text_ngram_topk",
+        "text_novelty", "text_redact_pii", "text_source_entropy",
+        "text_source_overlap", "text_tokenize_ids", "text_vocab_ids",
+        "text_zipf_fit",
+        # --- last driver-attested in round 5 (first 6 of 38; the rest
+        # lead the round-10 rotation) ---
+        "audit_orders_reconcile", "cur_bloom_decontaminate",
+        "cur_dedup_mixture", "cur_quality_exact_pctile",
+        "cur_temperature_mixture", "customer_rfm",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

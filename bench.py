@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     # word-frequency table) and the stdlib RIFF/AVI real-decode arm
     "text_bpe_merges",
     "mm_avi_decode_stats",
+    # round-9 new surface: the corpus subword-id encode (train + three
+    # bounded joins + broadcast dictionary carry)
+    "text_bpe_encode",
 ]
 
 
@@ -137,8 +140,27 @@ def main() -> None:
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
+    # leak gate (VERDICT r8 item 6): the bench was the one multi-query
+    # harness without it.  Gate on the registry contract (non-checkpoint
+    # persists must be 0 after release) exactly like check_oracle.py /
+    # invariance_sweep.py; the count goes to the sidecar so BENCH_DETAIL
+    # doubles as the per-round record.
+    from dask_mwu_spark import release_caches
+    from dask_mwu_spark.cache import gc_reclaim, jvm_leaked_count
+
+    release_caches()
+    gc_reclaim(spark, timeout_s=5.0)
+    leaked = jvm_leaked_count(spark)
+    if leaked:
+        # explicit raise, not `assert`: python -O would strip the gate
+        raise AssertionError(
+            f"cache leak: {leaked} non-checkpoint persistent RDDs remain "
+            "after release_caches() — an operator persisted outside "
+            "tracked_persist"
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line, detail = format_bench_output(timings, sf, n_runs, samples)
+    detail["jvm_leaked_count"] = leaked
     # spread + raw samples go to a sidecar file, NOT stdout: stdout stays
     # exactly ONE compact line so the driver's tail capture keeps it whole
     # print FIRST: the stdout line is the primary artifact the driver

@@ -126,8 +126,13 @@ def gc_reclaim(spark, *, timeout_s: float = 30.0) -> int:
         # release batch, not GC latency), so cycle-count stability is
         # meaningless; a count unchanged for 22s IS the floor (strongly
         # referenced, e.g. a caller's legitimate persist) and hammering
-        # full GCs for the rest of a longer budget cannot lower it
-        if n == 0 or now - last_change >= 22.0 or now >= deadline:
+        # full GCs for the rest of a longer budget cannot lower it.
+        # Capped at timeout_s (ADVICE r8): for short-timeout callers
+        # (the harnesses' 2s/5s periodic drains) the 22s window could
+        # never fire before the deadline — those calls are bounded
+        # best-effort drains by contract, and the cap makes the code say
+        # so instead of carrying a dead branch
+        if n == 0 or now - last_change >= min(22.0, timeout_s) or now >= deadline:
             return n
         time.sleep(0.5 if now - start < 3 else 1.0)
 

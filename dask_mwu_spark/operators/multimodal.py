@@ -339,6 +339,10 @@ def sample_frames(media: DataFrame, *, every_k: int = 4) -> DataFrame:
     Fan-out happens inside the partition (no shuffle); output rows ≈
     n_bytes/(FRAME_BYTES·k) per video — bounded, uniform.
     """
+    if every_k < 1:
+        # plan-build-time guard (ADVICE r8): a bad stride must fail here,
+        # not as a range()/ZeroDivision error inside an executor task
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -769,6 +773,11 @@ def decode_avi(
     from an unsupported one)."""
     import struct
 
+    if every_k < 1:
+        # ADVICE r8: every_k=0 surfaced as a raw range() error and a
+        # negative value as a downstream ZeroDivisionError — reject with
+        # the same descriptive-guard style as the corrupt-input paths
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     if payload[:4] != RIFF_SIG:
         raise ValueError("not a RIFF file (bad signature)")
     if len(payload) < 12:
@@ -997,6 +1006,8 @@ def _mjpng_decode(
     every ``every_k``-th frame; returns (width, height, n_channels,
     concatenated pixel bytes) — the shared fallback for both the
     no-decoder default and codec-decoder failures on MJPNG payloads."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     frames = split_png_frames(payload)
     sampled = []
     width = height = c = None
@@ -1044,6 +1055,9 @@ def real_decode_stats(
     the executor task (ADVICE r6); a NON-MJPNG payload that fails to
     decode re-raises the decoder's real error (corrupt clip and missing
     codec binary must stay distinguishable from bad fixture data)."""
+    if every_k < 1:
+        # plan-build-time guard (ADVICE r8): fail before any executor work
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

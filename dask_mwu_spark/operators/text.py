@@ -1180,7 +1180,11 @@ BPE_EOW = "</w>"
 
 
 def bpe_train_merges(
-    docs: DataFrame, *, n_merges: int = 8, max_vocab: int | None = None
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    max_vocab: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Learned byte-pair-encoding merge table (Sennrich, Haddow & Birch,
     ACL 2016, Algorithm 1): (merge_rank, lhs, rhs, pair_count) — the
@@ -1230,16 +1234,25 @@ def bpe_train_merges(
       trainers).  Default None trains exactly; the registered query uses
       the exact path so the oracle is exact.
     - Large-``n_merges`` regime (production BPE learns 32k-100k merges):
-      each round is one small Spark job over the vocabulary-bounded
-      table, so wall-clock is dominated by per-round scheduling, not
-      data.  The corpus-scale work is the ONE tokenize scan that builds
-      the word-frequency table; past a few hundred merges the standard
-      move (what subword-nmt itself does after its counting pass) is to
-      collect that bounded table and run the merge loop driver-side or
-      on a single worker — same merges by construction, since this
-      implementation's semantics are pinned to the sequential algorithm.
-      This operator keeps every round distributed so the learned table
-      is exactly oracle-checkable end to end.
+      each distributed round is one small Spark job over the
+      vocabulary-bounded table, so wall-clock is dominated by per-round
+      scheduling, not data.  The corpus-scale work is the ONE tokenize
+      scan that builds the word-frequency table; past a few hundred
+      merges the standard move (what subword-nmt itself does after its
+      counting pass) is to collect that bounded table and run the merge
+      loop single-node — ``engine="local"`` (or ``"auto"``, which
+      switches past ``BPE_LOCAL_ROUNDS`` rounds) does exactly that:
+      collect the ``max_vocab``-capped (word, freq) table (bounded by
+      contract — set ``max_vocab`` at corpus scale) and run the pinned
+      sequential loop (``_bpe_sequential``) driver-side, returning the
+      SAME schema and, by the pinned semantics, the SAME merges
+      (equivalence pytest at n_merges=64 on the real corpus;
+      ``tools/scale_probe_bpe_local.py`` shows local wall grows with
+      merges, not corpus, and drops the distributed regime's n_merges
+      driver round-trips — VERDICT r8 item 3).  ``engine=
+      "distributed"`` keeps every round on the cluster so the learned
+      table is exactly oracle-checkable end to end; the registered
+      query uses it (n_merges=8 < the auto threshold).
 
     Cross-engine: the DuckDB twin re-implements the merge POSITIONALLY
     (gaps-and-islands parity over matching positions) rather than as a
@@ -1250,6 +1263,9 @@ def bpe_train_merges(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if _bpe_resolve_engine(engine, n_merges) == "local":
+        merges, _vocab = _bpe_train_collected(docs, n_merges, max_vocab)
+        return merges
     merges, _vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
     return merges
 
@@ -1365,8 +1381,120 @@ def _bpe_train(
     return out, vocab
 
 
+# past this many merge rounds, engine="auto" switches from the
+# per-round-Spark-job loop to the collected single-node loop (the
+# docstring's "a few hundred merges" — at 256 rounds the distributed
+# path is pure scheduling overhead: ~0.3-0.5s/round of job launch for
+# a vocabulary-bounded table that fits in driver memory by contract)
+BPE_LOCAL_ROUNDS = 256
+
+_BPE_MERGE_SCHEMA = "merge_rank long, lhs string, rhs string, pair_count long"
+
+
+def _bpe_resolve_engine(engine: str, n_merges: int) -> str:
+    if engine not in ("auto", "distributed", "local"):
+        raise ValueError(
+            f"engine must be 'auto', 'distributed' or 'local', got {engine!r}"
+        )
+    if engine == "auto":
+        return "local" if n_merges > BPE_LOCAL_ROUNDS else "distributed"
+    return engine
+
+
+def _bpe_sequential(
+    word_freq: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, list[str], int]]]:
+    """The pinned sequential form of Sennrich Algorithm 1 over a collected
+    (word, freq) list — the single-node merge loop for the
+    large-``n_merges`` regime.  Semantics are IDENTICAL to the
+    distributed ``_bpe_train`` by construction: pair statistics count
+    every adjacent position (overlaps included) weighted by word
+    frequency; the round winner is (pair_count desc, lhs asc, rhs asc)
+    (Python tuple-min on (-count, lhs, rhs) — str comparison is by code
+    point, which equals Spark's binary UTF-8 string order since UTF-8
+    preserves code-point order); the merge applies greedily
+    left-to-right without re-examining the freshly merged symbol (the
+    merged symbol lhs+rhs can never equal lhs — rhs is non-empty — so
+    the skip-two-symbols loop and the engine's ordered fold agree);
+    pair exhaustion breaks early exactly like the distributed loop.
+    Returns (merges, vocab) as plain Python: merges =
+    [(merge_rank, lhs, rhs, pair_count)], vocab = [(word, syms, freq)].
+    Cost: O(n_merges * total_symbols) over the vocabulary-bounded
+    table — wall grows with merges, not corpus."""
+    segs: list[tuple[str, list[str], int]] = [
+        (w, list(w) + [BPE_EOW], f) for w, f in word_freq
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, syms, f in segs:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break  # pairs exhausted: every word is one symbol
+        (lhs, rhs), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, lhs, rhs, c))
+        for idx, (w, syms, f) in enumerate(segs):
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[idx] = (w, out, f)
+    return merges, segs
+
+
+def _bpe_train_collected(
+    docs: DataFrame, n_merges: int, max_vocab: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """engine="local" twin of ``_bpe_train``: ONE distributed tokenize
+    scan builds the ``max_vocab``-capped (word, freq) table, which is
+    collected (bounded by contract) and trained via
+    :func:`_bpe_sequential`; results come back as DataFrames with the
+    exact distributed schemas.  No per-round Spark jobs and no per-round
+    ``isEmpty()`` driver actions — the n_merges driver round-trips of
+    the distributed regime collapse into one collect + one
+    createDataFrame pair (VERDICT r8 item 3)."""
+    spark = docs.sparkSession
+    rows = _bpe_word_freq(docs, max_vocab).collect()
+    merges, segs = _bpe_sequential(
+        [(r["word"], r["freq"]) for r in rows], n_merges
+    )
+    merges_df = spark.createDataFrame(merges, schema=_BPE_MERGE_SCHEMA)
+    vocab_df = spark.createDataFrame(
+        segs, schema="word string, syms array<string>, freq long"
+    )
+    return merges_df, vocab_df
+
+
+def _bpe_segmented_vocab(
+    docs: DataFrame, n_merges: int, max_vocab: int | None, engine: str
+) -> DataFrame:
+    """Shared (word, syms, freq) final-vocabulary builder for the apply
+    twins — routes to the distributed or collected trainer, one place."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if _bpe_resolve_engine(engine, n_merges) == "local":
+        _merges, vocab = _bpe_train_collected(docs, n_merges, max_vocab)
+    else:
+        _merges, vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
+    return vocab
+
+
 def bpe_segment_words(
-    docs: DataFrame, *, n_merges: int = 8, max_vocab: int | None = None
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    max_vocab: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Apply the learned BPE merges back to the vocabulary — the second
     half of the tokenizer: (word, pos, subword, freq) with ``pos`` the
@@ -1385,11 +1513,12 @@ def bpe_segment_words(
     tokenize scan is the vocabulary-bounded word table; the posexplode
     output stays vocabulary-bounded (words x subwords-per-word).
     Deterministic: everything derives from the pinned trainer.
+    ``engine`` routes the training loop exactly as in
+    :func:`bpe_train_merges` (same merges either way — the apply twin
+    stays drift-free in both regimes).
     No counterpart in the reference (SURVEY.md section 2.1).
     """
-    if n_merges < 1:
-        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    _merges, vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
+    vocab = _bpe_segmented_vocab(docs, n_merges, max_vocab, engine)
     return vocab.select(
         "word",
         F.posexplode("syms").alias("pos", "subword"),
@@ -1397,4 +1526,75 @@ def bpe_segment_words(
     ).select(
         "word", F.col("pos").cast("long").alias("pos"), "subword",
         F.col("freq").cast("long").alias("freq"),
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    max_vocab: int | None = None,
+    encode_docs: DataFrame | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Corpus subword encode — the tokenizer's last mile (VERDICT r8
+    item 2): train BPE on ``docs`` and emit the per-document subword-id
+    stream ``(doc_id, pos, subword_pos, subword_id, subword)``, where
+    ``pos`` is the whitespace-token position in the document,
+    ``subword_pos`` the 0-based position within the token's
+    segmentation, and ``subword_id`` a STABLE dense id assigned over the
+    final subword vocabulary by (corpus frequency desc, subword asc) —
+    the ``build_vocab`` id discipline.  Composing this with
+    ``pack_sequences``/``cur_token_shards`` gives the end-to-end
+    training-data path: raw text -> learned subword ids -> packed
+    shards.
+
+    ``encode_docs`` (default: the training corpus itself) is the table
+    to ENCODE — the train-once/encode-many shape: train on the full
+    corpus, then encode a slice or a new batch against the same learned
+    vocabulary.  Words absent from the (possibly ``max_vocab``-capped)
+    training vocabulary are dropped from the stream, as are empty
+    tokens (both fall out of the inner dictionary join; the registered
+    query trains uncapped so only genuinely-unseen words drop).
+
+    Scale shape — three bounded joins, zero corpus shuffles:
+    1. the trainer's one tokenize scan + vocabulary-bounded merge
+       rounds (:func:`bpe_train_merges`, either engine);
+    2. subword-id assignment: a groupBy over the vocabulary-bounded
+       segmentation table, then a row_number over the SUBWORD vocabulary
+       — bounded by |alphabet| + n_merges symbols (a BPE invariant: n
+       merges mint at most n new symbols), so the unpartitioned window
+       is fine (``build_vocab`` note);
+    3. the corpus carry: ``tokens(encode_docs)`` broadcast-joins the
+       word -> (subword_pos, subword_id) table — the classic
+       dictionary-encode join (``tokenize_ids`` shape), so the
+       Zipf-skewed word key never shuffles.
+    Cross-engine: ids and positions are integers; the id order key
+    (SUM(freq) desc, subword asc) is integer-exact in both engines.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    seg = _bpe_segmented_vocab(docs, n_merges, max_vocab, engine).select(
+        "word",
+        F.posexplode("syms").alias("subword_pos", "subword"),
+        "freq",
+    )
+    sub_counts = seg.groupBy("subword").agg(F.sum("freq").alias("sub_count"))
+    w = Window.orderBy(F.col("sub_count").desc(), F.col("subword").asc())
+    ids = sub_counts.select(
+        "subword",
+        (F.row_number().over(w) - 1).cast("long").alias("subword_id"),
+    )
+    word_sub = seg.join(F.broadcast(ids), "subword").select(
+        "word",
+        F.col("subword_pos").cast("long").alias("subword_pos"),
+        "subword_id",
+        "subword",
+    )
+    src = tokens(encode_docs if encode_docs is not None else docs)
+    return src.join(F.broadcast(word_sub), "word").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "subword_pos",
+        "subword_id",
+        "subword",
     )

@@ -419,7 +419,9 @@ cc AS (
 """
 )
 
-def _bpe_merges_sql(n_merges: int = 8, *, segments: bool = False) -> str:
+def _bpe_merges_sql(
+    n_merges: int = 8, *, segments: bool = False, encode: bool = False
+) -> str:
     """Unrolled fixed-round BPE merge learning (Sennrich et al. 2016,
     Algorithm 1) — the oracle twin of ``text.bpe_train_merges``.  Per
     round: pair statistics over EVERY adjacent symbol position
@@ -437,7 +439,14 @@ def _bpe_merges_sql(n_merges: int = 8, *, segments: bool = False) -> str:
     training chain carried through all rounds, finally unnesting
     v{n_merges} into (word, pos, subword, freq) — the oracle for
     ``text.bpe_segment_words`` (train and apply share the chain exactly
-    as the engine shares ``_bpe_train``)."""
+    as the engine shares ``_bpe_train``).
+
+    ``encode=True`` (round 9) emits the CORPUS-ENCODE twin: the same
+    chain, then subword ids by (SUM(freq) desc, subword asc) over the
+    final segmentations and a positional token unnest of the
+    ``doc_id % 10 = 0`` slice joined through the segmentation — the
+    oracle for ``text.bpe_encode_ids`` (empty/OOV tokens fall out of
+    the inner joins on both engines identically)."""
     parts = ["""w0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -460,7 +469,7 @@ b{r} AS MATERIALIZED (
   GROUP BY lhs, rhs
   ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 )""")
-        if r == n_merges - 1 and not segments:
+        if r == n_merges - 1 and not (segments or encode):
             break
         parts.append(f""",
 x{r} AS MATERIALIZED (
@@ -488,7 +497,31 @@ v{r + 1} AS MATERIALIZED (
                     AS dropped FROM y{r})
   GROUP BY word, freq
 )""")
-    if segments:
+    if encode:
+        parts.append(f""",
+seg AS MATERIALIZED (
+  SELECT word, CAST(i - 1 AS BIGINT) AS subword_pos,
+         syms[CAST(i AS INT)] AS subword, freq
+  FROM (SELECT word, freq, syms,
+               CAST(unnest(range(1, len(syms) + 1)) AS INT) AS i
+        FROM v{n_merges})
+),
+ids AS MATERIALIZED (
+  SELECT subword,
+         CAST(ROW_NUMBER() OVER (ORDER BY sub_count DESC, subword ASC) - 1
+              AS BIGINT) AS subword_id
+  FROM (SELECT subword, SUM(freq) AS sub_count FROM seg GROUP BY subword)
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS word
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks) + 1)) AS INT) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 10 = 0))
+)""")
+        final = """SELECT t.doc_id, t.pos, s.subword_pos, i.subword_id, s.subword
+FROM tok t JOIN seg s USING (word) JOIN ids i USING (subword)"""
+    elif segments:
         final = f"""SELECT word, CAST(i - 1 AS BIGINT) AS pos,
        syms[CAST(i AS INT)] AS subword, freq
 FROM (SELECT word, freq, syms,
@@ -1506,6 +1539,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_segments": lambda s, d: tx.bpe_segment_words(
             _docs(s, d), n_merges=8
         ),
+        # round 9: the tokenizer's last mile — per-document subword-id
+        # stream (train on the full corpus, encode the doc_id%10 slice:
+        # the train-once/encode-many shape, and it bounds the compare
+        # table at sf0.1)
+        "text_bpe_encode": lambda s, d: tx.bpe_encode_ids(
+            _docs(s, d),
+            n_merges=8,
+            encode_docs=_docs(s, d).where(F.col("doc_id") % 10 == 0),
+        ),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -2210,6 +2252,7 @@ FROM pred GROUP BY lang, pred_lang
 """,
         "text_bpe_merges": _bpe_merges_sql(8),
         "text_bpe_segments": _bpe_merges_sql(8, segments=True),
+        "text_bpe_encode": _bpe_merges_sql(8, encode=True),
         "text_fingerprints": f"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams,

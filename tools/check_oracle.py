@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from dask_mwu_spark import release_caches  # noqa: E402
-from dask_mwu_spark.cache import gc_reclaim, jvm_leaked_count  # noqa: E402
+from dask_mwu_spark.cache import (  # noqa: E402
+    gc_reclaim,
+    jvm_cached_count,
+    jvm_leaked_count,
+)
 from dask_mwu_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -152,9 +156,12 @@ def main() -> int:
         # also drain the checkpoint-RDD reclaim path periodically: a full
         # 200+-query backlog left the END-OF-RUN drain 4 RDDs short of
         # converging inside its budget in one sf0.1 run (probe-verified:
-        # per-query drains end at exactly 0), so keep the backlog small
+        # per-query drains end at exactly 0), so keep the backlog small.
+        # Conditional (ADVICE r8): the 2s forced-GC drain costs real
+        # wall-clock over 206 queries, so it only fires when a backlog
+        # has actually accumulated
         n_run += 1
-        if n_run % 10 == 0:
+        if n_run % 10 == 0 and jvm_cached_count(spark) > 8:
             gc_reclaim(spark, timeout_s=2.0)
         t0 = time.time()
         try:

@@ -1,0 +1,85 @@
+"""Scale-probe rotation runner (VERDICT r8 item 7): re-run each older
+probe's smallest configuration against the CURRENT code, one command —
+a guard against silent plan regressions the value oracles cannot see
+(an operator can stay bit-exact while its plan degrades to a global
+sort or an all-pairs join; the probes measure the SHAPE).
+
+``--quick`` runs the ten oldest probes (r1-r3 vintage: flagship melt,
+rank, dedup banding, fanout, ANN ladder, connected components, skew,
+quantile narrowing, incremental dedup, heavy hitters) at configs sized
+to finish in a few minutes total.  Each probe runs in its OWN
+subprocess (own SparkSession, own JVM) so a hang or crash in one cannot
+poison the rest, and the runner's verdict is per-probe.
+
+Output: one JSON line per probe — {"probe", "ok", "wall_sec", "tail"}
+(tail = the probe's last stdout line, which for JSON-emitting probes is
+their measurement record) — then a summary line.  Nonzero exit if any
+probe failed.
+
+Usage: python tools/run_probes.py --quick
+       python tools/run_probes.py --quick rank dedup   # subset by name
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+# name -> (script, quick argv).  Sizes are ~1/10 of each probe's recorded
+# BASELINE.md row — big enough that the measured regime (shuffle shape,
+# bucketing, banding) is the real one, small enough to finish fast.
+QUICK = {
+    "flagship": ("scale_probe.py", ["150000", "20", "4"]),
+    "rank": ("scale_probe_rank.py", ["2000000", "2"]),
+    "dedup": ("scale_probe_dedup.py", ["5000", "60"]),
+    "fanout": ("scale_probe_fanout.py", ["2000000", "5"]),
+    "ann": ("scale_probe_ann.py", ["20000", "100"]),
+    "components": ("scale_probe_components.py", ["10000", "1000"]),
+    "skew": ("scale_probe_skew.py", ["2000000", "1000"]),
+    "quantile": ("scale_probe_quantile.py", ["5000000", "0.5"]),
+    "incremental": ("scale_probe_incremental.py", ["5000", "20000", "80000"]),
+    "heavy_hitters": ("scale_probe_heavy_hitters.py", ["100000", "0.001"]),
+}
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--quick"]
+    names = argv or list(QUICK)
+    unknown = [n for n in names if n not in QUICK]
+    if unknown:
+        print(f"unknown probes: {unknown}; known: {sorted(QUICK)}")
+        return 2
+    failures = 0
+    for name in names:
+        script, args = QUICK[name]
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(TOOLS, script), *args],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        wall = round(time.time() - t0, 1)
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        tail = lines[-1] if lines else ""
+        ok = proc.returncode == 0
+        if not ok:
+            failures += 1
+            tail = (proc.stderr.strip().splitlines() or [tail])[-1]
+        print(
+            json.dumps(
+                {"probe": name, "ok": ok, "wall_sec": wall, "tail": tail[:400]}
+            ),
+            flush=True,
+        )
+    print(f"PROBE FAILURES: {failures}/{len(names)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
