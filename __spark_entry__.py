@@ -1033,13 +1033,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scale factors.
     priority = [
         # --- round-9 rotation (VERDICT r8 item 1: attestation freshness).
-        # The tier = this round's newly REGISTERED query (no driver row
-        # yet) + the 49 STALEST by last driver-attested round, computed
-        # from the CORRECTNESS_r0*.json ledger: the 2 remaining r3
-        # entries (cur_classifier/cur_hash_split, named by the r8
-        # rotation note), all 41 r4 entries, and the first 6 of the r5
+        # The tier = this round's newly REGISTERED queries (no driver
+        # row yet) + the 48 STALEST by last driver-attested round,
+        # computed from the CORRECTNESS_r0*.json ledger: the 2 remaining
+        # r3 entries (cur_classifier/cur_hash_split, named by the r8
+        # rotation note), all 41 r4 entries, and the first 5 of the r5
         # cohort (name asc within a round — no finer ordering exists).
-        "text_bpe_encode",
+        "text_bpe_encode", "text_maxmatch_segments",
         # --- last driver-attested in round 3 (2) ---
         "cur_classifier", "cur_hash_split",
         # --- last driver-attested in round 4 (41) ---
@@ -1058,11 +1058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty", "text_redact_pii", "text_source_entropy",
         "text_source_overlap", "text_tokenize_ids", "text_vocab_ids",
         "text_zipf_fit",
-        # --- last driver-attested in round 5 (first 6 of 38; the rest
+        # --- last driver-attested in round 5 (first 5 of 38; the rest
         # lead the round-10 rotation) ---
         "audit_orders_reconcile", "cur_bloom_decontaminate",
         "cur_dedup_mixture", "cur_quality_exact_pctile",
-        "cur_temperature_mixture", "customer_rfm",
+        "cur_temperature_mixture",
     ]
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

@@ -98,8 +98,10 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "mm_avi_decode_stats",
     # round-9 new surface: the corpus subword-id encode (train + three
-    # bounded joins + broadcast dictionary carry)
+    # bounded joins + broadcast dictionary carry) and MaxMatch greedy
+    # segmentation (bounded-collect + one scan-stage fold)
     "text_bpe_encode",
+    "text_maxmatch_segments",
 ]
 
 

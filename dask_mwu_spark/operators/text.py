@@ -1598,3 +1598,161 @@ def bpe_encode_ids(
         "subword_id",
         "subword",
     )
+
+
+def substring_piece_vocab(
+    docs: DataFrame, *, max_pieces: int = 200, max_piece_len: int = 4
+) -> DataFrame:
+    """Frequency-learned subword piece inventory for MaxMatch
+    segmentation: (piece, piece_count) = the ``max_pieces`` most frequent
+    substrings of length 2..``max_piece_len`` over the word-frequency
+    table (every occurrence counted, overlaps included, weighted by word
+    freq; tiebreak piece asc) UNION all single characters seen — the
+    totality floor that makes greedy matching never need an UNK (BERT's
+    WordPiece ships the same guarantee via its alphabet).
+
+    Scale shape: the substring explode runs over the VOCABULARY table
+    (one corpus tokenize scan -> (word, freq), the BPE discipline), so
+    the candidate table is bounded by vocab x word_len x max_piece_len,
+    never corpus-sized; the head selection is a TakeOrderedAndProject
+    (count desc, piece asc), never a global sort.  Integer counts only —
+    exact cross-engine.  No counterpart in the reference (SURVEY.md
+    section 2.1)."""
+    if max_piece_len < 2:
+        raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
+    if max_pieces < 1:
+        raise ValueError(f"max_pieces must be >= 1, got {max_pieces}")
+    wf = _bpe_word_freq(docs, None)
+    n = F.length("word")
+    # all (start i, len l) substrings with 2 <= l <= max_piece_len,
+    # i + l - 1 <= len(word): nested transform + flatten, one generator
+    subs = wf.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.lit(max_piece_len)
+                            ),
+                            lambda l: F.when(
+                                i + l - 1 <= n,
+                                F.substring(F.col("word"), i, l),
+                            ),
+                        ),
+                        lambda p: p.isNotNull() & (F.length(p) >= 2),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("piece_count"))
+    top = counts.orderBy(
+        F.col("piece_count").desc(), F.col("piece").asc()
+    ).limit(max_pieces)
+    chars = (
+        wf.select(
+            "freq",
+            F.explode(F.split("word", "")).alias("piece"),
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("piece_count"))
+    )
+    return top.unionByName(chars).groupBy("piece").agg(
+        F.max("piece_count").cast("long").alias("piece_count")
+    )
+
+
+def maxmatch_segment_words(
+    docs: DataFrame, *, max_pieces: int = 200, max_piece_len: int = 4
+) -> DataFrame:
+    """MaxMatch (greedy longest-match-first) subword segmentation — the
+    WordPiece APPLICATION algorithm (Schuster & Nakajima, ICASSP 2012;
+    the greedy longest-prefix loop BERT's tokenizer runs): segment every
+    corpus word against :func:`substring_piece_vocab`'s learned piece
+    inventory, at each position taking the LONGEST matching piece
+    (single characters are always pieces, so matching is total — no UNK
+    class).  Output (word, pos, piece, freq) — the ``bpe_segment_words``
+    shape, so the two segmenters A/B directly.  This is the
+    longest-match counterpart to BPE's merge-order application: same
+    vocabulary-bounded working set, but application is a single
+    left-to-right pass against a FIXED piece set instead of a learned
+    merge sequence.
+
+    Scale design — ZERO iterative jobs: the piece inventory is bounded
+    (``max_pieces`` + alphabet) by construction, so it is collected once
+    and compiled INTO the segmentation expression as an array literal;
+    the greedy scan is then one ``F.aggregate`` fold over character
+    positions (skip-ahead accumulator: positions inside an emitted piece
+    are skipped; at each live position a longest-first ``when`` chain
+    probes the ``max_piece_len`` candidate lengths) — pure scan-stage
+    codegen over the vocabulary table, no shuffle, no per-round driver
+    actions (contrast ``_bpe_train``'s n_merges rounds).  The collect is
+    the same bounded-state pattern as the IVF centroid literals.
+    Deterministic: the longest match at a position is unique (piece
+    equality at fixed position+length), tiebreaks never arise.  Integer/
+    string arithmetic only — exact cross-engine; the DuckDB twin is a
+    WITH RECURSIVE left-to-right walk with a length-descending CASE,
+    depth bounded by max word length.
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    pieces_df = substring_piece_vocab(
+        docs, max_pieces=max_pieces, max_piece_len=max_piece_len
+    )
+    # bounded collect: max_pieces + |alphabet| strings (a few KB)
+    multi = sorted(
+        r["piece"]
+        for r in pieces_df.collect()
+        if len(r["piece"]) >= 2
+    )
+    multi_lit = F.array(*[F.lit(p) for p in multi]) if multi else (
+        F.array().cast("array<string>")
+    )
+    wf = _bpe_word_freq(docs, None)
+    n = F.length("word")
+
+    def step(acc, i):
+        def try_len(l, tail):
+            cand = F.substring(F.col("word"), i, F.lit(l))
+            return F.when(
+                (i + l - 1 <= n) & F.array_contains(multi_lit, cand),
+                F.struct(
+                    (i + l).alias("np"),
+                    F.concat(acc["pieces"], F.array(cand)).alias("pieces"),
+                ),
+            ).otherwise(tail)
+
+        # longest-first probe chain; l=1 always matches (alphabet floor)
+        chain = F.struct(
+            (i + 1).alias("np"),
+            F.concat(
+                acc["pieces"], F.array(F.substring(F.col("word"), i, F.lit(1)))
+            ).alias("pieces"),
+        )
+        for l in range(2, max_piece_len + 1):
+            chain = try_len(l, chain)  # outermost when = longest l
+        return F.when(i < acc["np"], acc).otherwise(chain)
+
+    acc0 = F.struct(
+        F.lit(1).cast("int").alias("np"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+    seg = wf.select(
+        "word",
+        "freq",
+        F.aggregate(
+            F.sequence(F.lit(1), n), acc0, step, lambda a: a["pieces"]
+        ).alias("pieces"),
+    )
+    return seg.select(
+        "word",
+        F.posexplode("pieces").alias("pos", "piece"),
+        "freq",
+    ).select(
+        "word",
+        F.col("pos").cast("long").alias("pos"),
+        "piece",
+        F.col("freq").cast("long").alias("freq"),
+    )

@@ -419,6 +419,63 @@ cc AS (
 """
 )
 
+def _maxmatch_sql(max_pieces: int = 200, max_piece_len: int = 4) -> str:
+    """MaxMatch segmentation oracle — the twin of
+    ``text.maxmatch_segment_words``: the same substring-frequency piece
+    inventory (every occurrence, overlaps included, freq-weighted; top
+    ``max_pieces`` of length 2..``max_piece_len`` by (count desc, piece
+    asc) UNION the single-character floor), then a WITH RECURSIVE
+    left-to-right walk whose step takes the LONGEST matching piece via a
+    length-descending CASE (the recursive formulation of the engine's
+    skip-ahead ``aggregate`` fold; depth bounded by max word length).
+    Integer/string arithmetic only — exact cross-engine."""
+    cases = "\n".join(
+        f"             WHEN np + {l - 1} <= length(word)"
+        f" AND substr(word, np, {l}) IN (SELECT piece FROM pieces)"
+        f" THEN substr(word, np, {l})"
+        for l in range(max_piece_len, 1, -1)
+    )
+    return f"""WITH RECURSIVE wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+cand AS (
+  SELECT substr(word, i, l) AS piece, CAST(SUM(freq) AS BIGINT) AS piece_count
+  FROM (SELECT word, freq,
+               CAST(unnest(range(1, length(word) + 1)) AS INT) AS i
+        FROM wf),
+       (SELECT CAST(unnest(range(2, {max_piece_len} + 1)) AS INT) AS l)
+  WHERE i + l - 1 <= length(word)
+  GROUP BY piece
+),
+pieces AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM (SELECT piece, piece_count FROM cand
+                       ORDER BY piece_count DESC, piece ASC
+                       LIMIT {max_pieces})
+    UNION ALL
+    SELECT substr(word, CAST(unnest(range(1, length(word) + 1)) AS INT), 1)
+    FROM wf)
+),
+seg AS (
+  SELECT word, freq, CAST(1 AS INT) AS np, CAST(-1 AS BIGINT) AS pos,
+         '' AS piece
+  FROM wf
+  UNION ALL
+  SELECT word, freq, CAST(np + length(b) AS INT) AS np, pos + 1 AS pos,
+         b AS piece
+  FROM (
+    SELECT word, freq, np, pos,
+           CASE
+{cases}
+             ELSE substr(word, np, 1)
+           END AS b
+    FROM seg WHERE np <= length(word))
+)
+SELECT word, pos, piece, freq FROM seg WHERE pos >= 0"""
+
+
 def _bpe_merges_sql(
     n_merges: int = 8, *, segments: bool = False, encode: bool = False
 ) -> str:
@@ -1548,6 +1605,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_merges=8,
             encode_docs=_docs(s, d).where(F.col("doc_id") % 10 == 0),
         ),
+        # round 9: MaxMatch (WordPiece-apply) greedy longest-match
+        # segmentation against a learned substring piece inventory —
+        # the zero-iteration counterpart to BPE's merge-order apply
+        "text_maxmatch_segments": lambda s, d: tx.maxmatch_segment_words(
+            _docs(s, d), max_pieces=24, max_piece_len=4
+        ),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -2253,6 +2316,7 @@ FROM pred GROUP BY lang, pred_lang
         "text_bpe_merges": _bpe_merges_sql(8),
         "text_bpe_segments": _bpe_merges_sql(8, segments=True),
         "text_bpe_encode": _bpe_merges_sql(8, encode=True),
+        "text_maxmatch_segments": _maxmatch_sql(24, 4),
         "text_fingerprints": f"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams,

@@ -196,3 +196,60 @@ def test_bpe_encode_empty_tokens_dropped_consistently(spark):
     docs = spark.createDataFrame([(0, "aa  aa")], "doc_id long, text string")
     enc = tx.bpe_encode_ids(docs, n_merges=1).collect()
     assert {r["pos"] for r in enc} == {0, 2}  # pos 1 is the empty token
+
+
+# ---------------------------------------------------------------------------
+# MaxMatch (WordPiece-apply) segmentation (round-9 new surface)
+# ---------------------------------------------------------------------------
+
+
+def test_maxmatch_greedy_longest_first(spark):
+    """Greedy longest-match: 'banana' against an inventory where 'ana'
+    outranks 'an'/'na' must take 'ana' at position 2, NOT pair-split."""
+    docs = spark.createDataFrame(
+        [(0, "banana banana bandana")], "doc_id long, text string"
+    )
+    seg = tx.maxmatch_segment_words(docs, max_pieces=64, max_piece_len=4)
+    by_word: dict[str, list[str]] = {}
+    for r in sorted(seg.collect(), key=lambda r: (r["word"], r["pos"])):
+        by_word.setdefault(r["word"], []).append(r["piece"])
+    for w, pieces in by_word.items():
+        assert "".join(pieces) == w
+    # with every <=4-substring in the inventory, greedy takes 4+2
+    assert by_word["banana"] == ["bana", "na"]
+    assert by_word["bandana"] == ["band", "ana"]
+
+
+def test_maxmatch_single_char_floor_makes_matching_total(spark):
+    """A word whose multi-char substrings all miss the capped inventory
+    still segments (to characters) — the alphabet floor, no UNK class."""
+    docs = spark.createDataFrame(
+        # 'xyzq' appears once; 'ab' dominates the top-1 inventory
+        [(0, "ab ab ab ab xyzq")], "doc_id long, text string"
+    )
+    seg = tx.maxmatch_segment_words(docs, max_pieces=1, max_piece_len=4)
+    by_word: dict[str, list[str]] = {}
+    for r in sorted(seg.collect(), key=lambda r: (r["word"], r["pos"])):
+        by_word.setdefault(r["word"], []).append(r["piece"])
+    assert by_word["ab"] == ["ab"]  # the one learned piece
+    assert by_word["xyzq"] == ["x", "y", "z", "q"]  # char floor
+
+
+def test_maxmatch_piece_counts_include_overlaps(spark):
+    docs = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    pv = {
+        r["piece"]: r["piece_count"]
+        for r in tx.substring_piece_vocab(
+            docs, max_pieces=10, max_piece_len=3
+        ).collect()
+    }
+    # every adjacent position counts: aaaa -> 3x 'aa', 2x 'aaa', 4x 'a'
+    assert pv["aa"] == 3 and pv["aaa"] == 2 and pv["a"] == 4
+
+
+def test_maxmatch_validation(spark):
+    docs = _toy_docs(spark)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        tx.substring_piece_vocab(docs, max_piece_len=1)
+    with pytest.raises(ValueError, match="max_pieces"):
+        tx.substring_piece_vocab(docs, max_pieces=0)
