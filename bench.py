@@ -153,13 +153,6 @@ def main() -> None:
     release_caches()
     gc_reclaim(spark, timeout_s=5.0)
     leaked = jvm_leaked_count(spark)
-    if leaked:
-        # explicit raise, not `assert`: python -O would strip the gate
-        raise AssertionError(
-            f"cache leak: {leaked} non-checkpoint persistent RDDs remain "
-            "after release_caches() — an operator persisted outside "
-            "tracked_persist"
-        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line, detail = format_bench_output(timings, sf, n_runs, samples)
     detail["jvm_leaked_count"] = leaked
@@ -174,6 +167,16 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
+    # leak gate LAST (VERDICT r8 item 6): loud on a registry-contract
+    # breach, but only after the measurements are safely emitted — a
+    # leak must not also destroy the benchmark record.  Explicit raise,
+    # not `assert` (python -O strips asserts).
+    if leaked:
+        raise AssertionError(
+            f"cache leak: {leaked} non-checkpoint persistent RDDs remain "
+            "after release_caches() — an operator persisted outside "
+            "tracked_persist"
+        )
     spark.stop()
 
 

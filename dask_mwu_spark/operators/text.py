@@ -1691,7 +1691,12 @@ def maxmatch_segment_words(
     probes the ``max_piece_len`` candidate lengths) — pure scan-stage
     codegen over the vocabulary table, no shuffle, no per-round driver
     actions (contrast ``_bpe_train``'s n_merges rounds).  The collect is
-    the same bounded-state pattern as the IVF centroid literals.
+    the same bounded-state pattern as the IVF centroid literals; the
+    ``array_contains`` probe is a linear scan of the literal, so this
+    compiled form is sized for inventories up to a few thousand pieces
+    — a 30k+ production inventory would swap the literal for a
+    broadcast-join per (position, length) candidate against the piece
+    table (the ``tokenize_ids`` dictionary shape), same semantics.
     Deterministic: the longest match at a position is unique (piece
     equality at fixed position+length), tiebreaks never arise.  Integer/
     string arithmetic only — exact cross-engine; the DuckDB twin is a

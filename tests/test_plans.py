@@ -103,6 +103,11 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # build_vocab ranks ONLY the post-limit head (<= max_size rows)
         "text_vocab_ids": {"global_window"},
         "text_tokenize_ids": {"global_window"},
+        # round 9: the subword-id row_number runs over the SUBWORD
+        # vocabulary, bounded by |alphabet| + n_merges symbols (a BPE
+        # invariant: n merges mint at most n new symbols) — the
+        # build_vocab bounded-head precedent
+        "text_bpe_encode": {"global_window"},
         # vocab_topk/ngram_topk select via TakeOrderedAndProject (plan-
         # asserted elsewhere) and then rank the <= k-row head — bounded
         "text_vocab_topk": {"global_window"},

@@ -58,19 +58,27 @@ def main() -> int:
     for name in names:
         script, args = QUICK[name]
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(TOOLS, script), *args],
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(TOOLS, script), *args],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            ok = proc.returncode == 0
+            lines = [
+                ln for ln in proc.stdout.strip().splitlines() if ln.strip()
+            ]
+            tail = lines[-1] if lines else ""
+            if not ok:
+                tail = (proc.stderr.strip().splitlines() or [tail])[-1]
+        except subprocess.TimeoutExpired:
+            # a hung probe is a FINDING (the runner exists to catch plan
+            # regressions), not a runner crash — record and keep going
+            ok, tail = False, "TIMEOUT after 900s"
         wall = round(time.time() - t0, 1)
-        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
-        tail = lines[-1] if lines else ""
-        ok = proc.returncode == 0
         if not ok:
             failures += 1
-            tail = (proc.stderr.strip().splitlines() or [tail])[-1]
         print(
             json.dumps(
                 {"probe": name, "ok": ok, "wall_sec": wall, "tail": tail[:400]}
