@@ -253,3 +253,38 @@ def test_maxmatch_validation(spark):
         tx.substring_piece_vocab(docs, max_piece_len=1)
     with pytest.raises(ValueError, match="max_pieces"):
         tx.substring_piece_vocab(docs, max_pieces=0)
+
+
+def test_bpe_encode_composes_with_pack_sequences(spark):
+    """The end-to-end training-data path the SURVEY row claims: raw text
+    -> learned subword ids -> GPT-style packed sequences.  The packer
+    consumes the encode stream re-assembled as a space-joined id string
+    (its whitespace-token contract), so n_tokens per doc must equal the
+    doc's subword count exactly."""
+    from dask_mwu_spark.operators.curation import pack_sequences
+
+    docs = _toy_docs(spark)
+    enc = tx.bpe_encode_ids(docs, n_merges=4)
+    ids_text = enc.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", "subword_pos", "subword_id")
+                    )
+                ),
+                lambda s: s["subword_id"].cast("string"),
+            ),
+        ).alias("text")
+    )
+    packed = pack_sequences(ids_text, max_tokens=4, n_shards=2)
+    n_sub = {
+        r["doc_id"]: r["n"]
+        for r in enc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == set(n_sub)
+    for r in rows:
+        assert r["n_tokens"] == n_sub[r["doc_id"]]
+        assert r["pack"] == r["start_offset"] // 4
