@@ -288,3 +288,56 @@ def test_bpe_encode_composes_with_pack_sequences(spark):
     for r in rows:
         assert r["n_tokens"] == n_sub[r["doc_id"]]
         assert r["pack"] == r["start_offset"] // 4
+
+
+def test_maxmatch_three_way_differential_on_boundary_overlaps(spark):
+    """Adversarial boundary fixture (pieces overlapping at match
+    boundaries, words ending mid-piece, aaaa-style self-overlap): the
+    Spark fold, the DuckDB WITH RECURSIVE oracle, and an independent
+    pure-Python MaxMatch reference must agree row-for-row."""
+    import duckdb
+    from collections import Counter
+
+    from extensions_entry import _maxmatch_sql
+
+    rows = [
+        (0, "abcabcab abcd dcba aab"),
+        (1, "aaaa abab baba ab"),
+        (2, "xyxyx yxyxy xy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in tx.maxmatch_segment_words(
+            docs, max_pieces=9, max_piece_len=3
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert got == sorted(
+        tuple(r) for r in con.execute(_maxmatch_sql(9, 3)).fetchall()
+    )
+
+    wf = Counter(w for _, t in rows for w in t.split(" ") if w)
+    cand: Counter = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for piece_len in (2, 3):
+                if i + piece_len <= len(w):
+                    cand[w[i : i + piece_len]] += f
+    top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:9]
+    pieces = {p for p, _ in top} | {c for w in wf for c in w}
+    ref = []
+    for w, f in wf.items():
+        i, pos = 0, 0
+        while i < len(w):
+            for piece_len in (3, 2, 1):
+                p = w[i : i + piece_len]
+                if piece_len <= len(w) - i and p in pieces:
+                    ref.append((w, pos, p, f))
+                    i += piece_len
+                    pos += 1
+                    break
+    assert sorted(ref) == got
