@@ -58,9 +58,10 @@ SMOKE = [
     "sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
     "sim_ivf_pq_trained_topk", "sim_ivf_trained_recall",
     "sim_semantic_dedup",
-    # text battery
+    # text battery (incl. the r8/r9 tokenizer family: learned BPE and
+    # its corpus encode + the MaxMatch greedy segmenter)
     "text_quality", "text_token_count", "text_lang_id", "text_bm25_topk",
-    "text_heavy_hitters",
+    "text_heavy_hitters", "text_bpe_encode", "text_maxmatch_segments",
     # curation
     "cur_curate", "cur_dsir_resample", "cur_bloom_decontaminate",
     "cur_group_split",
