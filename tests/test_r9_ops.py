@@ -341,3 +341,87 @@ def test_maxmatch_three_way_differential_on_boundary_overlaps(spark):
                     pos += 1
                     break
     assert sorted(ref) == got
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) — pure-Python codec edges
+# ---------------------------------------------------------------------------
+
+
+def test_avi_round_trip_property():
+    """encode->decode identity over random geometries: every width hits
+    a different 4-byte stride-padding remainder, heights exercise the
+    bottom-up flip, frame counts exercise the movi walk + every_k."""
+    from hypothesis import given, settings, strategies as st
+
+    from dask_mwu_spark.operators.multimodal import decode_avi, encode_avi
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 13),
+        h=st.integers(1, 9),
+        n_frames=st.integers(1, 5),
+        every_k=st.integers(1, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def run(w, h, n_frames, every_k, seed):
+        frames = [
+            bytes((seed + f * 131 + j) % 256 for j in range(w * h))
+            for f in range(n_frames)
+        ]
+        avi = encode_avi(frames, w, h)
+        dw, dh, c, px = decode_avi(avi, every_k=every_k)
+        assert (dw, dh, c) == (w, h, 1)
+        assert px == b"".join(frames[::every_k])
+
+    run()
+
+
+def test_bpe_sequential_property_matches_recount_reference():
+    """_bpe_sequential vs an independent per-round recount reference
+    (regex-free, re-derives pair stats from scratch each round rather
+    than carrying state) over random tiny corpora — guards the pinned
+    tiebreak and the greedy non-overlap merge at fuzzed shapes."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=80, deadline=None)
+    @given(words=st.lists(word, min_size=1, max_size=6), n=st.integers(1, 6))
+    def run(words, n):
+        from collections import Counter
+
+        wf = sorted(Counter(words).items())
+        got_merges, got_vocab = tx._bpe_sequential(wf, n)
+
+        segs = {w: [*w, tx.BPE_EOW] for w, _ in wf}
+        freq = dict(wf)
+        want = []
+        for r in range(n):
+            counts: Counter = Counter()
+            for w, syms in segs.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += freq[w]
+            if not counts:
+                break
+            (lhs, rhs), c = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            want.append((r, lhs, rhs, c))
+            for w, syms in segs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == (lhs, rhs)
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                segs[w] = out
+        assert got_merges == want
+        assert {w: s for w, s, _ in got_vocab} == segs
+
+    run()
