@@ -1064,6 +1064,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_dedup_mixture", "cur_quality_exact_pctile",
         "cur_temperature_mixture",
     ]
+    # Round-10 tier, PRE-COMPUTED from the ledger assuming this round's
+    # tier attests green (staleness sort, rows-only excluded, name asc
+    # within a round): the 33 remaining r5 entries from customer_rfm
+    # through text_textrank, then 17 r6 entries from cur_group_split
+    # through orders_priority_wait — plus any round-10 registrations at
+    # the head, displacing from the tail.  Re-derive if r9 attestation
+    # differs: tools snippet in BASELINE.md round-9 record.
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]
     rest = [n for n in q if n not in priority]
