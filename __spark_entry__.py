@@ -1032,44 +1032,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_FULL_r{N}_sf*.json artifacts run the FULL set at three
     # scale factors.
     priority = [
-        # --- round-9 rotation (VERDICT r8 item 1: attestation freshness).
-        # The tier = this round's newly REGISTERED queries (no driver
-        # row yet) + the 48 STALEST by last driver-attested round,
-        # computed from the CORRECTNESS_r0*.json ledger: the 2 remaining
-        # r3 entries (cur_classifier/cur_hash_split, named by the r8
-        # rotation note), all 41 r4 entries, and the first 5 of the r5
-        # cohort (name asc within a round — no finer ordering exists).
-        "text_bpe_encode", "text_maxmatch_segments",
-        # --- last driver-attested in round 3 (2) ---
-        "cur_classifier", "cur_hash_split",
-        # --- last driver-attested in round 4 (41) ---
-        "cur_funnel", "cur_mixture_kl", "cur_pack_stats",
-        "cur_quality_calibrated", "cur_repetition", "cur_sample_mixture",
-        "cur_stratified", "cur_token_shards", "cur_weighted_sample",
-        "customer_k_anonymity", "dedup_dup_spans", "dedup_purge",
-        "dedup_rate_by_source", "dedup_span_stats", "dedup_trim_spans",
-        "events_cooccurrence", "events_path_ngrams", "events_psi_drift",
-        "events_rolling_dau", "events_salted_join", "events_skew_profile",
-        "events_user_sequences", "events_window_dedup",
-        "lineitem_correlations", "lineitem_price_histogram",
-        "orders_snapshot_diff", "sim_dimension_stats", "sim_quantized_topk",
-        "sim_random_projection", "text_bm25_topk", "text_chunks",
-        "text_heavy_hitters", "text_lm_score", "text_ngram_topk",
-        "text_novelty", "text_redact_pii", "text_source_entropy",
-        "text_source_overlap", "text_tokenize_ids", "text_vocab_ids",
-        "text_zipf_fit",
-        # --- last driver-attested in round 5 (first 5 of 38; the rest
-        # lead the round-10 rotation) ---
-        "audit_orders_reconcile", "cur_bloom_decontaminate",
-        "cur_dedup_mixture", "cur_quality_exact_pctile",
-        "cur_temperature_mixture",
+        # --- round-10 rotation (VERDICT r9 item 1: attestation
+        # freshness).  The tier = the 50 STALEST oracle-gated entries by
+        # last driver-attested round, re-derived this round from the
+        # CORRECTNESS_r0*.json ledger (staleness sort, rows-only
+        # excluded, name asc within a round) and matching the r9
+        # pre-computation exactly: the 33 remaining r5-attested entries
+        # and the first 17 of the r6 cohort.  No new registrations led
+        # this round's head slot at derivation time; if one lands later
+        # in the round it is prepended and the tail displaced (the
+        # standing displacement rule).
+        # --- last driver-attested in round 5 (33) ---
+        "customer_rfm", "dedup_canonical_quality", "dedup_edit_sim",
+        "events_ab_test", "events_attribution", "events_mad_outliers",
+        "events_markov", "events_sessions", "events_stickiness",
+        "events_two_phase_agg", "events_value_p90_hist",
+        "lineitem_basket_lift", "lineitem_benford", "lineitem_price_trend",
+        "lineitem_return_wilson", "orders_revenue_hhi", "orders_scd2",
+        "part_cheapest_supplier", "sim_abtt_contrast", "sim_anisotropy",
+        "sim_cluster_quality", "sim_dominant_pc", "sim_hard_negatives",
+        "sim_knn_label_consistency", "sim_label_outliers",
+        "sim_matryoshka_recall", "sim_pq_recall", "sim_pq_topk",
+        "star_local_supplier_volume", "text_gopher_funnel",
+        "text_gopher_rules", "text_pmi_collocations", "text_textrank",
+        # --- last driver-attested in round 6 (first 17 of 25; the rest
+        # lead the round-11 rotation) ---
+        "cur_group_split", "cur_split_leakage", "customer_dormant_balance",
+        "customer_order_dist", "customer_returned_revenue",
+        "events_gap_profile", "events_power_users", "events_time_to_convert",
+        "lineitem_bracket_revenue", "lineitem_forecast_revenue",
+        "lineitem_promo_share", "lineitem_small_qty_revenue",
+        "lineitem_supply_risk", "mwu_ks_test", "orders_large_volume",
+        "orders_monthly_growth", "orders_priority_wait",
     ]
-    # Round-10 tier, PRE-COMPUTED from the ledger assuming this round's
+    # Round-11 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round): the 33 remaining r5 entries from customer_rfm
-    # through text_textrank, then 17 r6 entries from cur_group_split
-    # through orders_priority_wait — plus any round-10 registrations at
-    # the head, displacing from the tail.  Re-derive if r9 attestation
+    # within a round): the 8 remaining r6 entries from part_supplier_cnt
+    # through supplier_value_share, then 42 r7 entries from cur_curate
+    # through sim_pq_trained_topk — plus any round-11 registrations at
+    # the head, displacing from the tail.  Re-derive if r10 attestation
     # differs: tools snippet in BASELINE.md round-9 record.
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]

@@ -107,6 +107,13 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # concurrent-load context (VERDICT r9 item 5): the r8/r9 rounds both
+    # saw 1.3-1.4x in-suite drift on sub-second scheduling-dominated
+    # queries whenever the driver ran bench concurrently with oracle /
+    # probe activity; recording the 1-minute loadavg at start and end
+    # makes that class machine-attributable from the sidecar alone
+    # instead of re-derived from BASELINE.md prose each round.
+    load_start = os.getloadavg()
     # console progress bars share the driver's capture window with our JSON
     # line (the r4 tail shows "\r[Stage 681:>" bytes inside it) — keep the
     # window clean so the budget assertion below is the only thing that
@@ -156,6 +163,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line, detail = format_bench_output(timings, sf, n_runs, samples)
     detail["jvm_leaked_count"] = leaked
+    # loadavg is host-wide (this JVM included, ncpus below for context):
+    # start >> ncpus or a large end-start delta flags a contended run
+    detail["load_avg_start_1m_5m_15m"] = [round(x, 2) for x in load_start]
+    detail["load_avg_end_1m_5m_15m"] = [
+        round(x, 2) for x in os.getloadavg()
+    ]
+    detail["ncpus"] = os.cpu_count()
     # spread + raw samples go to a sidecar file, NOT stdout: stdout stays
     # exactly ONE compact line so the driver's tail capture keeps it whole
     # print FIRST: the stdout line is the primary artifact the driver
@@ -171,13 +185,18 @@ def main() -> None:
     # breach, but only after the measurements are safely emitted — a
     # leak must not also destroy the benchmark record.  Explicit raise,
     # not `assert` (python -O strips asserts).
-    if leaked:
-        raise AssertionError(
-            f"cache leak: {leaked} non-checkpoint persistent RDDs remain "
-            "after release_caches() — an operator persisted outside "
-            "tracked_persist"
-        )
-    spark.stop()
+    # try/finally (ADVICE r9): the gate must not skip spark.stop() — a
+    # leaking run should still tear the JVM down cleanly, not lean on
+    # process exit.
+    try:
+        if leaked:
+            raise AssertionError(
+                f"cache leak: {leaked} non-checkpoint persistent RDDs "
+                "remain after release_caches() — an operator persisted "
+                "outside tracked_persist"
+            )
+    finally:
+        spark.stop()
 
 
 def format_bench_output(

@@ -15,6 +15,8 @@ uniform by construction, no skew.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1263,7 +1265,7 @@ def bpe_train_merges(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    if _bpe_resolve_engine(engine, n_merges) == "local":
+    if _bpe_resolve_engine(engine, n_merges, max_vocab) == "local":
         merges, _vocab = _bpe_train_collected(docs, n_merges, max_vocab)
         return merges
     merges, _vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
@@ -1292,6 +1294,37 @@ def _bpe_word_freq(docs: DataFrame, max_vocab: int | None) -> DataFrame:
     return word_freq
 
 
+def _bpe_init_syms():
+    """Initial segmentation of ``word``: its characters plus the SEPARATE
+    end-of-word symbol (the paper's Algorithm 1 presentation) — ONE
+    expression shared by the trainer and the injected-merges apply path
+    so initialization cannot drift (the review-r8 discipline)."""
+    return F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW)))
+
+
+def _bpe_merge_fold(syms, lhs, rhs):
+    """Greedy left-to-right application of ONE merge (lhs, rhs) to a
+    symbol array as an ordered ``aggregate`` fold — the trainer's exact
+    expression, factored out so the ``merges=`` injection path applies
+    merges with the IDENTICAL fold.  The freshly merged symbol is never
+    re-merged: it would have to equal ``lhs`` again, but lhs+rhs != lhs
+    since rhs is non-empty — so the fold agrees with the sequential
+    skip-two-symbols loop by construction."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lhs)
+            & (s == rhs),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(lhs, rhs)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def _bpe_train(
     word_freq: DataFrame, n_merges: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1300,11 +1333,7 @@ def _bpe_train(
     with ``syms`` the word's segmentation AFTER all ``n_merges`` merges.
     See :func:`bpe_train_merges` for the algorithm/scale contract."""
     vocab = word_freq.select(
-        "word",
-        F.concat(
-            F.split("word", ""), F.array(F.lit(BPE_EOW))
-        ).alias("syms"),
-        "freq",
+        "word", _bpe_init_syms().alias("syms"), "freq"
     ).localCheckpoint()
 
     rounds: list[DataFrame] = []
@@ -1350,19 +1379,7 @@ def _bpe_train(
                 F.col("pair_count").cast("long").alias("pair_count"),
             )
         )
-        merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("lhs"))
-                & (s == F.col("rhs")),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.concat(F.col("lhs"), F.col("rhs"))),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+        merged = _bpe_merge_fold("syms", F.col("lhs"), F.col("rhs"))
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
             .select("word", merged.alias("syms"), "freq")
@@ -1391,14 +1408,48 @@ BPE_LOCAL_ROUNDS = 256
 _BPE_MERGE_SCHEMA = "merge_rank long, lhs string, rhs string, pair_count long"
 
 
-def _bpe_resolve_engine(engine: str, n_merges: int) -> str:
+def _bpe_resolve_engine(
+    engine: str, n_merges: int, max_vocab: int | None = 0
+) -> str:
+    """Resolve ``engine='auto'`` and ENFORCE the bounded-collect contract
+    (VERDICT r9 item 2 / ADVICE r9): the local path collects the
+    ``max_vocab``-capped (word, freq) table to the driver, so an
+    UNCAPPED table must never reach it silently.
+
+    - ``engine='auto'`` resolving to local with ``max_vocab=None`` is a
+      hard error: the caller never opted into a driver collect, and at
+      real corpus scale (100M+ distinct tokens) it is a driver OOM.
+    - explicit ``engine='local'`` with ``max_vocab=None`` is an explicit
+      opt-in, but still warns loudly — small-corpus tests and probes
+      stay usable while production callers get told to cap.
+
+    ``max_vocab`` defaults to 0 (a bounded sentinel) so the two pure
+    threshold assertions in the test suite keep working unchanged."""
     if engine not in ("auto", "distributed", "local"):
         raise ValueError(
             f"engine must be 'auto', 'distributed' or 'local', got {engine!r}"
         )
-    if engine == "auto":
-        return "local" if n_merges > BPE_LOCAL_ROUNDS else "distributed"
-    return engine
+    resolved = (
+        ("local" if n_merges > BPE_LOCAL_ROUNDS else "distributed")
+        if engine == "auto"
+        else engine
+    )
+    if resolved == "local" and max_vocab is None:
+        if engine == "auto":
+            raise ValueError(
+                f"engine='auto' resolves to the single-node BPE loop at "
+                f"n_merges={n_merges} > {BPE_LOCAL_ROUNDS}, which collects "
+                "the distinct-word table to the driver; set max_vocab to "
+                "bound the collect, or pass engine='distributed'/'local' "
+                "explicitly"
+            )
+        warnings.warn(
+            "engine='local' with max_vocab=None collects the FULL "
+            "distinct-word table to the driver — unbounded at corpus "
+            "scale; set max_vocab to bound the collect",
+            stacklevel=3,
+        )
+    return resolved
 
 
 def _bpe_sequential(
@@ -1482,11 +1533,80 @@ def _bpe_segmented_vocab(
     twins — routes to the distributed or collected trainer, one place."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    if _bpe_resolve_engine(engine, n_merges) == "local":
+    if _bpe_resolve_engine(engine, n_merges, max_vocab) == "local":
         _merges, vocab = _bpe_train_collected(docs, n_merges, max_vocab)
     else:
         _merges, vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
     return vocab
+
+
+def bpe_trained_vocab(
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    max_vocab: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Train BPE and return the final segmented vocabulary
+    ``(word, syms array<string>, freq)`` — the table to PERSIST for the
+    train-once/encode-many pipeline (VERDICT r9 item 3): write it out
+    once, then feed it back as ``bpe_encode_ids(..., vocab=)`` so every
+    later encode batch skips the ``n_merges`` training rounds entirely.
+    Same arguments and engine routing as :func:`bpe_train_merges`;
+    injection equivalence is pinned by pytest (encode-with-injected
+    tables is row-identical to encode-with-retrain).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    return _bpe_segmented_vocab(docs, n_merges, max_vocab, engine)
+
+
+def _bpe_require_merge_table(merges: DataFrame) -> None:
+    missing = {"merge_rank", "lhs", "rhs"} - set(merges.columns)
+    if missing:
+        raise ValueError(
+            f"merges table is missing columns {sorted(missing)}; expected "
+            "the bpe_train_merges schema (merge_rank, lhs, rhs[, ...])"
+        )
+
+
+def _bpe_vocab_from_merges(
+    docs: DataFrame, merges: DataFrame, max_vocab: int | None
+) -> DataFrame:
+    """APPLY a previously learned merge table to ``docs``' word table —
+    the injected-merges twin of the trainer's per-round re-segmentation:
+    (word, syms, freq) where ``syms`` is the greedy rank-order
+    application of every merge, via the trainer's own fold
+    (:func:`_bpe_merge_fold`), so the segmentation is bit-identical to
+    retraining by construction.
+
+    Scale shape: the merge table collapses to ONE array row (a grouped
+    ``collect_list`` + ``array_sort`` on the n_merges-bounded table —
+    production BPE is 32k-100k rows, a few MB) carried onto the word
+    table by the documented 1-row broadcast cross; the merges then fold
+    as DATA (an ``aggregate`` over the array column), so the expression
+    tree stays constant-size no matter how many merges were learned —
+    no driver collect and no per-merge plan growth anywhere."""
+    _bpe_require_merge_table(merges)
+    merges_arr = merges.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
+            ),
+            lambda m: F.struct(m["lhs"].alias("lhs"), m["rhs"].alias("rhs")),
+        ).alias("bpe_merges_arr")
+    )
+    return (
+        _bpe_word_freq(docs, max_vocab)
+        .crossJoin(F.broadcast(merges_arr))
+        .select(
+            "word",
+            F.aggregate(
+                "bpe_merges_arr",
+                _bpe_init_syms(),
+                lambda acc, m: _bpe_merge_fold(acc, m["lhs"], m["rhs"]),
+            ).alias("syms"),
+            "freq",
+        )
+    )
 
 
 def bpe_segment_words(
@@ -1495,6 +1615,7 @@ def bpe_segment_words(
     n_merges: int = 8,
     max_vocab: int | None = None,
     engine: str = "auto",
+    merges: DataFrame | None = None,
 ) -> DataFrame:
     """Apply the learned BPE merges back to the vocabulary — the second
     half of the tokenizer: (word, pos, subword, freq) with ``pos`` the
@@ -1516,9 +1637,19 @@ def bpe_segment_words(
     ``engine`` routes the training loop exactly as in
     :func:`bpe_train_merges` (same merges either way — the apply twin
     stays drift-free in both regimes).
+
+    ``merges=`` (VERDICT r9 item 3) injects a PREVIOUSLY LEARNED merge
+    table (the ``bpe_train_merges`` schema) instead of retraining —
+    the ``centroids=`` precedent from the IVF trainers; ``n_merges`` /
+    ``engine`` are ignored when given.  The injected path applies the
+    merges with the trainer's own fold (:func:`_bpe_vocab_from_merges`),
+    so segmentation is bit-identical to retraining — pinned by pytest.
     No counterpart in the reference (SURVEY.md section 2.1).
     """
-    vocab = _bpe_segmented_vocab(docs, n_merges, max_vocab, engine)
+    if merges is not None:
+        vocab = _bpe_vocab_from_merges(docs, merges, max_vocab)
+    else:
+        vocab = _bpe_segmented_vocab(docs, n_merges, max_vocab, engine)
     return vocab.select(
         "word",
         F.posexplode("syms").alias("pos", "subword"),
@@ -1536,6 +1667,8 @@ def bpe_encode_ids(
     max_vocab: int | None = None,
     encode_docs: DataFrame | None = None,
     engine: str = "auto",
+    merges: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus subword encode — the tokenizer's last mile (VERDICT r8
     item 2): train BPE on ``docs`` and emit the per-document subword-id
@@ -1571,9 +1704,54 @@ def bpe_encode_ids(
        Zipf-skewed word key never shuffles.
     Cross-engine: ids and positions are integers; the id order key
     (SUM(freq) desc, subword asc) is integer-exact in both engines.
+
+    Trained-tokenizer reuse (VERDICT r9 item 3) — the train-once/
+    encode-forever seam, superseding per-call retraining:
+    - ``vocab=`` injects a persisted :func:`bpe_trained_vocab` table
+      ``(word, syms, freq)``: training is skipped entirely and both the
+      subword-id assignment and the dictionary broadcast derive from the
+      injected table (its ``freq`` is the TRAINING corpus frequency, so
+      ids are stable across encode batches — exactly what a production
+      tokenizer needs).  The broadcast is bounded by the injected table,
+      which inherits its bound from the capped training run.
+    - ``merges=`` injects a :func:`bpe_train_merges` table instead:
+      ``docs``' word table is re-segmented by applying the merges with
+      the trainer's own fold (:func:`_bpe_vocab_from_merges`) — same
+      result as retraining when ``docs`` is the training corpus, and
+      the way to segment a NEW corpus's vocabulary under old merges.
+    Injection equivalence (both seams row-identical to retrain) is
+    pinned by pytest; ``n_merges``/``engine`` are ignored when either
+    is given, and ``vocab=`` wins if both are.
     No counterpart in the reference (SURVEY.md section 2.1).
     """
-    seg = _bpe_segmented_vocab(docs, n_merges, max_vocab, engine).select(
+    if vocab is not None:
+        missing = {"word", "syms", "freq"} - set(vocab.columns)
+        if missing:
+            raise ValueError(
+                f"vocab table is missing columns {sorted(missing)}; "
+                "expected the bpe_trained_vocab schema (word, syms, freq)"
+            )
+        seg_vocab = vocab
+    else:
+        if max_vocab is None:
+            # Same bounded contract as the local trainer (VERDICT r9
+            # item 2): the word -> subword dictionary below is BROADCAST,
+            # so it must be vocabulary-bounded.  Uncapped is fine on a
+            # bounded-vocab corpus (the registered query caps at 1e6, a
+            # no-op on the test tables) but a silent giant broadcast on a
+            # web corpus — warn loudly.  An injected vocab= is exempt:
+            # its bound is the caller's persisted training table.
+            warnings.warn(
+                "bpe_encode_ids with max_vocab=None broadcasts the FULL "
+                "word->subword dictionary — unbounded at corpus scale; "
+                "set max_vocab to bound the broadcast",
+                stacklevel=2,
+            )
+        if merges is not None:
+            seg_vocab = _bpe_vocab_from_merges(docs, merges, max_vocab)
+        else:
+            seg_vocab = _bpe_segmented_vocab(docs, n_merges, max_vocab, engine)
+    seg = seg_vocab.select(
         "word",
         F.posexplode("syms").alias("subword_pos", "subword"),
         "freq",
@@ -1622,7 +1800,21 @@ def substring_piece_vocab(
         raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
     if max_pieces < 1:
         raise ValueError(f"max_pieces must be >= 1, got {max_pieces}")
-    wf = _bpe_word_freq(docs, None)
+    return _substring_piece_counts(
+        _bpe_word_freq(docs, None), max_pieces, max_piece_len
+    )
+
+
+def _substring_piece_counts(
+    wf: DataFrame, max_pieces: int, max_piece_len: int
+) -> DataFrame:
+    """Shared (piece, piece_count) seed-inventory builder over a
+    (word, freq) table — ONE implementation for MaxMatch
+    (:func:`substring_piece_vocab`) and the unigram-LM seed
+    (:func:`unigram_lm_segments`) so the counting semantics (every
+    occurrence, overlaps included, freq-weighted; top ``max_pieces``
+    multi-char pieces by (count desc, piece asc); single-char totality
+    floor) cannot drift between them."""
     n = F.length("word")
     # all (start i, len l) substrings with 2 <= l <= max_piece_len,
     # i + l - 1 <= len(word): nested transform + flatten, one generator
@@ -1756,6 +1948,212 @@ def maxmatch_segment_words(
         F.posexplode("pieces").alias("pos", "piece"),
         "freq",
     ).select(
+        "word",
+        F.col("pos").cast("long").alias("pos"),
+        "piece",
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+def unigram_lm_segments(
+    docs: DataFrame,
+    *,
+    max_pieces: int = 200,
+    max_piece_len: int = 4,
+    n_iter: int = 2,
+    max_word_len: int | None = None,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Unigram-LM subword segmentation (Kudo, ACL 2018 — the
+    SentencePiece vocabulary-induction model): seed a piece inventory
+    from substring frequencies, then run ``n_iter`` rounds of hard
+    (Viterbi) EM over the word-frequency table — E-step segments every
+    word by maximum piece-probability product under the current
+    unigram model, M-step re-estimates piece probabilities from the
+    Viterbi counts — and emit the final segmentation
+    ``(word, pos, piece, freq)`` (the ``maxmatch_segment_words`` shape,
+    so the three segmenter families A/B directly).  This completes the
+    public tokenizer triple: BPE (merge-order apply), WordPiece
+    (greedy longest-match apply), unigram LM (probabilistic Viterbi).
+
+    Pinned variant (so the DuckDB twin is EXACT — the
+    ``mwu_full_rounded`` discipline applied at the only float boundary):
+    - seed inventory = :func:`_substring_piece_counts` (top
+      ``max_pieces`` multi-char substrings by (count desc, piece asc),
+      freq-weighted, overlaps included, UNION the single-character
+      totality floor) — the piece SET is then fixed for all rounds;
+    - piece log-probabilities are Laplace-smoothed and quantized to
+      INTEGER micro-nats: ``lp = round(ln((cnt+1)/(T+V)) * 1e6)`` with
+      ``T = sum(cnt)``, ``V = |inventory|`` — the one float op in the
+      operator; everything downstream (DP sums, argmax comparisons) is
+      exact BIGINT arithmetic, so segmentations cannot drift on
+      summation order or last-ulp libm differences (ln agrees across
+      engines to ~1 ulp; a flip would need the product to land within
+      ~4e-9 of a .5 micro-nat boundary);
+    - Viterbi DP: ``best[0] = 0``; ``best[i] = max over piece lengths
+      l = 1..min(max_piece_len, i)`` of ``best[i-l] + lp(word[i-l+1..i])``
+      over pieces IN the inventory (the char floor makes l=1 always
+      valid — matching is total, no UNK class).  Laplace keeps every
+      inventory piece usable in every round (a zero-count piece decays
+      but never hits -inf), preserving totality across EM rounds;
+    - the segmentation is recovered BACKWARD from ``best``: at ``pos``
+      take the LARGEST l whose piece achieves ``best[pos-l] + lp =
+      best[pos]`` (ties prefer the longer final piece) — equivalent to
+      forward argmax with the same tiebreak, and implemented with the
+      SAME rule on both engines so no backpointer state is needed;
+    - ``max_word_len`` (None = unbounded) EXCLUDES longer words from
+      training and emission — the knob exists because the SQL twin
+      unrolls the DP to a fixed depth; the registered query sets it
+      comfortably above the corpus maximum, so it filters nothing
+      there (documented no-op, same as the encode query's max_vocab).
+
+    Scale design — the tokenizer-family contract throughout: the
+    corpus-scale cost is the ONE tokenize scan inside
+    :func:`_bpe_word_freq`; every EM round runs on the
+    vocabulary-bounded word table against an inventory-bounded
+    (``max_pieces`` + alphabet) model.  Per round: the model is ONE
+    map column built by a grouped ``map_from_entries`` and carried by
+    the documented 1-row broadcast cross (never collected to Python);
+    the Viterbi DP + backward recovery are scan-stage ``aggregate``
+    folds over character positions (zero shuffles, zero joins on the
+    word side); the M-step recount is one piece-keyed groupBy bounded
+    by inventory x words.  FIXED ``n_iter`` rounds with the pagerank
+    ``localCheckpoint`` discipline on the (tiny) inventory table —
+    n_iter small bounded jobs, corpus-size independent.
+    No counterpart in the reference (SURVEY.md section 2.1).
+    """
+    if max_piece_len < 2:
+        raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
+    if max_pieces < 1:
+        raise ValueError(f"max_pieces must be >= 1, got {max_pieces}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if max_word_len is not None and max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    wf = _bpe_word_freq(docs, max_vocab)
+    if max_word_len is not None:
+        wf = wf.filter(F.length("word") <= max_word_len)
+    inv = _substring_piece_counts(wf, max_pieces, max_piece_len).select(
+        "piece", F.col("piece_count").alias("cnt")
+    )
+    # keep the seed piece SET around: the M-step recount below restores
+    # zero-count pieces against it (the inventory never shrinks)
+    inv = inv.localCheckpoint()
+    piece_set = inv.select("piece")
+
+    L = max_piece_len
+    n = F.length("word")
+
+    def lp_map_row(inv_df: DataFrame) -> DataFrame:
+        """(piece, cnt) -> ONE row holding the quantized log-prob map:
+        lp = round(ln((cnt+1)/(T+V)) * 1e6) as BIGINT micro-nats."""
+        tot = inv_df.agg(
+            F.sum("cnt").cast("double").alias("T"),
+            F.count(F.lit(1)).cast("double").alias("V"),
+        )
+        scored = inv_df.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.round(
+                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("T") + F.col("V")))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+        return scored.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "lp"))
+            ).alias("lp_map")
+        )
+
+    def lp_at(pos_end, l):
+        """lp of the piece of length l ending at 1-based position
+        pos_end, NULL if absent from the inventory or out of range."""
+        return F.try_element_at(
+            F.col("lp_map"), F.substring(F.col("word"), pos_end - l + 1, l)
+        )
+
+    def viterbi_segments(words: DataFrame) -> DataFrame:
+        """One E-step: (word, freq, lp_map) -> (word, pos, piece, freq)
+        via the forward DP fold + backward recovery fold."""
+
+        def dp_step(acc, i):
+            # candidates l = 1..L, tie -> larger l (processed ascending
+            # with >=, so a longer piece overwrites an equal score)
+            best = F.element_at(acc, i) + lp_at(i, 1)  # l=1: char floor
+            for l in range(2, L + 1):
+                cand = F.when(
+                    i >= l, F.element_at(acc, i - l + 1) + lp_at(i, l)
+                )
+                best = F.when(
+                    cand.isNotNull() & (cand >= best), cand
+                ).otherwise(best)
+            return F.concat(acc, F.array(best))
+
+        dp = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(F.lit(0).cast("long")),
+            dp_step,
+        )
+        with_dp = words.select("word", "freq", "lp_map", dp.alias("best"))
+
+        def back_step(acc, _i):
+            pos = acc["pos"]
+            at = lambda p: F.element_at(F.col("best"), p + 1)
+            # largest l achieving best[pos-l] + lp = best[pos]; built
+            # ascending so the LONGEST candidate wraps outermost and is
+            # probed first (the when chain evaluates outside-in)
+            chosen = F.lit(1)
+            for l in range(2, L + 1):
+                hit = (
+                    (pos >= l)
+                    & lp_at(pos, l).isNotNull()
+                    & (at(pos - l) + lp_at(pos, l) == at(pos))
+                )
+                chosen = F.when(hit, F.lit(l)).otherwise(chosen)
+            piece = F.substring(F.col("word"), pos - chosen + 1, chosen)
+            return F.when(pos <= 0, acc).otherwise(
+                F.struct(
+                    (pos - chosen).alias("pos"),
+                    F.concat(acc["rev"], F.array(piece)).alias("rev"),
+                )
+            )
+
+        back0 = F.struct(
+            n.cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("rev"),
+        )
+        pieces = F.aggregate(
+            F.sequence(F.lit(1), n),
+            back0,
+            back_step,
+            lambda a: F.reverse(a["rev"]),
+        )
+        return with_dp.select(
+            "word", "freq", pieces.alias("pieces")
+        ).select(
+            "word",
+            F.posexplode("pieces").alias("pos", "piece"),
+            "freq",
+        )
+
+    seg = None
+    for r in range(n_iter):
+        model = lp_map_row(inv)
+        seg = viterbi_segments(wf.crossJoin(F.broadcast(model)))
+        if r < n_iter - 1:
+            # M-step: Viterbi piece counts (freq-weighted occurrences),
+            # zero-filled against the fixed seed set; eager + bounded
+            counts = seg.groupBy("piece").agg(F.sum("freq").alias("used"))
+            inv = (
+                piece_set.join(counts, "piece", "left")
+                .select(
+                    "piece",
+                    F.coalesce(F.col("used"), F.lit(0)).cast("long").alias("cnt"),
+                )
+                .localCheckpoint()
+            )
+    return seg.select(
         "word",
         F.col("pos").cast("long").alias("pos"),
         "piece",

@@ -4,20 +4,32 @@ a guard against silent plan regressions the value oracles cannot see
 (an operator can stay bit-exact while its plan degrades to a global
 sort or an all-pairs join; the probes measure the SHAPE).
 
-``--quick`` runs the ten oldest probes (r1-r3 vintage: flagship melt,
-rank, dedup banding, fanout, ANN ladder, connected components, skew,
-quantile narrowing, incremental dedup, heavy hitters) at configs sized
-to finish in a few minutes total.  Each probe runs in its OWN
-subprocess (own SparkSession, own JVM) so a hang or crash in one cannot
-poison the rest, and the runner's verdict is per-probe.
+Quick configs are the ONLY mode (ADVICE r9): every probe runs at a
+size ~1/10 of its recorded BASELINE.md row — big enough that the
+measured regime (shuffle shape, bucketing, banding) is the real one,
+small enough that the full rotation finishes in minutes.  ``--quick``
+is accepted for compatibility and is a no-op; any other flag is
+rejected.  For a full-size run, invoke the probe script directly with
+its BASELINE.md argv.
+
+The registry covers the r1-r3 vintage (flagship melt, rank, dedup
+banding, fanout, ANN ladder, connected components, skew, quantile
+narrowing, incremental dedup, heavy hitters — rotated in r9) and the
+r4-r5 vintage (span-dedup/BM25/novelty/token-shards, SNM/PSI/tfidf/
+entropy, bigram-LM/containment/reconcile/MAD, Gopher/DSIR/fuzzy-
+decontam/Matryoshka, dominant-PC/bloom/TextRank/basket-lift, pagerank
+hub, curation battery — rotated in r10).  Each probe runs in its OWN
+subprocess (own SparkSession, own JVM) so a hang or crash in one
+cannot poison the rest, and the runner's verdict is per-probe.
 
 Output: one JSON line per probe — {"probe", "ok", "wall_sec", "tail"}
 (tail = the probe's last stdout line, which for JSON-emitting probes is
 their measurement record) — then a summary line.  Nonzero exit if any
 probe failed.
 
-Usage: python tools/run_probes.py --quick
-       python tools/run_probes.py --quick rank dedup   # subset by name
+Usage: python tools/run_probes.py                  # all probes
+       python tools/run_probes.py rank dedup       # subset by name
+       python tools/run_probes.py r4 r4b pagerank  # the r10 rotation
 """
 
 from __future__ import annotations
@@ -44,11 +56,27 @@ QUICK = {
     "quantile": ("scale_probe_quantile.py", ["5000000", "0.5"]),
     "incremental": ("scale_probe_incremental.py", ["5000", "20000", "80000"]),
     "heavy_hitters": ("scale_probe_heavy_hitters.py", ["100000", "0.001"]),
+    # --- r4-r5 vintage (round-10 rotation: VERDICT r9 item 6) ---
+    "r4": ("scale_probe_r4.py", ["100000"]),
+    "r4b": ("scale_probe_r4b.py", ["100000", "2000000"]),
+    "r4c": ("scale_probe_r4c.py", ["100000", "2000000"]),
+    "r5": ("scale_probe_r5.py", ["200000", "50000"]),
+    "r5b": ("scale_probe_r5b.py", ["100000", "20000"]),
+    "pagerank": ("scale_probe_pagerank.py", ["100000", "10000", "10000"]),
+    "curation": ("scale_probe_curation.py", ["100000"]),
 }
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--quick"]
+    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    if any(f != "--quick" for f in flags):
+        print(
+            f"unknown flags: {[f for f in flags if f != '--quick']}; "
+            "quick configs are the only mode (--quick is an accepted "
+            "no-op; run a probe script directly for full size)"
+        )
+        return 2
+    argv = [a for a in sys.argv[1:] if not a.startswith("-")]
     names = argv or list(QUICK)
     unknown = [n for n in names if n not in QUICK]
     if unknown:
