@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     # segmentation (bounded-collect + one scan-stage fold)
     "text_bpe_encode",
     "text_maxmatch_segments",
+    # round-10 new surface: unigram-LM Viterbi-EM segmentation (fixed
+    # n_iter=2 rounds over the vocabulary-bounded word table)
+    "text_unigram_segments",
 ]
 
 

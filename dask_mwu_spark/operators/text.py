@@ -2033,6 +2033,10 @@ def unigram_lm_segments(
     wf = _bpe_word_freq(docs, max_vocab)
     if max_word_len is not None:
         wf = wf.filter(F.length("word") <= max_word_len)
+    # ONE corpus tokenize scan total: the vocabulary-bounded word table
+    # is eagerly checkpointed (the _bpe_train discipline) so the n_iter
+    # Viterbi passes below re-read the tiny table, never the corpus
+    wf = wf.localCheckpoint()
     inv = _substring_piece_counts(wf, max_pieces, max_piece_len).select(
         "piece", F.col("piece_count").alias("cnt")
     )

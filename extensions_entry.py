@@ -1765,6 +1765,17 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_maxmatch_segments": lambda s, d: tx.maxmatch_segment_words(
             _docs(s, d), max_pieces=24, max_piece_len=4
         ),
+        # round 10: unigram-LM (SentencePiece) Viterbi-EM segmentation —
+        # completes the tokenizer triple (BPE / WordPiece / unigram).
+        # max_word_len=16 mirrors the oracle's fixed DP unroll and is a
+        # measured no-op on the test corpora (longest word is 10 chars)
+        "text_unigram_segments": lambda s, d: tx.unigram_lm_segments(
+            _docs(s, d),
+            max_pieces=24,
+            max_piece_len=4,
+            n_iter=2,
+            max_word_len=16,
+        ),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -2471,6 +2482,7 @@ FROM pred GROUP BY lang, pred_lang
         "text_bpe_segments": _bpe_merges_sql(8, segments=True),
         "text_bpe_encode": _bpe_merges_sql(8, encode=True),
         "text_maxmatch_segments": _maxmatch_sql(24, 4),
+        "text_unigram_segments": _unigram_sql(24, 4, 2, 16),
         "text_fingerprints": f"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams,
