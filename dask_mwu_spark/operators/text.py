@@ -1963,6 +1963,7 @@ def unigram_lm_segments(
     n_iter: int = 2,
     max_word_len: int | None = None,
     max_vocab: int | None = None,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram-LM subword segmentation (Kudo, ACL 2018 — the
     SentencePiece vocabulary-induction model): seed a piece inventory
@@ -2006,6 +2007,16 @@ def unigram_lm_segments(
       unrolls the DP to a fixed depth; the registered query sets it
       comfortably above the corpus maximum, so it filters nothing
       there (documented no-op, same as the encode query's max_vocab).
+    - ``model=`` injects a PREVIOUSLY TRAINED model table (the
+      :func:`unigram_trained_model` schema ``(piece, lp)``) instead of
+      retraining — the ``merges=`` / ``centroids=`` seam applied to
+      this tokenizer; ``max_pieces`` / ``n_iter`` are ignored when
+      given.  The injected path runs the SAME Viterbi fold the trainer
+      segments with, so the segmentation is bit-identical to
+      retraining by construction — pinned by pytest.  New docs may
+      contain characters outside the trained alphabet: matching stays
+      TOTAL (positions with no inventory piece fall back to the
+      single-character backward default), also pinned by pytest.
 
     Scale design — the tokenizer-family contract throughout: the
     corpus-scale cost is the ONE tokenize scan inside
@@ -2030,9 +2041,193 @@ def unigram_lm_segments(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if max_word_len is not None and max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    if model is not None:
+        _unigram_require_model(model)
+        wf = _unigram_word_table(docs, max_vocab, max_word_len)
+        seg = _unigram_viterbi_segments(
+            wf.crossJoin(F.broadcast(_unigram_lp_map_row(model))),
+            max_piece_len,
+        )
+    else:
+        wf, lp = _unigram_train(
+            docs, max_pieces, max_piece_len, n_iter, max_word_len, max_vocab
+        )
+        seg = _unigram_viterbi_segments(
+            wf.crossJoin(F.broadcast(_unigram_lp_map_row(lp))), max_piece_len
+        )
+    return seg.select(
+        "word",
+        F.col("pos").cast("long").alias("pos"),
+        "piece",
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+def unigram_trained_model(
+    docs: DataFrame,
+    *,
+    max_pieces: int = 200,
+    max_piece_len: int = 4,
+    n_iter: int = 2,
+    max_word_len: int | None = None,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Train the unigram LM and return the final model ``(piece,
+    lp bigint)`` — the quantized micro-nat log-probabilities the last
+    E-step segments with, i.e. the table to PERSIST for the
+    train-once/segment-many pipeline (the ``bpe_trained_vocab`` /
+    ``centroids=`` seam applied to the third tokenizer): write it out
+    once, then feed it back as ``unigram_lm_segments(..., model=)`` so
+    every later batch runs ONE Viterbi pass and zero EM rounds.
+    Same arguments and pinned arithmetic as :func:`unigram_lm_segments`;
+    injection equivalence (segment-with-injected-model row-identical to
+    segment-with-retrain) is pinned by pytest.  The model is
+    inventory-bounded (``max_pieces`` + alphabet rows), so persisting or
+    broadcasting it is a few KB at these bounds and a few MB at
+    production SentencePiece sizes (32k-1M pieces).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    _, lp = _unigram_train(
+        docs, max_pieces, max_piece_len, n_iter, max_word_len, max_vocab
+    )
+    return lp
+
+
+def _unigram_require_model(model: DataFrame) -> None:
+    missing = {"piece", "lp"} - set(model.columns)
+    if missing:
+        raise ValueError(
+            f"model table is missing columns {sorted(missing)}; expected "
+            "the unigram_trained_model schema (piece, lp[, ...])"
+        )
+
+
+def _unigram_word_table(
+    docs: DataFrame, max_vocab: int | None, max_word_len: int | None
+) -> DataFrame:
     wf = _bpe_word_freq(docs, max_vocab)
     if max_word_len is not None:
         wf = wf.filter(F.length("word") <= max_word_len)
+    return wf
+
+
+def _unigram_lp_scores(inv_df: DataFrame) -> DataFrame:
+    """(piece, cnt) -> (piece, lp): Laplace-smoothed log-probs
+    quantized to BIGINT micro-nats, lp = round(ln((cnt+1)/(T+V)) * 1e6)
+    — the operator's ONE float op; everything downstream is exact
+    BIGINT arithmetic (see :func:`unigram_lm_segments`)."""
+    tot = inv_df.agg(
+        F.sum("cnt").cast("double").alias("T"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    return inv_df.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            F.log((F.col("cnt") + F.lit(1.0)) / (F.col("T") + F.col("V")))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+
+
+def _unigram_lp_map_row(lp_df: DataFrame) -> DataFrame:
+    """(piece, lp) -> ONE row holding the piece->lp map (the model
+    column the 1-row broadcast cross carries onto the word table)."""
+    return lp_df.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "lp"))).alias(
+            "lp_map"
+        )
+    )
+
+
+def _unigram_lp_at(pos_end, l):
+    """lp of the piece of length l ending at 1-based position pos_end,
+    NULL if absent from the inventory or out of range."""
+    return F.try_element_at(
+        F.col("lp_map"), F.substring(F.col("word"), pos_end - l + 1, l)
+    )
+
+
+def _unigram_viterbi_segments(words: DataFrame, L: int) -> DataFrame:
+    """One E-step: (word, freq, lp_map) -> (word, pos, piece, freq)
+    via the forward DP fold + backward recovery fold."""
+    n = F.length("word")
+    lp_at = _unigram_lp_at
+
+    def dp_step(acc, i):
+        # candidates l = 1..L, tie -> larger l (processed ascending
+        # with >=, so a longer piece overwrites an equal score)
+        best = F.element_at(acc, i) + lp_at(i, 1)  # l=1: char floor
+        for l in range(2, L + 1):
+            cand = F.when(
+                i >= l, F.element_at(acc, i - l + 1) + lp_at(i, l)
+            )
+            best = F.when(
+                cand.isNotNull() & (cand >= best), cand
+            ).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(0).cast("long")),
+        dp_step,
+    )
+    with_dp = words.select("word", "freq", "lp_map", dp.alias("best"))
+
+    def back_step(acc, _i):
+        pos = acc["pos"]
+        at = lambda p: F.element_at(F.col("best"), p + 1)
+        # largest l achieving best[pos-l] + lp = best[pos]; built
+        # ascending so the LONGEST candidate wraps outermost and is
+        # probed first (the when chain evaluates outside-in)
+        chosen = F.lit(1)
+        for l in range(2, L + 1):
+            hit = (
+                (pos >= l)
+                & lp_at(pos, l).isNotNull()
+                & (at(pos - l) + lp_at(pos, l) == at(pos))
+            )
+            chosen = F.when(hit, F.lit(l)).otherwise(chosen)
+        piece = F.substring(F.col("word"), pos - chosen + 1, chosen)
+        return F.when(pos <= 0, acc).otherwise(
+            F.struct(
+                (pos - chosen).alias("pos"),
+                F.concat(acc["rev"], F.array(piece)).alias("rev"),
+            )
+        )
+
+    back0 = F.struct(
+        n.cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("rev"),
+    )
+    pieces = F.aggregate(
+        F.sequence(F.lit(1), n),
+        back0,
+        back_step,
+        lambda a: F.reverse(a["rev"]),
+    )
+    return with_dp.select(
+        "word", "freq", pieces.alias("pieces")
+    ).select(
+        "word",
+        F.posexplode("pieces").alias("pos", "piece"),
+        "freq",
+    )
+
+
+def _unigram_train(
+    docs: DataFrame,
+    max_pieces: int,
+    max_piece_len: int,
+    n_iter: int,
+    max_word_len: int | None,
+    max_vocab: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared EM loop: returns (word table, final (piece, lp) model).
+    The final segmentation = one Viterbi pass of the returned model
+    over the returned word table, so segment-and-return and
+    train-then-inject are identical by construction."""
+    wf = _unigram_word_table(docs, max_vocab, max_word_len)
     # ONE corpus tokenize scan total: the vocabulary-bounded word table
     # is eagerly checkpointed (the _bpe_train discipline) so the n_iter
     # Viterbi passes below re-read the tiny table, never the corpus
@@ -2045,109 +2240,16 @@ def unigram_lm_segments(
     inv = inv.localCheckpoint()
     piece_set = inv.select("piece")
 
-    L = max_piece_len
-    n = F.length("word")
-
-    def lp_map_row(inv_df: DataFrame) -> DataFrame:
-        """(piece, cnt) -> ONE row holding the quantized log-prob map:
-        lp = round(ln((cnt+1)/(T+V)) * 1e6) as BIGINT micro-nats."""
-        tot = inv_df.agg(
-            F.sum("cnt").cast("double").alias("T"),
-            F.count(F.lit(1)).cast("double").alias("V"),
-        )
-        scored = inv_df.crossJoin(F.broadcast(tot)).select(
-            "piece",
-            F.round(
-                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("T") + F.col("V")))
-                * F.lit(1000000.0)
-            )
-            .cast("long")
-            .alias("lp"),
-        )
-        return scored.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("piece", "lp"))
-            ).alias("lp_map")
-        )
-
-    def lp_at(pos_end, l):
-        """lp of the piece of length l ending at 1-based position
-        pos_end, NULL if absent from the inventory or out of range."""
-        return F.try_element_at(
-            F.col("lp_map"), F.substring(F.col("word"), pos_end - l + 1, l)
-        )
-
-    def viterbi_segments(words: DataFrame) -> DataFrame:
-        """One E-step: (word, freq, lp_map) -> (word, pos, piece, freq)
-        via the forward DP fold + backward recovery fold."""
-
-        def dp_step(acc, i):
-            # candidates l = 1..L, tie -> larger l (processed ascending
-            # with >=, so a longer piece overwrites an equal score)
-            best = F.element_at(acc, i) + lp_at(i, 1)  # l=1: char floor
-            for l in range(2, L + 1):
-                cand = F.when(
-                    i >= l, F.element_at(acc, i - l + 1) + lp_at(i, l)
-                )
-                best = F.when(
-                    cand.isNotNull() & (cand >= best), cand
-                ).otherwise(best)
-            return F.concat(acc, F.array(best))
-
-        dp = F.aggregate(
-            F.sequence(F.lit(1), n),
-            F.array(F.lit(0).cast("long")),
-            dp_step,
-        )
-        with_dp = words.select("word", "freq", "lp_map", dp.alias("best"))
-
-        def back_step(acc, _i):
-            pos = acc["pos"]
-            at = lambda p: F.element_at(F.col("best"), p + 1)
-            # largest l achieving best[pos-l] + lp = best[pos]; built
-            # ascending so the LONGEST candidate wraps outermost and is
-            # probed first (the when chain evaluates outside-in)
-            chosen = F.lit(1)
-            for l in range(2, L + 1):
-                hit = (
-                    (pos >= l)
-                    & lp_at(pos, l).isNotNull()
-                    & (at(pos - l) + lp_at(pos, l) == at(pos))
-                )
-                chosen = F.when(hit, F.lit(l)).otherwise(chosen)
-            piece = F.substring(F.col("word"), pos - chosen + 1, chosen)
-            return F.when(pos <= 0, acc).otherwise(
-                F.struct(
-                    (pos - chosen).alias("pos"),
-                    F.concat(acc["rev"], F.array(piece)).alias("rev"),
-                )
-            )
-
-        back0 = F.struct(
-            n.cast("int").alias("pos"),
-            F.array().cast("array<string>").alias("rev"),
-        )
-        pieces = F.aggregate(
-            F.sequence(F.lit(1), n),
-            back0,
-            back_step,
-            lambda a: F.reverse(a["rev"]),
-        )
-        return with_dp.select(
-            "word", "freq", pieces.alias("pieces")
-        ).select(
-            "word",
-            F.posexplode("pieces").alias("pos", "piece"),
-            "freq",
-        )
-
-    seg = None
+    lp = None
     for r in range(n_iter):
-        model = lp_map_row(inv)
-        seg = viterbi_segments(wf.crossJoin(F.broadcast(model)))
+        lp = _unigram_lp_scores(inv)
         if r < n_iter - 1:
             # M-step: Viterbi piece counts (freq-weighted occurrences),
             # zero-filled against the fixed seed set; eager + bounded
+            seg = _unigram_viterbi_segments(
+                wf.crossJoin(F.broadcast(_unigram_lp_map_row(lp))),
+                max_piece_len,
+            )
             counts = seg.groupBy("piece").agg(F.sum("freq").alias("used"))
             inv = (
                 piece_set.join(counts, "piece", "left")
@@ -2157,9 +2259,4 @@ def unigram_lm_segments(
                 )
                 .localCheckpoint()
             )
-    return seg.select(
-        "word",
-        F.col("pos").cast("long").alias("pos"),
-        "piece",
-        F.col("freq").cast("long").alias("freq"),
-    )
+    return wf, lp

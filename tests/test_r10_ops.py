@@ -323,3 +323,71 @@ def test_unigram_validation(spark):
         tx.unigram_lm_segments(docs, max_pieces=0)
     with pytest.raises(ValueError, match="max_word_len"):
         tx.unigram_lm_segments(docs, max_word_len=0)
+
+
+# ---------------------------------------------------------------------------
+# unigram trained-model reuse seam (the merges=/centroids= precedent)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_injected_model_matches_retrain(spark):
+    """segment-with-injected-model is row-identical to
+    segment-with-retrain — the train-once/segment-many contract; the
+    model survives a parquet round trip (the persistence the seam
+    exists for)."""
+    import tempfile
+
+    rows = ["low low low lower lowest newest widest", "wide new lows"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    kw = dict(max_pieces=24, max_piece_len=4, n_iter=2)
+    retrained = sorted(
+        tuple(r) for r in tx.unigram_lm_segments(docs, **kw).collect()
+    )
+    model = tx.unigram_trained_model(docs, **kw)
+    assert model.columns == ["piece", "lp"]
+    injected = sorted(
+        tuple(r)
+        for r in tx.unigram_lm_segments(docs, model=model).collect()
+    )
+    assert injected == retrained
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "unigram_model.parquet")
+        model.write.parquet(path)
+        roundtrip = sorted(
+            tuple(r)
+            for r in tx.unigram_lm_segments(
+                docs, model=spark.read.parquet(path)
+            ).collect()
+        )
+    assert roundtrip == retrained
+
+
+def test_unigram_injected_model_segments_new_docs(spark):
+    """The encode-many half: a model trained on corpus A segments
+    corpus B (words unseen at training time stay total via the char
+    floor — every inventory miss falls back to single chars)."""
+    train = spark.createDataFrame(
+        [(0, "low low low lower lowest")], "doc_id long, text string"
+    )
+    model = tx.unigram_trained_model(
+        train, max_pieces=16, max_piece_len=4, n_iter=2
+    )
+    new = spark.createDataFrame(
+        [(0, "lowest qqq")], "doc_id long, text string"
+    )
+    got = {}
+    for r in tx.unigram_lm_segments(new, model=model).collect():
+        got.setdefault(r["word"], []).append((r["pos"], r["piece"]))
+    segs = {w: [p for _, p in sorted(v)] for w, v in got.items()}
+    assert "".join(segs["lowest"]) == "lowest"
+    # 'q' was never in the training alphabet: totality falls back to chars
+    assert segs["qqq"] == ["q", "q", "q"]
+
+
+def test_unigram_model_validation(spark):
+    docs = _toy_docs(spark)
+    bad = spark.createDataFrame([("ab", 1)], "piece string, cnt long")
+    with pytest.raises(ValueError, match="lp"):
+        tx.unigram_lm_segments(docs, model=bad)
