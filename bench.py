@@ -103,8 +103,11 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "text_maxmatch_segments",
     # round-10 new surface: unigram-LM Viterbi-EM segmentation (fixed
-    # n_iter=2 rounds over the vocabulary-bounded word table)
+    # n_iter=2 rounds over the vocabulary-bounded word table) and hybrid
+    # BM25+cosine retrieval fused by reciprocal rank (two depth-bounded
+    # rankers + a tiny fuse)
     "text_unigram_segments",
+    "text_hybrid_rrf",
 ]
 
 

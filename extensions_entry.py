@@ -25,6 +25,7 @@ from dask_mwu_spark.operators import events as ev
 from dask_mwu_spark.operators import graph as gr
 from dask_mwu_spark.operators import multimodal as mm
 from dask_mwu_spark.operators import rfm
+from dask_mwu_spark.operators import retrieval as rtv
 from dask_mwu_spark.operators import similarity as sim
 from dask_mwu_spark.operators import skew as sk
 from dask_mwu_spark.operators import text as tx
@@ -1914,6 +1915,18 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_overlap": lambda s, d: tx.source_vocab_overlap(
             _docs(s, d)
         ),
+        # round 10: hybrid lexical+dense retrieval — BM25 and
+        # embedding-cosine top-20 lists fused by reciprocal-rank fusion
+        # (Cormack et al., SIGIR 2009); same query terms as
+        # text_bm25_topk, dense query = vec_id 0 over doc-aligned ids
+        "text_hybrid_rrf": lambda s, d: rtv.hybrid_bm25_cosine_topk(
+            _docs(s, d),
+            _emb(s, d),
+            ["the", "fast", "datos", "row"],
+            query_vec_id=0,
+            k=10,
+            depth=20,
+        ),
         # substring-level dedup signal: maximal duplicated 5-gram spans
         # and the per-doc coverage summary over them
         "dedup_dup_spans": lambda s, d: dd.duplicated_spans(_docs(s, d), n=5),
@@ -3402,6 +3415,68 @@ top AS (SELECT * FROM per ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, score, n_terms_hit,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
 FROM top
+""",
+        "text_hybrid_rrf": f"""
+WITH {_VEC_CTE},
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+g AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+      FROM lens),
+q(word) AS (VALUES ('datos'), ('fast'), ('row'), ('the')),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE word IN (SELECT word FROM q) GROUP BY 1, 2
+),
+df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.word,
+         LN((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / g.avgdl)) AS s
+  FROM tf JOIN df USING (word) JOIN lens USING (doc_id) CROSS JOIN g
+),
+per AS (
+  SELECT doc_id,
+         ROUND(list_aggregate(list(s ORDER BY word), 'sum'), 6) AS score
+  FROM s GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS bm25_rank
+  FROM (SELECT * FROM per ORDER BY score DESC, doc_id ASC LIMIT 20)
+),
+qv AS (SELECT vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id = 0),
+dsc AS (
+  SELECT nv.vec_id AS doc_id,
+         ROUND(list_dot_product(vec, q_vec) / (nrm * q_nrm), 6) AS cosine
+  FROM nv, qv
+  WHERE nv.vec_id != 0
+    AND nv.vec_id IN (SELECT doc_id FROM documents)
+),
+dn AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+           AS cosine_rank
+  FROM (SELECT * FROM dsc ORDER BY cosine DESC, doc_id ASC LIMIT 20)
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id, bm.bm25_rank, dn.cosine_rank,
+         -- fixed sum order (bm25 term + cosine term), same as the engine
+         ROUND(COALESCE(1.0 / (60 + bm.bm25_rank), 0.0)
+               + COALESCE(1.0 / (60 + dn.cosine_rank), 0.0), 6) AS rrf_score,
+         CAST((CASE WHEN bm.bm25_rank IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN dn.cosine_rank IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lists
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+)
+SELECT doc_id, bm25_rank, cosine_rank, rrf_score, n_lists,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10)
 """,
         "text_source_overlap": """
 WITH sv AS (
