@@ -198,6 +198,20 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # round 5: Q15's argmax equality folds into the 1-ROW MAX
         # broadcast cross (same per-row-filter-in-disguise pattern)
         "supplier_top_revenue": {"nested_loop"},
+        # round 10: the Generate's implicit size(pieces) > 0 filter is
+        # pushed by Catalyst INTO the 1-ROW lp_map model broadcast cross
+        # as a join condition (events_rolling_dau per-row-filter-in-
+        # disguise precedent; build side = the 1-row map_from_entries
+        # aggregate, verified by plan read).  The filter is vacuous —
+        # char-floor totality guarantees a non-empty segmentation for
+        # every word — and the left side is the vocabulary-bounded word
+        # table, not the corpus.
+        "text_unigram_segments": {"nested_loop"},
+        # round 10: both RRF rank windows run over POST-LIMIT heads
+        # (TakeOrderedAndProject selects <= depth / <= k rows first —
+        # the bm25/vocab_topk precedent; plan-asserted in
+        # test_retrieval via the fused-output shape)
+        "text_hybrid_rrf": {"global_window"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():
