@@ -1042,8 +1042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round's head slot at derivation time; if one lands later
         # in the round it is prepended and the tail displaced (the
         # standing displacement rule).
-        # --- round-10 registrations (displace orders_priority_wait and
-        # orders_monthly_growth to the round-11 tier head) ---
+        # --- round-10 registrations (displace orders_priority_wait,
+        # orders_monthly_growth and orders_large_volume to the round-11
+        # tier head) ---
+        "text_bm25_batch",
         "text_hybrid_rrf",
         "text_unigram_segments",
         # --- last driver-attested in round 5 (33) ---
@@ -1059,23 +1061,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_matryoshka_recall", "sim_pq_recall", "sim_pq_topk",
         "star_local_supplier_volume", "text_gopher_funnel",
         "text_gopher_rules", "text_pmi_collocations", "text_textrank",
-        # --- last driver-attested in round 6 (first 15 of 25 — the
-        # round-10 registrations above displaced orders_priority_wait
-        # and orders_monthly_growth; the rest lead the round-11
-        # rotation) ---
+        # --- last driver-attested in round 6 (first 14 of 25 — the
+        # round-10 registrations above displaced orders_priority_wait,
+        # orders_monthly_growth and orders_large_volume; the rest lead
+        # the round-11 rotation) ---
         "cur_group_split", "cur_split_leakage", "customer_dormant_balance",
         "customer_order_dist", "customer_returned_revenue",
         "events_gap_profile", "events_power_users", "events_time_to_convert",
         "lineitem_bracket_revenue", "lineitem_forecast_revenue",
         "lineitem_promo_share", "lineitem_small_qty_revenue",
-        "lineitem_supply_risk", "mwu_ks_test", "orders_large_volume",
+        "lineitem_supply_risk", "mwu_ks_test",
     ]
     # Round-11 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round): the 10 remaining r6 entries (orders_priority_wait
-    # and orders_monthly_growth, displaced above, then part_supplier_cnt
-    # through supplier_value_share), then 40 r7 entries from cur_curate
-    # onward —
+    # within a round): the 11 remaining r6 entries (orders_priority_wait,
+    # orders_monthly_growth and orders_large_volume, displaced above,
+    # then part_supplier_cnt through supplier_value_share), then 39 r7
+    # entries from cur_curate onward —
     # plus any round-11 registrations at the head, displacing from the
     # tail.  Re-derive if r10 attestation differs: tools snippet in
     # BASELINE.md round-9 record.

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     # rankers + a tiny fuse)
     "text_unigram_segments",
     "text_hybrid_rrf",
+    # the multi-query BM25 shape (one token scan serves all queries,
+    # rank window partitioned by query_id — no global window)
+    "text_bm25_batch",
 ]
 
 

@@ -662,6 +662,102 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval: top-``k`` documents for EVERY query in a
+    query table ``(query_id, word)`` — the production multi-query
+    shape of :func:`bm25_topk` (same Lucene-form scoring, same pinned
+    float discipline), where ONE token scan serves all queries and the
+    ranking window is PARTITIONED by query_id, so no global sort or
+    single-task funnel exists anywhere in the plan (the single-query
+    form's post-limit global window disappears entirely).  Duplicate
+    ``(query_id, word)`` rows are deduplicated.  Output:
+    ``(query_id, doc_id, score, n_terms_hit, rank)``, rank 1-based.
+
+    Scale: the union vocabulary of all queries is bounded (queries x
+    terms, KBs even at thousands of queries) and broadcast TWICE —
+    once as the token-stream filter BEFORE the (doc, term)
+    aggregation (only matching tokens ever shuffle), once to fan each
+    matched (doc, term) out to the queries containing the term.  df
+    and avgdl are tiny broadcast aggregates; the per-(query, doc)
+    score fold and the per-query rank window shuffle only the matched
+    candidate set, keyed by (query_id, doc_id) / query_id.  Per-term
+    scores fold in ascending term order (sort_array + aggregate) and
+    round to 6 — the :func:`bm25_topk` determinism contract, applied
+    per (query_id, doc_id).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    missing = {"query_id", "word"} - set(queries.columns)
+    if missing:
+        raise ValueError(
+            f"queries table is missing columns {sorted(missing)}; "
+            "expected (query_id, word)"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qwords = queries.select("query_id", "word").distinct()
+    vocab = qwords.select("word").distinct()
+    lens = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    avgdl = lens.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tokens(docs)
+        .join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qwords), "word")
+        .join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "query_id",
+            "doc_id",
+            "word",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    per = scored.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("word", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["s"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+    )
+
+
 def source_vocab_overlap(docs: DataFrame) -> DataFrame:
     """Pairwise vocabulary Jaccard between corpus sources — the
     corpus-composition diagnostic (which crawls/domains share wording, where

@@ -1912,6 +1912,22 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": lambda s, d: tx.bm25_topk(
             _docs(s, d), ["the", "fast", "datos", "row"], k=10
         ),
+        # round 10: the batch multi-query BM25 shape — one token scan
+        # serves all queries, ranking window PARTITIONED by query_id
+        # (no global window anywhere); query 0 = the single-query
+        # registered terms, 1-2 exercise disjoint idf/df profiles
+        "text_bm25_batch": lambda s, d: tx.bm25_batch_topk(
+            _docs(s, d),
+            s.createDataFrame(
+                [
+                    (0, "the"), (0, "fast"), (0, "datos"), (0, "row"),
+                    (1, "spark"), (1, "join"), (1, "merge"),
+                    (2, "slow"), (2, "batch"), (2, "vector"), (2, "scan"),
+                ],
+                "query_id long, word string",
+            ),
+            k=10,
+        ),
         "text_source_overlap": lambda s, d: tx.source_vocab_overlap(
             _docs(s, d)
         ),
@@ -3415,6 +3431,47 @@ top AS (SELECT * FROM per ORDER BY score DESC, doc_id ASC LIMIT 10)
 SELECT doc_id, score, n_terms_hit,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
 FROM top
+""",
+        "text_bm25_batch": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+g AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+      FROM lens),
+q(query_id, word) AS (VALUES
+  (0, 'the'), (0, 'fast'), (0, 'datos'), (0, 'row'),
+  (1, 'spark'), (1, 'join'), (1, 'merge'),
+  (2, 'slow'), (2, 'batch'), (2, 'vector'), (2, 'scan')),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE word IN (SELECT DISTINCT word FROM q) GROUP BY 1, 2
+),
+df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY 1),
+s AS (
+  SELECT q.query_id, tf.doc_id, tf.word,
+         LN((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / g.avgdl)) AS s
+  FROM tf JOIN q USING (word) JOIN df USING (word)
+  JOIN lens USING (doc_id) CROSS JOIN g
+),
+per AS (
+  -- fold in ascending word order per (query, doc): same float sum
+  -- order as the engine's sort_array + aggregate
+  SELECT query_id, doc_id,
+         ROUND(list_aggregate(list(s ORDER BY word), 'sum'), 6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM s GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM per
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms_hit, rank
+FROM r WHERE rank <= 10
 """,
         "text_hybrid_rrf": f"""
 WITH {_VEC_CTE},

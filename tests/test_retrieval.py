@@ -157,3 +157,86 @@ def test_hybrid_fuses_ann_list(spark, sf_dir):
     out = rtv.rrf_fuse({"bm25": lex, "ann": ann}, k=5).collect()
     assert len(out) == 5
     assert all(r["n_lists"] in (1, 2) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# batch BM25 (the multi-query production shape)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_batch_query0_matches_single(spark, sf_dir):
+    """Each batch query scores exactly as the single-query operator run
+    alone (same corpus statistics, same fold order): query 0 uses the
+    registered single-query terms and must reproduce its table."""
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators import text as tx
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    terms = ["the", "fast", "datos", "row"]
+    single = [
+        (r["doc_id"], r["score"], r["n_terms_hit"], r["rank"])
+        for r in tx.bm25_topk(docs, terms, k=10).collect()
+    ]
+    q = spark.createDataFrame(
+        [(0, t) for t in terms] + [(1, "spark"), (1, "join")],
+        "query_id long, word string",
+    )
+    batch = [
+        (r["doc_id"], r["score"], r["n_terms_hit"], r["rank"])
+        for r in tx.bm25_batch_topk(docs, q, k=10)
+        .where(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batch == single
+
+
+def test_bm25_batch_dedupes_query_words_and_validates(spark):
+    from dask_mwu_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b b c")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(0, "b"), (0, "b"), (0, "c")], "query_id long, word string"
+    )
+    dup = tx.bm25_batch_topk(docs, q, k=5).collect()
+    q1 = spark.createDataFrame(
+        [(0, "b"), (0, "c")], "query_id long, word string"
+    )
+    clean = tx.bm25_batch_topk(docs, q1, k=5).collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, clean))
+    with pytest.raises(ValueError, match="query_id"):
+        tx.bm25_batch_topk(docs, q.withColumnRenamed("query_id", "qid"))
+    with pytest.raises(ValueError, match="k must"):
+        tx.bm25_batch_topk(docs, q, k=0)
+
+
+def test_bm25_batch_plan_is_partitioned_and_broadcast(spark, sf_dir):
+    """The scale contract: the rank window is PARTITIONED by query_id
+    (no unpartitioned ordered window anywhere) and the vocabulary /
+    query fan-out joins are broadcast, never a shuffled SortMergeJoin
+    of the token stream."""
+    import re
+
+    from dask_mwu_spark.operators import text as tx
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = spark.createDataFrame(
+        [(0, "the"), (1, "fast")], "query_id long, word string"
+    )
+    plan = (
+        tx.bm25_batch_topk(docs, q, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split("specifiedwindowframe")[0]
+        if " ASC" in head or " DESC" in head:
+            first = head.split(",")[0].strip()
+            assert not first.endswith(
+                ("ASC NULLS FIRST", "DESC NULLS LAST")
+            ), plan

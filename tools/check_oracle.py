@@ -62,7 +62,7 @@ SMOKE = [
     # its corpus encode + the MaxMatch greedy segmenter)
     "text_quality", "text_token_count", "text_lang_id", "text_bm25_topk",
     "text_heavy_hitters", "text_bpe_encode", "text_maxmatch_segments",
-    "text_unigram_segments", "text_hybrid_rrf",
+    "text_unigram_segments", "text_hybrid_rrf", "text_bm25_batch",
     # curation
     "cur_curate", "cur_dsir_resample", "cur_bloom_decontaminate",
     "cur_group_split",
