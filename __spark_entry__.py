@@ -1043,8 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the round it is prepended and the tail displaced (the
         # standing displacement rule).
         # --- round-10 registrations (displace orders_priority_wait,
-        # orders_monthly_growth and orders_large_volume to the round-11
-        # tier head) ---
+        # orders_monthly_growth, orders_large_volume and mwu_ks_test to
+        # the round-11 tier head) ---
+        "text_unigram_encode",
         "text_bm25_batch",
         "text_hybrid_rrf",
         "text_unigram_segments",
@@ -1061,23 +1062,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_matryoshka_recall", "sim_pq_recall", "sim_pq_topk",
         "star_local_supplier_volume", "text_gopher_funnel",
         "text_gopher_rules", "text_pmi_collocations", "text_textrank",
-        # --- last driver-attested in round 6 (first 14 of 25 — the
+        # --- last driver-attested in round 6 (first 13 of 25 — the
         # round-10 registrations above displaced orders_priority_wait,
-        # orders_monthly_growth and orders_large_volume; the rest lead
-        # the round-11 rotation) ---
+        # orders_monthly_growth, orders_large_volume and mwu_ks_test;
+        # the rest lead the round-11 rotation) ---
         "cur_group_split", "cur_split_leakage", "customer_dormant_balance",
         "customer_order_dist", "customer_returned_revenue",
         "events_gap_profile", "events_power_users", "events_time_to_convert",
         "lineitem_bracket_revenue", "lineitem_forecast_revenue",
         "lineitem_promo_share", "lineitem_small_qty_revenue",
-        "lineitem_supply_risk", "mwu_ks_test",
+        "lineitem_supply_risk",
     ]
     # Round-11 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round): the 11 remaining r6 entries (orders_priority_wait,
-    # orders_monthly_growth and orders_large_volume, displaced above,
-    # then part_supplier_cnt through supplier_value_share), then 39 r7
-    # entries from cur_curate onward —
+    # within a round): the 12 remaining r6 entries (mwu_ks_test,
+    # orders_large_volume, orders_monthly_growth and
+    # orders_priority_wait, displaced above, then part_supplier_cnt
+    # through supplier_value_share), then 38 r7 entries from cur_curate
+    # onward —
     # plus any round-11 registrations at the head, displacing from the
     # tail.  Re-derive if r10 attestation differs: tools snippet in
     # BASELINE.md round-9 record.

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     # the multi-query BM25 shape (one token scan serves all queries,
     # rank window partitioned by query_id — no global window)
     "text_bm25_batch",
+    # unigram encode last-mile (train on the corpus, encode the
+    # doc_id%10 slice via the broadcast dictionary carry)
+    "text_unigram_encode",
 ]
 
 

@@ -2159,6 +2159,85 @@ def unigram_lm_segments(
     )
 
 
+def unigram_encode_ids(
+    docs: DataFrame,
+    *,
+    max_pieces: int = 200,
+    max_piece_len: int = 4,
+    n_iter: int = 2,
+    max_word_len: int | None = None,
+    max_vocab: int | None = None,
+    encode_docs: DataFrame | None = None,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus piece-id encode for the unigram tokenizer — the
+    :func:`bpe_encode_ids` last-mile applied to the third family:
+    segment the vocabulary with :func:`unigram_lm_segments`, assign
+    STABLE dense ids over the USED piece set by (Viterbi-weighted
+    corpus frequency desc, piece asc) (the ``build_vocab`` id
+    discipline; inventory pieces the final Viterbi never chooses get
+    no id — persist the full model with :func:`unigram_trained_model`),
+    and emit the per-document id stream
+    ``(doc_id, pos, piece_pos, piece_id, piece)``.  Composes with
+    ``pack_sequences``/``cur_token_shards`` into the same end-to-end
+    text -> ids -> shards path as the BPE encode.
+
+    ``encode_docs`` (default: the training corpus) is the table to
+    ENCODE — train-once/encode-many; words absent from the (possibly
+    capped / length-filtered) training vocabulary drop out of the
+    dictionary join, as do empty tokens.  ``model=`` injects a
+    persisted :func:`unigram_trained_model` table so no EM rounds run
+    at all (the ids still derive from ``docs``' segmentation
+    frequencies, keeping them stable for a fixed training corpus).
+
+    Scale shape (the bpe_encode_ids contract): the EM trainer's one
+    tokenize scan + inventory-bounded rounds; piece-id assignment is a
+    groupBy over the vocabulary-bounded segmentation then a row_number
+    over the PIECE inventory (bounded by max_pieces + alphabet — the
+    bounded-head window precedent); the corpus carry broadcast-joins
+    word -> (piece_pos, piece_id) so the Zipf-skewed word key never
+    shuffles.  The dictionary broadcast is vocabulary-sized: warn when
+    ``max_vocab`` is None (the bounded-broadcast contract).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    if max_vocab is None:
+        warnings.warn(
+            "unigram_encode_ids with max_vocab=None broadcasts the FULL "
+            "word->piece dictionary — unbounded at corpus scale; set "
+            "max_vocab to bound the broadcast",
+            stacklevel=2,
+        )
+    seg = unigram_lm_segments(
+        docs,
+        max_pieces=max_pieces,
+        max_piece_len=max_piece_len,
+        n_iter=n_iter,
+        max_word_len=max_word_len,
+        max_vocab=max_vocab,
+        model=model,
+    )
+    piece_counts = seg.groupBy("piece").agg(
+        F.sum("freq").alias("piece_count")
+    )
+    w = Window.orderBy(F.col("piece_count").desc(), F.col("piece").asc())
+    ids = piece_counts.select(
+        "piece", (F.row_number().over(w) - 1).cast("long").alias("piece_id")
+    )
+    word_piece = seg.join(F.broadcast(ids), "piece").select(
+        "word",
+        F.col("pos").alias("piece_pos"),
+        "piece_id",
+        "piece",
+    )
+    src = tokens(encode_docs if encode_docs is not None else docs)
+    return src.join(F.broadcast(word_piece), "word").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "piece_pos",
+        "piece_id",
+        "piece",
+    )
+
+
 def unigram_trained_model(
     docs: DataFrame,
     *,

@@ -1777,6 +1777,19 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_iter=2,
             max_word_len=16,
         ),
+        # round 10: the unigram encode last-mile — trains on the full
+        # corpus, encodes the doc_id%10 slice (the text_bpe_encode
+        # train-once/encode-many demonstration); max_vocab caps the
+        # dictionary broadcast (measured no-op on the test corpora)
+        "text_unigram_encode": lambda s, d: tx.unigram_encode_ids(
+            _docs(s, d),
+            max_pieces=24,
+            max_piece_len=4,
+            n_iter=2,
+            max_word_len=16,
+            max_vocab=1_000_000,
+            encode_docs=_docs(s, d).where(F.col("doc_id") % 10 == 0),
+        ),
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.5, max_df=100
@@ -2512,6 +2525,32 @@ FROM pred GROUP BY lang, pred_lang
         "text_bpe_encode": _bpe_merges_sql(8, encode=True),
         "text_maxmatch_segments": _maxmatch_sql(24, 4),
         "text_unigram_segments": _unigram_sql(24, 4, 2, 16),
+        # unigram encode: the segmentation twin wrapped whole as a
+        # nested CTE, then the id assignment + positional token carry
+        # (the text_bpe_encode / text_tokenize_ids oracle conventions;
+        # empty tokens and filtered words drop out of the inner join)
+        "text_unigram_encode": f"""
+WITH useg AS MATERIALIZED (
+{_unigram_sql(24, 4, 2, 16)}
+),
+pc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS piece_count
+       FROM useg GROUP BY piece),
+ids AS (
+  SELECT piece,
+         CAST(ROW_NUMBER() OVER (ORDER BY piece_count DESC, piece ASC) - 1
+           AS BIGINT) AS piece_id
+  FROM pc
+),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT t.doc_id, CAST(t.pos - 1 AS BIGINT) AS pos,
+       u.pos AS piece_pos, i.piece_id, u.piece
+FROM tok t JOIN useg u USING (word) JOIN ids i ON i.piece = u.piece
+""",
         "text_fingerprints": f"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams,

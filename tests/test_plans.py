@@ -212,6 +212,11 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # the bm25/vocab_topk precedent; plan-asserted in
         # test_retrieval via the fused-output shape)
         "text_hybrid_rrf": {"global_window"},
+        # round 10: the encode composes the unigram segmentation (same
+        # vacuous size()>0-in-the-1-row-model-cross BNLJ as above) and
+        # ranks piece ids over the max_pieces+alphabet-bounded piece
+        # inventory (the text_bpe_encode bounded-head precedent)
+        "text_unigram_encode": {"global_window", "nested_loop"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():

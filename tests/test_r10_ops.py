@@ -391,3 +391,83 @@ def test_unigram_model_validation(spark):
     bad = spark.createDataFrame([("ab", 1)], "piece string, cnt long")
     with pytest.raises(ValueError, match="lp"):
         tx.unigram_lm_segments(docs, model=bad)
+
+
+# ---------------------------------------------------------------------------
+# unigram encode last-mile (bpe_encode_ids parity for the third family)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_encode_reconcatenates_and_ids_are_dense(spark):
+    rows = ["low low low lower lowest newest widest", "wide new lows"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    kw = dict(max_pieces=24, max_piece_len=4, n_iter=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        enc = tx.unigram_encode_ids(docs, **kw).collect()
+        seg = {}
+        for r in tx.unigram_lm_segments(docs, **kw).collect():
+            seg.setdefault(r["word"], []).append((r["pos"], r["piece"]))
+    segs = {w: [p for _, p in sorted(v)] for w, v in seg.items()}
+    toks = {
+        (d, p): w
+        for d, t in enumerate(rows)
+        for p, w in enumerate(t.split(" "))
+    }
+    by_tok = {}
+    for r in enc:
+        by_tok.setdefault((r["doc_id"], r["pos"]), []).append(
+            (r["piece_pos"], r["piece"], r["piece_id"])
+        )
+    assert set(by_tok) == set(toks)
+    for key, pieces in by_tok.items():
+        pieces.sort()
+        got = [p for _, p, _ in pieces]
+        assert "".join(got) == toks[key]
+        assert got == segs[toks[key]]
+    # ids are dense 0..N-1 over the used piece set, freq-desc ordered
+    ids = {r["piece"]: r["piece_id"] for r in enc}
+    assert sorted(ids.values()) == list(range(len(ids)))
+
+
+def test_unigram_encode_injected_model_and_new_batch(spark):
+    train = spark.createDataFrame(
+        [(0, "low low low lower lowest newest widest"), (1, "wide new lows")],
+        "doc_id long, text string",
+    )
+    kw = dict(max_pieces=24, max_piece_len=4, n_iter=2, max_vocab=10_000)
+    retrained = sorted(
+        tuple(r) for r in tx.unigram_encode_ids(train, **kw).collect()
+    )
+    model = tx.unigram_trained_model(
+        train, max_pieces=24, max_piece_len=4, n_iter=2
+    )
+    injected = sorted(
+        tuple(r)
+        for r in tx.unigram_encode_ids(train, model=model, **kw).collect()
+    )
+    assert injected == retrained
+    # encode a new batch: the unseen word drops out of the dictionary
+    # join; seen words keep their training segmentation + ids
+    batch = spark.createDataFrame(
+        [(7, "lowest zzzunseen")], "doc_id long, text string"
+    )
+    out = tx.unigram_encode_ids(train, encode_docs=batch, **kw).collect()
+    assert {r["doc_id"] for r in out} == {7}
+    assert {r["pos"] for r in out} == {0}  # only 'lowest' survives
+    assert "".join(
+        p for _, p in sorted((r["piece_pos"], r["piece"]) for r in out)
+    ) == "lowest"
+
+
+def test_unigram_encode_uncapped_broadcast_warns(spark):
+    docs = _toy_docs(spark)
+    with pytest.warns(UserWarning, match="max_vocab"):
+        tx.unigram_encode_ids(docs, max_pieces=8, n_iter=1).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tx.unigram_encode_ids(
+            docs, max_pieces=8, n_iter=1, max_vocab=10_000
+        ).collect()

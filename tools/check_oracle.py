@@ -63,6 +63,7 @@ SMOKE = [
     "text_quality", "text_token_count", "text_lang_id", "text_bm25_topk",
     "text_heavy_hitters", "text_bpe_encode", "text_maxmatch_segments",
     "text_unigram_segments", "text_hybrid_rrf", "text_bm25_batch",
+    "text_unigram_encode",
     # curation
     "cur_curate", "cur_dsir_resample", "cur_bloom_decontaminate",
     "cur_group_split",
