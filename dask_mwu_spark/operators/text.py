@@ -2215,6 +2215,12 @@ def unigram_encode_ids(
         max_vocab=max_vocab,
         model=model,
     )
+    # seg feeds BOTH the piece-count aggregation and the dictionary
+    # join below; without a checkpoint the final Viterbi DP fold (the
+    # expensive scan-stage expression) would evaluate twice.  The table
+    # is vocabulary-bounded (words x pieces-per-word) — the same
+    # localCheckpoint discipline the trainer applies per round
+    seg = seg.localCheckpoint()
     piece_counts = seg.groupBy("piece").agg(
         F.sum("freq").alias("piece_count")
     )
