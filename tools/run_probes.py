@@ -64,6 +64,8 @@ QUICK = {
     "r5b": ("scale_probe_r5b.py", ["100000", "20000"]),
     "pagerank": ("scale_probe_pagerank.py", ["100000", "10000", "10000"]),
     "curation": ("scale_probe_curation.py", ["100000"]),
+    # --- r10 vintage (retrieval: batch BM25 query scaling + RRF fuse) ---
+    "retrieval": ("scale_probe_retrieval.py", ["20480", "8"]),
 }
 
 
