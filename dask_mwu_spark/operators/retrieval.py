@@ -42,8 +42,10 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse named ranked lists by reciprocal-rank fusion.
 
-    Each input must carry ``(id_col, rank)`` with ``rank`` 1-based
-    (the shape every top-k operator in this package emits).  Output:
+    Each input must carry ``(id_col, rank)`` with ``rank`` 1-based and
+    ids UNIQUE within a list (the shape every top-k operator in this
+    package emits; a list with duplicate ids would fan out through the
+    outer joins).  Output:
     ``(id_col, <name>_rank ... , rrf_score, n_lists, rank)`` — one
     ``<name>_rank`` column per input (NULL when that ranker did not
     return the item), ``rrf_score = round(sum 1/(k_rrf + rank), 6)``

@@ -240,3 +240,82 @@ def test_bm25_batch_plan_is_partitioned_and_broadcast(spark, sf_dir):
             assert not first.endswith(
                 ("ASC NULLS FIRST", "DESC NULLS LAST")
             ), plan
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) — fusion math and batch/single equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_property_matches_python_twin(spark):
+    """Random ranker sets vs a dict-based RRF twin: scores, per-list
+    ranks, n_lists, and the fused order (incl. the id tiebreak on
+    equal rounded scores) must all agree."""
+    from hypothesis import given, settings, strategies as st
+
+    ranker = st.lists(
+        st.integers(0, 9), min_size=1, max_size=8, unique=True
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(lists=st.lists(ranker, min_size=1, max_size=3), k=st.integers(1, 12))
+    def run(lists, k):
+        named = {
+            f"r{i}": _ranked(spark, [(d, p + 1) for p, d in enumerate(ids)])
+            for i, ids in enumerate(lists)
+        }
+        got = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in rtv.rrf_fuse(named, k=k).collect()
+        ]
+        ranks = [
+            {d: p + 1 for p, d in enumerate(ids)} for ids in lists
+        ]
+        fused = {}
+        for d in {d for ids in lists for d in ids}:
+            s = sum(1.0 / (60 + rk[d]) for rk in ranks if d in rk)
+            fused[d] = (round(s, 6), sum(1 for rk in ranks if d in rk))
+        top = sorted(fused.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        want = [(d, s, n, i + 1) for i, (d, (s, n)) in enumerate(top)]
+        assert got == want
+
+    run()
+
+
+def test_bm25_batch_property_matches_single(spark):
+    """Random tiny corpora + query bags: every batch query's table is
+    bit-identical to the single-query operator run alone."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators import text as tx
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    bag = st.lists(word, min_size=1, max_size=3, unique=True)
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=4), bags=st.lists(bag, min_size=1, max_size=2))
+    def run(texts, bags):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        q = spark.createDataFrame(
+            [(qi, w) for qi, ws in enumerate(bags) for w in ws],
+            "query_id long, word string",
+        )
+        batch = tx.bm25_batch_topk(docs, q, k=5).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"], r["n_terms_hit"])
+            )
+        for qi, ws in enumerate(bags):
+            single = [
+                (r["rank"], r["doc_id"], r["score"], r["n_terms_hit"])
+                for r in tx.bm25_topk(docs, list(ws), k=5).collect()
+            ]
+            assert sorted(by_q.get(qi, [])) == sorted(single), (texts, ws)
+
+    run()
