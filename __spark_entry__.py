@@ -1075,11 +1075,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     # Round-11 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round): the 12 remaining r6 entries (mwu_ks_test,
-    # orders_large_volume, orders_monthly_growth and
-    # orders_priority_wait, displaced above, then part_supplier_cnt
-    # through supplier_value_share), then 38 r7 entries from cur_curate
-    # onward —
+    # within a round) — the 12 remaining r6 entries then 38 r7 entries:
+    #   mwu_ks_test, orders_large_volume, orders_monthly_growth,
+    #   orders_priority_wait, part_supplier_cnt, sim_pq_trained_recall,
+    #   star_market_share, star_nation_volume, star_retail_margin,
+    #   supplier_sole_late, supplier_top_revenue, supplier_value_share,
+    #   cur_curate, cur_dsir_resample, cur_dsir_weights,
+    #   cur_fuzzy_contamination, dedup_components_fixed,
+    #   dedup_containment, dedup_cross_source, dedup_incremental,
+    #   dedup_lsh_recall, dedup_minhash_lsh, dedup_ngram_jaccard,
+    #   dedup_simhash_pairs, dedup_sorted_neighborhood,
+    #   dedup_tfidf_cosine, dedup_verified, events_anomaly,
+    #   graph_degree_powerlaw, graph_dup_stats, graph_kcore,
+    #   graph_pagerank, lineitem_bloom_semi, lineitem_chi2_assoc,
+    #   mm_real_decode_stats, mwu_events_core, mwu_full_rounded,
+    #   mwu_kruskal_wallis, mwu_rank_data, mwu_rank_ties, mwu_topk,
+    #   sim_ann_recall, sim_cosine_topk, sim_embedding_dup_pairs,
+    #   sim_ivf_pq_topk, sim_ivf_pq_trained_topk, sim_ivf_recall_curve,
+    #   sim_ivf_topk, sim_ivf_trained_recall, sim_ivf_trained_topk
+    # —
     # plus any round-11 registrations at the head, displacing from the
     # tail.  Re-derive if r10 attestation differs: tools snippet in
     # BASELINE.md round-9 record.
