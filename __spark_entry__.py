@@ -1032,71 +1032,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_FULL_r{N}_sf*.json artifacts run the FULL set at three
     # scale factors.
     priority = [
-        # --- round-10 rotation (VERDICT r9 item 1: attestation
-        # freshness).  The tier = the 50 STALEST oracle-gated entries by
-        # last driver-attested round, re-derived this round from the
+        # --- round-11 rotation (the standing attestation-freshness
+        # discipline).  The tier = the 50 STALEST oracle-gated entries
+        # by last driver-attested round, re-derived this round from the
         # CORRECTNESS_r0*.json ledger (staleness sort, rows-only
-        # excluded, name asc within a round) and matching the r9
-        # pre-computation exactly: the 33 remaining r5-attested entries
-        # and the first 17 of the r6 cohort.  No new registrations led
-        # this round's head slot at derivation time; if one lands later
-        # in the round it is prepended and the tail displaced (the
-        # standing displacement rule).
-        # --- round-10 registrations (displace orders_priority_wait,
-        # orders_monthly_growth, orders_large_volume and mwu_ks_test to
-        # the round-11 tier head) ---
-        "text_unigram_encode",
-        "text_bm25_batch",
-        "text_hybrid_rrf",
-        "text_unigram_segments",
-        # --- last driver-attested in round 5 (33) ---
-        "customer_rfm", "dedup_canonical_quality", "dedup_edit_sim",
-        "events_ab_test", "events_attribution", "events_mad_outliers",
-        "events_markov", "events_sessions", "events_stickiness",
-        "events_two_phase_agg", "events_value_p90_hist",
-        "lineitem_basket_lift", "lineitem_benford", "lineitem_price_trend",
-        "lineitem_return_wilson", "orders_revenue_hhi", "orders_scd2",
-        "part_cheapest_supplier", "sim_abtt_contrast", "sim_anisotropy",
-        "sim_cluster_quality", "sim_dominant_pc", "sim_hard_negatives",
-        "sim_knn_label_consistency", "sim_label_outliers",
-        "sim_matryoshka_recall", "sim_pq_recall", "sim_pq_topk",
-        "star_local_supplier_volume", "text_gopher_funnel",
-        "text_gopher_rules", "text_pmi_collocations", "text_textrank",
-        # --- last driver-attested in round 6 (first 13 of 25 — the
-        # round-10 registrations above displaced orders_priority_wait,
-        # orders_monthly_growth, orders_large_volume and mwu_ks_test;
-        # the rest lead the round-11 rotation) ---
-        "cur_group_split", "cur_split_leakage", "customer_dormant_balance",
-        "customer_order_dist", "customer_returned_revenue",
-        "events_gap_profile", "events_power_users", "events_time_to_convert",
-        "lineitem_bracket_revenue", "lineitem_forecast_revenue",
-        "lineitem_promo_share", "lineitem_small_qty_revenue",
-        "lineitem_supply_risk",
+        # excluded, name asc within a round) and matching the r10
+        # pre-computation exactly: the 12 remaining r6-attested entries
+        # then 35 of the 38 r7 entries — the three round-11
+        # registrations below take the head (never-attested sorts
+        # stalest), displacing sim_ivf_topk, sim_ivf_trained_recall and
+        # sim_ivf_trained_topk to the round-12 tier head.
+        # --- round-11 registrations ---
+        "sim_cosine_batch_topk",
+        "sim_ivf_batch_topk",
+        "text_kn_score",
+        # --- last driver-attested in round 6 (12) ---
+        "mwu_ks_test", "orders_large_volume", "orders_monthly_growth",
+        "orders_priority_wait", "part_supplier_cnt",
+        "sim_pq_trained_recall", "star_market_share", "star_nation_volume",
+        "star_retail_margin", "supplier_sole_late", "supplier_top_revenue",
+        "supplier_value_share",
+        # --- last driver-attested in round 7 (first 35 of 38) ---
+        "cur_curate", "cur_dsir_resample", "cur_dsir_weights",
+        "cur_fuzzy_contamination", "dedup_components_fixed",
+        "dedup_containment", "dedup_cross_source", "dedup_incremental",
+        "dedup_lsh_recall", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash_pairs", "dedup_sorted_neighborhood",
+        "dedup_tfidf_cosine", "dedup_verified", "events_anomaly",
+        "graph_degree_powerlaw", "graph_dup_stats", "graph_kcore",
+        "graph_pagerank", "lineitem_bloom_semi", "lineitem_chi2_assoc",
+        "mm_real_decode_stats", "mwu_events_core", "mwu_full_rounded",
+        "mwu_kruskal_wallis", "mwu_rank_data", "mwu_rank_ties", "mwu_topk",
+        "sim_ann_recall", "sim_cosine_topk", "sim_embedding_dup_pairs",
+        "sim_ivf_pq_topk", "sim_ivf_pq_trained_topk", "sim_ivf_recall_curve",
     ]
-    # Round-11 tier, PRE-COMPUTED from the ledger assuming this round's
+    # Round-12 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round) — the 12 remaining r6 entries then 38 r7 entries:
-    #   mwu_ks_test, orders_large_volume, orders_monthly_growth,
-    #   orders_priority_wait, part_supplier_cnt, sim_pq_trained_recall,
-    #   star_market_share, star_nation_volume, star_retail_margin,
-    #   supplier_sole_late, supplier_top_revenue, supplier_value_share,
-    #   cur_curate, cur_dsir_resample, cur_dsir_weights,
-    #   cur_fuzzy_contamination, dedup_components_fixed,
-    #   dedup_containment, dedup_cross_source, dedup_incremental,
-    #   dedup_lsh_recall, dedup_minhash_lsh, dedup_ngram_jaccard,
-    #   dedup_simhash_pairs, dedup_sorted_neighborhood,
-    #   dedup_tfidf_cosine, dedup_verified, events_anomaly,
-    #   graph_degree_powerlaw, graph_dup_stats, graph_kcore,
-    #   graph_pagerank, lineitem_bloom_semi, lineitem_chi2_assoc,
-    #   mm_real_decode_stats, mwu_events_core, mwu_full_rounded,
-    #   mwu_kruskal_wallis, mwu_rank_data, mwu_rank_ties, mwu_topk,
-    #   sim_ann_recall, sim_cosine_topk, sim_embedding_dup_pairs,
-    #   sim_ivf_pq_topk, sim_ivf_pq_trained_topk, sim_ivf_recall_curve,
-    #   sim_ivf_topk, sim_ivf_trained_recall, sim_ivf_trained_topk
+    # within a round) — the 13 remaining r7 entries then 37 r8 entries:
+    #   sim_ivf_topk, sim_ivf_trained_recall, sim_ivf_trained_topk,
+    #   sim_lsh_multi_topk, sim_lsh_sample, sim_lsh_topk,
+    #   sim_pq_trained_topk, sim_semantic_dedup, stream_drift_monitor,
+    #   stream_sessionize, stream_windowed_agg, text_quality,
+    #   wilcoxon_core,
+    #   audit_lineitem_nulls, audit_orders_keys, cur_contamination,
+    #   dedup_components, dedup_exact, dedup_minhash_signatures,
+    #   dedup_simhash, events_asof_join, events_cohort, events_enriched,
+    #   events_funnel, events_interval_join, events_json_agg,
+    #   events_pivot, events_resample, events_rolling_window,
+    #   events_set_ops, events_window_rank, lineitem_cube,
+    #   lineitem_grouping_sets, lineitem_percentiles,
+    #   lineitem_range_join, lineitem_rollup, lineitem_unpivot,
+    #   mm_avi_decode_stats, mm_decode_meta, mm_features,
+    #   mm_resize_plan, mm_sample_frames, mwu_bh_adjust,
+    #   mwu_distinct_groups, mwu_group_means, mwu_group_sizes,
+    #   mwu_logfoldchange, mwu_rank_sum, mwu_tie_term, mwu_u_stat
     # —
-    # plus any round-11 registrations at the head, displacing from the
-    # tail.  Re-derive if r10 attestation differs: tools snippet in
-    # BASELINE.md round-9 record.
+    # plus any round-12 registrations at the head, displacing from the
+    # tail.  Re-derive if r11 attestation differs: staleness sort over
+    # CORRECTNESS_r0*.json + CORRECTNESS_r1*.json (green rows only).
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]
     rest = [n for n in q if n not in priority]

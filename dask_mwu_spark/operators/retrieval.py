@@ -149,6 +149,17 @@ def hybrid_bm25_cosine_topk(
     qv = vecs.where(F.col("vec_id") == query_vec_id).select(
         F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")
     )
+    # ADVICE r10 (low): an absent query_vec_id made the dense cross
+    # join empty, silently degrading to lexical-only fusion with
+    # plausible-looking output (cosine_rank all NULL).  Fail loudly
+    # instead — the probe is one pushed-filter scan returning <= 1 row
+    # (the bounded-collect contract).
+    if not qv.take(1):
+        raise ValueError(
+            f"query_vec_id={query_vec_id} not found in emb; the dense "
+            "ranker would be empty and fusion would silently degrade "
+            "to lexical-only"
+        )
     doc_ids = docs.select("doc_id").distinct()
     dense_scored = (
         vecs.join(doc_ids, vecs["vec_id"] == doc_ids["doc_id"], "left_semi")

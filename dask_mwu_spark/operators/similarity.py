@@ -406,6 +406,146 @@ def ivf_topk(
     )
 
 
+def _batch_query_table(queries: DataFrame) -> DataFrame:
+    """Validate + prepare an external ``(query_id, embedding)`` query
+    table: (query_id, q_vec, q_nrm).  The batch serving contract:
+    the table is BOUNDED (a request batch, not a corpus) — it rides
+    broadcasts through the batch top-k operators."""
+    missing = {"query_id", "embedding"} - set(queries.columns)
+    if missing:
+        raise ValueError(
+            f"queries table is missing columns {sorted(missing)}; "
+            "expected (query_id, embedding)"
+        )
+    return queries.select(
+        "query_id", as_double(F.col("embedding")).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+
+
+def cosine_batch_topk(
+    emb: DataFrame, queries: DataFrame, *, k: int = 5
+) -> DataFrame:
+    """Batch exact brute-force cosine top-k: top-``k`` corpus vectors
+    for EVERY query in an external ``(query_id, embedding)`` table —
+    the dense twin of :func:`~dask_mwu_spark.operators.text.bm25_batch_topk`
+    (VERDICT r10 item 3) and the truth baseline for
+    :func:`ivf_batch_topk`.  Unlike :func:`cosine_topk`, queries are
+    CALLER vectors, not corpus members, so there is no self-exclusion;
+    a corpus-drawn query returns itself at cosine 1.0, rank 1.  Output
+    ``(query_id, vec_id, cosine, rank)``, cosine rounded to 6 BEFORE
+    ranking, vec_id tiebreak, rank window PARTITIONED by query_id (no
+    global sort anywhere).
+
+    Scale: ONE corpus scan serves the whole batch — the bounded query
+    table broadcasts onto it (O(N·Q) scan-stage expression work, zero
+    corpus shuffle); only the scored candidates shuffle, keyed by
+    query_id.  Probe: wall time is ~flat in query count until Q·k
+    approaches scan cost (tools/scale_probe_retrieval.py methodology).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = _batch_query_table(queries)
+    vecs = _with_vec(emb)
+    scored = vecs.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("vec"), F.col("q_vec"))
+            / (F.col("nrm") * F.col("q_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def ivf_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = 4,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF ANN top-k: every query in an external ``(query_id,
+    embedding)`` table probes its ``n_probe`` nearest cells against ONE
+    shared posting-list index — the serving-loop shape
+    :func:`bm25_batch_topk` gave lexical retrieval (VERDICT r10 item
+    3): the index is built (and session-persisted) once, each
+    invocation re-scans nothing per-query, and the ranking window is
+    PARTITIONED by query_id.  Same probe/scoring discipline as
+    :func:`ivf_topk` (cosine rounded to 6 before ranking, cent_id /
+    vec_id tiebreaks); no self-exclusion — queries are caller vectors
+    (see :func:`cosine_batch_topk`).  ``centroids=`` swaps in trained
+    (e.g. KMeans||) centers exactly as in :func:`ivf_index`.  Output
+    ``(query_id, vec_id, cosine, rank)``.
+
+    Scale: the corpus-side cost is the one persisted index build;
+    per batch, the bounded probe table (Q x n_probe rows) BROADCASTS
+    onto the posting lists, so corpus vectors never shuffle — the
+    candidate set is bounded by the probed cells' postings (the IVF
+    fanout bound), and only it shuffles, keyed by query_id.  Probe:
+    wall ~flat in query count (tools/scale_probe_retrieval.py
+    methodology).  No counterpart in the reference (SURVEY.md
+    section 2.1)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    q = _batch_query_table(queries)
+    cents = _centroid_table(emb, n_centroids, centroids)
+    idx = ivf_index(
+        emb, n_centroids=n_centroids, centroids=centroids
+    ).transform(tracked_persist)
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "q_nrm",
+        "cent_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("c_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", "q_nrm", "cent_id")
+    )
+    scored = idx.join(F.broadcast(probes), on="cent_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("vec"), F.col("q_vec"))
+            / (F.col("nrm") * F.col("q_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame, *, k: int = N_CENTROIDS, seed: int = 7, max_iter: int = 10
 ) -> DataFrame:

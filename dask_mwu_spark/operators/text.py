@@ -75,6 +75,37 @@ def adjacent_bigrams(
     )
 
 
+def adjacent_trigrams(
+    docs: DataFrame, *, with_doc_id: bool = True, with_pos: bool = True
+) -> DataFrame:
+    """(doc_id?, pos?, w1, w2, w3) for every adjacent whitespace-token
+    triple — the :func:`adjacent_bigrams` construction extended one
+    order (same scan-stage slice/zip generator, never a lead() window:
+    the window form costs a (doc_id, pos) shuffle + per-doc sort before
+    the trigram table exists).  Docs with < 3 tokens produce no rows."""
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, m).alias("a"),
+        F.slice(toks, 2, m).alias("b"),
+        F.slice(toks, 3, m).alias("c"),
+    )
+    lead = ["doc_id"] if with_doc_id else []
+    if with_pos:
+        gen = docs.select(*lead, F.posexplode(zipped).alias("pos", "z"))
+        mid = ["pos"]
+    else:
+        gen = docs.select(*lead, F.explode(zipped).alias("z"))
+        mid = []
+    return gen.select(
+        *lead,
+        *mid,
+        F.col("z.a").alias("w1"),
+        F.col("z.b").alias("w2"),
+        F.col("z.c").alias("w3"),
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc quality/statistics signals, pure expression work (no shuffle):
     char count, token count, distinct tokens, mean token length,
@@ -1036,6 +1067,153 @@ def lm_bigram_score(docs: DataFrame, *, alpha: float = 0.5) -> DataFrame:
             F.round(F.exp(-F.col("_total") / F.col("n_bigrams")), 6).alias(
                 "ppl_proxy"
             ),
+        )
+    )
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    *,
+    discount: float = 0.75,
+    score_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc interpolated Kneser-Ney TRIGRAM language-model score —
+    the published production corpus-quality filter (Wenzek et al.,
+    CCNet 2020, scores CommonCrawl with a KenLM 5-gram KN model;
+    Chen & Goodman 1999 is the smoothing).  :func:`lm_bigram_score` is
+    the cheap add-α proxy; this is the real thing at order 3 with a
+    single fixed ``discount`` D (the classic interpolated-KN
+    formulation; KenLM's modified-KN differs only in using three
+    count-estimated discounts per order):
+
+        P3(w3|w1,w2) = max(c(w1w2w3)-D, 0)/c(w1w2·)
+                       + D·N1+(w1w2·)/c(w1w2·) · P2(w3|w2)
+        P2(w3|w2)    = max(N1+(·w2w3)-D, 0)/N1+(·w2·)
+                       + D·N1+(w2·)/N1+(·w2·) · P1(w3)     [continuation counts]
+        P1(w3)       = max(N1+(·w3)-D, 0)/B + D·W/B · 1/(V+1)
+
+    where ``B`` = total continuation-bigram types, ``W`` = distinct
+    continuation words, ``V`` = training vocabulary (the ``+1`` is the
+    UNK slot — P1 > 0 for EVERY word, so scoring stays TOTAL on unseen
+    text).  A context absent from training backs off entirely to the
+    next order (the CASE-NULL branches).  Output per scored doc:
+    ``(doc_id, n_trigrams, avg_logp, ppl_proxy)`` — ``avg_logp`` folds
+    ln P3 in token-position order (the package float-sum discipline),
+    ``ppl_proxy = exp(-avg_logp)``; docs with < 3 tokens keep
+    n_trigrams=0, NULL scores.
+
+    ``score_docs`` (default: the training corpus) is the table to
+    SCORE — the train-once/score-many seam matching the tokenizer
+    ``model=`` precedent: count tables come from ``docs`` only, so a
+    persisted training corpus scores every later batch without
+    recounting.  CCNet's filter is exactly this shape (train on
+    Wikipedia, score CommonCrawl).
+
+    Scale (the count-table discipline): trigram counts are one
+    map-side-combinable groupBy on the (w1,w2,w3) key; every
+    lower-order table (contexts, continuation bigrams, continuation
+    unigrams) derives from the TYPE table ``c3`` — O(distinct
+    trigrams), far below the token stream — with more groupBys, never
+    a distinct over raw tokens.  The scored stream joins the count
+    tables with plain shuffle equi-joins (count tables are too big to
+    broadcast at 100 TB and are never collected); the three scalar
+    totals ride ONE 1-row broadcast crossJoin.  Per-doc fold state is
+    bounded by doc length.  No counterpart in the reference
+    (SURVEY.md section 2.1).
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    D = float(discount)
+    train_tri = adjacent_trigrams(docs, with_pos=False)
+
+    # type/count tables — all derived from c3 (the bounded type table)
+    c3 = train_tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    ctx2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c12"),  # c(w1w2·)
+        F.count(F.lit(1)).alias("n12"),  # N1+(w1w2·)
+    )
+    cbi = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cc")  # N1+(·w2w3)
+    )
+    ctx1 = cbi.groupBy("w2").agg(
+        F.sum("cc").alias("cx1"),  # N1+(·w2·)
+        F.count(F.lit(1)).alias("n1"),  # N1+(w2·) over continuation types
+    )
+    cuni = cbi.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("cu")  # N1+(·w3)
+    )
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).agg(F.countDistinct("word").alias("v"))
+    tot = (
+        cbi.agg(
+            F.count(F.lit(1)).cast("double").alias("b"),
+            F.countDistinct("w3").cast("double").alias("w1p"),
+        )
+        .crossJoin(vocab)
+        .select("b", "w1p", F.col("v").cast("double").alias("v"))
+    )
+
+    target = docs if score_docs is None else score_docs
+    sc = adjacent_trigrams(target)
+    j = (
+        sc.join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx2, ["w1", "w2"], "left")
+        .join(cbi, ["w2", "w3"], "left")
+        .join(ctx1, ["w2"], "left")
+        .join(cuni, ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+
+    # one expression tree, mirrored literally in the DuckDB oracle —
+    # parenthesization and coalesce points must stay in lockstep
+    d = F.lit(D)
+    cu = F.coalesce(F.col("cu"), F.lit(0)).cast("double")
+    p1 = (F.greatest(cu - d, F.lit(0.0)) / F.col("b")) + (
+        ((d * F.col("w1p")) / F.col("b")) * (F.lit(1.0) / (F.col("v") + F.lit(1.0)))
+    )
+    cc = F.coalesce(F.col("cc"), F.lit(0)).cast("double")
+    cx1 = F.col("cx1").cast("double")
+    p2 = F.when(
+        F.col("cx1").isNull(), p1
+    ).otherwise(
+        (F.greatest(cc - d, F.lit(0.0)) / cx1)
+        + (((d * F.col("n1").cast("double")) / cx1) * p1)
+    )
+    c3c = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    c12 = F.col("c12").cast("double")
+    p3 = F.when(
+        F.col("c12").isNull(), p2
+    ).otherwise(
+        (F.greatest(c3c - d, F.lit(0.0)) / c12)
+        + (((d * F.col("n12").cast("double")) / c12) * p2)
+    )
+    lp = j.select("doc_id", "pos", F.log(p3).alias("logp"))
+
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["logp"],
+        ).alias("_total"),
+    )
+    return (
+        target.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_trigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_trigrams"),
+            F.round(F.col("_total") / F.col("n_trigrams"), 6).alias(
+                "avg_logp"
+            ),
+            F.round(
+                F.exp(-F.col("_total") / F.col("n_trigrams")), 6
+            ).alias("ppl_proxy"),
         )
     )
 
@@ -2107,12 +2285,18 @@ def unigram_lm_segments(
       :func:`unigram_trained_model` schema ``(piece, lp)``) instead of
       retraining — the ``merges=`` / ``centroids=`` seam applied to
       this tokenizer; ``max_pieces`` / ``n_iter`` are ignored when
-      given.  The injected path runs the SAME Viterbi fold the trainer
-      segments with, so the segmentation is bit-identical to
-      retraining by construction — pinned by pytest.  New docs may
-      contain characters outside the trained alphabet: matching stays
-      TOTAL (positions with no inventory piece fall back to the
-      single-character backward default), also pinned by pytest.
+      given, and the Viterbi unroll depth is derived from the
+      INJECTED model (``max(call-site max_piece_len, longest piece in
+      the model)`` — one cheap max over the inventory-bounded table),
+      so a model trained with longer pieces segments bit-identically
+      to retraining even at the default ``max_piece_len``.  The
+      injected path runs the SAME Viterbi fold the trainer segments
+      with — pinned by pytest.  New docs may contain characters
+      outside the trained alphabet: matching stays TOTAL (an
+      out-of-alphabet character scores a fixed large-negative
+      sentinel and falls back to the single-character default, and
+      the DP RECOVERS after it — later positions segment with real
+      inventory pieces again), also pinned by pytest.
 
     Scale design — the tokenizer-family contract throughout: the
     corpus-scale cost is the ONE tokenize scan inside
@@ -2139,10 +2323,18 @@ def unigram_lm_segments(
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
     if model is not None:
         _unigram_require_model(model)
+        # ADVICE r10 (medium): the unroll depth must cover the model's
+        # longest piece or a model trained with a larger max_piece_len
+        # silently segments differently from retraining.  The model is
+        # inventory-bounded (max_pieces + alphabet rows), so this max
+        # is one sub-ms job on a few-KB table — the bounded-collect
+        # contract holds.
+        model_max_l = model.agg(F.max(F.length("piece"))).first()[0]
+        unroll_l = max(max_piece_len, int(model_max_l or 1))
         wf = _unigram_word_table(docs, max_vocab, max_word_len)
         seg = _unigram_viterbi_segments(
             wf.crossJoin(F.broadcast(_unigram_lp_map_row(model))),
-            max_piece_len,
+            unroll_l,
         )
     else:
         wf, lp = _unigram_train(
@@ -2329,6 +2521,18 @@ def _unigram_lp_at(pos_end, l):
     )
 
 
+# Score for a single character ABSENT from the model inventory (only
+# reachable on the injected-model path — the trainer's alphabet floor
+# makes every training-corpus char present).  Far below any real
+# micro-nat lp (>= -~3e7 even at 100 TB corpus counts) so an
+# out-of-alphabet char is taken only when forced, yet small enough
+# that len(word) sentinels cannot overflow BIGINT (2^40 * 1e6 < 2^63).
+# Keeping it non-NULL is the ADVICE r10 fix: a NULL here poisoned
+# 'cand >= best' for every later position, degrading the whole word
+# suffix to single chars instead of recovering after the OOV char.
+_UNIGRAM_OOV_LP = -(2**40)
+
+
 def _unigram_viterbi_segments(words: DataFrame, L: int) -> DataFrame:
     """One E-step: (word, freq, lp_map) -> (word, pos, piece, freq)
     via the forward DP fold + backward recovery fold."""
@@ -2337,8 +2541,13 @@ def _unigram_viterbi_segments(words: DataFrame, L: int) -> DataFrame:
 
     def dp_step(acc, i):
         # candidates l = 1..L, tie -> larger l (processed ascending
-        # with >=, so a longer piece overwrites an equal score)
-        best = F.element_at(acc, i) + lp_at(i, 1)  # l=1: char floor
+        # with >=, so a longer piece overwrites an equal score).
+        # l=1: char floor — total by construction in the trained path,
+        # OOV-sentinel-backed in the injected path so best[] is never
+        # NULL and the DP recovers after an out-of-alphabet char
+        best = F.element_at(acc, i) + F.coalesce(
+            lp_at(i, 1), F.lit(_UNIGRAM_OOV_LP)
+        )
         for l in range(2, L + 1):
             cand = F.when(
                 i >= l, F.element_at(acc, i - l + 1) + lp_at(i, l)

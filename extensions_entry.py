@@ -778,6 +778,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Fixed query-vector ids for the batch dense-ANN queries — all present
+# at every SF (embeddings has 500 rows at sf0.001/sf0.01, 2000 at
+# sf0.1), mirrored literally in the oracle's IN list.
+_BATCH_QUERY_IDS = (3, 47, 101, 163, 222, 287, 341, 499)
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_t = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -1846,6 +1852,26 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": lambda s, d: sim.lsh_cosine_topk(_emb(s, d)),
         "sim_lsh_multi_topk": lambda s, d: sim.lsh_multi_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
+        # round 11: the batch-query dense ANN shape (VERDICT r10 item
+        # 3) — an external (query_id, embedding) table served by ONE
+        # persisted IVF index, rank window PARTITIONED by query_id;
+        # query vectors drawn from the corpus at fixed ids so the
+        # oracle expresses the same table (all ids exist at sf0.001)
+        "sim_ivf_batch_topk": lambda s, d: sim.ivf_batch_topk(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+        ),
+        # round 11: the brute-force truth baseline for the batch ladder
+        "sim_cosine_batch_topk": lambda s, d: sim.cosine_batch_topk(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+        ),
         "sim_embedding_dup_pairs": lambda s, d: sim.embedding_dup_pairs(
             _emb(s, d), tau=0.4
         ),
@@ -1956,6 +1982,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
             depth=20,
         ),
+        # round 11: interpolated Kneser-Ney trigram perplexity — the
+        # published CCNet quality filter (Wenzek et al. 2020) with the
+        # corpus as its own training set (the score_docs= seam covers
+        # the train-on-wiki/score-crawl production shape; pinned by
+        # pytest against an independent hand-worked KN implementation)
+        "text_kn_score": lambda s, d: tx.kneser_ney_score(_docs(s, d)),
         # substring-level dedup signal: maximal duplicated 5-gram spans
         # and the per-doc coverage summary over them
         "dedup_dup_spans": lambda s, d: dd.duplicated_spans(_docs(s, d), n=5),
@@ -2623,6 +2655,48 @@ s AS (
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
 SELECT q_id, vec_id, cosine FROM r WHERE rn <= 5
+""",
+        # round 11: batch dense ANN — same index/probe/scoring CTEs as
+        # sim_ivf_topk, query set = the fixed corpus-drawn id list, NO
+        # self-exclusion (queries are external vectors by contract)
+        "sim_ivf_batch_topk": f"""
+WITH {_VEC_CTE},
+cents AS (SELECT vec_id AS cent_id, vec AS c_vec, nrm AS c_nrm FROM nv WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, vec, nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS q_vec, nrm AS q_nrm FROM nv
+      WHERE vec_id IN {_BATCH_QUERY_IDS}),
+pr AS (
+  SELECT query_id, q_vec, q_nrm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY ROUND(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT query_id, q_vec, q_nrm, cent_id FROM pr WHERE rn <= 4),
+s AS (
+  SELECT query_id, idx.vec_id,
+         ROUND(list_dot_product(idx.vec, q_vec) / (idx.nrm * q_nrm), 6) AS cosine
+  FROM idx JOIN probes USING (cent_id)
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
+""",
+        "sim_cosine_batch_topk": f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS query_id, vec AS q_vec, nrm AS q_nrm FROM nv
+      WHERE vec_id IN {_BATCH_QUERY_IDS}),
+s AS (
+  SELECT query_id, nv.vec_id,
+         ROUND(list_dot_product(nv.vec, q_vec) / (nv.nrm * q_nrm), 6) AS cosine
+  FROM nv, q
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
 """,
         "text_vocab_topk": f"""
 WITH {_TOK_CTE},
@@ -3935,6 +4009,95 @@ SELECT d.doc_id,
        COALESCE(per.n_bigrams, 0) AS n_bigrams,
        ROUND(total / per.n_bigrams, 6) AS avg_logp,
        ROUND(EXP(-(total / per.n_bigrams)), 6) AS ppl_proxy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+        # round 11: interpolated Kneser-Ney trigram scorer — the same
+        # expression tree as the Spark operator, CTE-chained so p1/p2/p3
+        # nest in the identical IEEE evaluation order; counts derive
+        # from the c3 TYPE table exactly as in the engine
+        "text_kn_score": f"""
+WITH {_TOK_CTE},
+tri0 AS (
+  SELECT doc_id, pos, word AS w1,
+         lead(word) OVER w AS w2,
+         lead(word, 2) OVER w AS w3
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+tri AS (SELECT doc_id, pos, w1, w2, w3 FROM tri0 WHERE w3 IS NOT NULL),
+c3 AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tri GROUP BY 1, 2, 3
+),
+ctx2 AS (
+  SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+         CAST(COUNT(*) AS BIGINT) AS n12
+  FROM c3 GROUP BY 1, 2
+),
+cbi AS (
+  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cc FROM c3 GROUP BY 1, 2
+),
+ctx1 AS (
+  SELECT w2, CAST(SUM(cc) AS BIGINT) AS cx1,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM cbi GROUP BY 1
+),
+cuni AS (
+  SELECT w3, CAST(COUNT(*) AS BIGINT) AS cu FROM cbi GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS b,
+         CAST(COUNT(DISTINCT w3) AS DOUBLE) AS w1p
+  FROM cbi
+),
+voc AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tok),
+joined AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE(c3.c3, 0) AS c3c, ctx2.c12, ctx2.n12,
+         COALESCE(cbi.cc, 0) AS ccc, ctx1.cx1, ctx1.n1,
+         COALESCE(cuni.cu, 0) AS cuc, tot.b, tot.w1p, voc.v
+  FROM tri t
+  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+  LEFT JOIN ctx2 ON t.w1 = ctx2.w1 AND t.w2 = ctx2.w2
+  LEFT JOIN cbi ON t.w2 = cbi.w2 AND t.w3 = cbi.w3
+  LEFT JOIN ctx1 ON t.w2 = ctx1.w2
+  LEFT JOIN cuni ON t.w3 = cuni.w3
+  CROSS JOIN tot CROSS JOIN voc
+),
+s1 AS (
+  SELECT *,
+         (GREATEST(CAST(cuc AS DOUBLE) - 0.75, 0.0) / b)
+         + (((0.75 * w1p) / b) * (1.0 / (v + 1.0))) AS p1
+  FROM joined
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN cx1 IS NULL THEN p1
+              ELSE (GREATEST(CAST(ccc AS DOUBLE) - 0.75, 0.0)
+                    / CAST(cx1 AS DOUBLE))
+                   + (((0.75 * CAST(n1 AS DOUBLE))
+                       / CAST(cx1 AS DOUBLE)) * p1)
+         END AS p2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, pos,
+         LN(CASE WHEN c12 IS NULL THEN p2
+                 ELSE (GREATEST(CAST(c3c AS DOUBLE) - 0.75, 0.0)
+                       / CAST(c12 AS DOUBLE))
+                      + (((0.75 * CAST(n12 AS DOUBLE))
+                          / CAST(c12 AS DOUBLE)) * p2)
+            END) AS logp
+  FROM s2
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         list_aggregate(list(logp ORDER BY pos), 'sum') AS total
+  FROM s3 GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_trigrams, 0) AS n_trigrams,
+       ROUND(total / per.n_trigrams, 6) AS avg_logp,
+       ROUND(EXP(-(total / per.n_trigrams)), 6) AS ppl_proxy
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """,
         # round 4c: LSH candidates scored by Jaccard AND max-containment,
