@@ -114,7 +114,41 @@ BENCH_QUERIES = [
     # unigram encode last-mile (train on the corpus, encode the
     # doc_id%10 slice via the broadcast dictionary carry)
     "text_unigram_encode",
+    # round-11 new surface: interpolated Kneser-Ney trigram scorer
+    # (5 count-table groupBys + the scored-stream equi-joins), and the
+    # batch dense-ANN serving shape (one persisted IVF index, broadcast
+    # probes, per-query rank windows) with its brute-force twin
+    "text_kn_score",
+    "sim_ivf_batch_topk",
+    "sim_cosine_batch_topk",
+    # incremental BM25 maintenance: build-on-half + update + serve —
+    # the corpus-append retrieval shape (equality with full recompute
+    # is the oracle)
+    "text_bm25_incremental",
 ]
+
+# VERDICT r10 "what's wrong": BENCH_r10.json was captured at 1m loadavg
+# 3.8 and read as a false 1.17x regression (the truth, 1.06x, lived only
+# in BASELINE.md prose).  Gate: wait briefly for the box to go quiet,
+# then stamp `loaded` into the TOP-LEVEL json so a contended artifact
+# is machine-readable as such.
+LOAD_QUIET_1M = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.5"))
+LOAD_QUIET_WAIT_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "180")
+)
+
+
+def wait_for_quiet_start() -> tuple[float, bool]:
+    """Poll until 1m loadavg <= LOAD_QUIET_1M or LOAD_QUIET_WAIT_S
+    elapses.  Returns (loadavg at the moment the bench proceeds,
+    loaded flag) — loaded=True means the run STARTED contended and its
+    numbers should be read against BENCH_DETAIL.json's load fields."""
+    deadline = time.time() + LOAD_QUIET_WAIT_S
+    load1 = os.getloadavg()[0]
+    while load1 > LOAD_QUIET_1M and time.time() < deadline:
+        time.sleep(10.0)
+        load1 = os.getloadavg()[0]
+    return load1, load1 > LOAD_QUIET_1M
 
 
 def main() -> None:
@@ -125,6 +159,7 @@ def main() -> None:
     # probe activity; recording the 1-minute loadavg at start and end
     # makes that class machine-attributable from the sidecar alone
     # instead of re-derived from BASELINE.md prose each round.
+    start_1m, loaded = wait_for_quiet_start()
     load_start = os.getloadavg()
     # console progress bars share the driver's capture window with our JSON
     # line (the r4 tail shows "\r[Stage 681:>" bytes inside it) — keep the
@@ -173,7 +208,9 @@ def main() -> None:
     gc_reclaim(spark, timeout_s=5.0)
     leaked = jvm_leaked_count(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    line, detail = format_bench_output(timings, sf, n_runs, samples)
+    line, detail = format_bench_output(
+        timings, sf, n_runs, samples, loaded=loaded, start_1m=start_1m
+    )
     detail["jvm_leaked_count"] = leaked
     # loadavg is host-wide (this JVM included, ncpus below for context):
     # start >> ncpus or a large end-start delta flags a contended run
@@ -216,6 +253,9 @@ def format_bench_output(
     sf: str,
     n_runs: int,
     samples: dict[str, list[float]] | None = None,
+    *,
+    loaded: bool = False,
+    start_1m: float | None = None,
 ) -> tuple[str, dict]:
     """Build (stdout_line, detail_sidecar).  The stdout line is medians-only
     with compact separators and is asserted to fit the driver's tail-capture
@@ -229,7 +269,13 @@ def format_bench_output(
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": n_runs,
+        # contended-start flag (VERDICT r10): True means 1m loadavg was
+        # still > LOAD_QUIET_1M after the quiet wait — read this
+        # artifact's medians against BENCH_DETAIL.json's load fields
+        "loaded": bool(loaded),
     }
+    if start_1m is not None:
+        payload["load_1m_start"] = round(start_1m, 2)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > TAIL_CAPTURE_BUDGET:
         # explicit raise, not `assert`: python -O would strip an assert

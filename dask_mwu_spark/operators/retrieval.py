@@ -184,3 +184,188 @@ def hybrid_bm25_cosine_topk(
     return rrf_fuse(
         {"bm25": lex, "cosine": dense}, k=k, k_rrf=k_rrf, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index maintenance (VERDICT r10 item 5): the
+# corpus-append story band_index_update gives dedup, applied to
+# retrieval.  The index is four tables — postings (word, doc_id, tf),
+# doclens (doc_id, dl), df (word, df), stats (1 row: n_docs, sum_dl) —
+# and an append batch updates every one WITHOUT re-tokenizing the
+# history corpus: postings/doclens union the batch tables (narrow, no
+# shuffle), df outer-join-adds the batch's per-word document counts
+# (bounded by the union vocabulary), stats adds two numbers.  Batch
+# twin: update(build(A), B) is row-identical to build(A UNION B) —
+# pinned by pytest — so the served scores are exactly the full
+# recompute's.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class BM25Index(NamedTuple):
+    """The persistable BM25 index tables.  ``stats`` is one row
+    ``(n_docs, sum_dl)`` — avgdl derives as sum_dl/n_docs at query
+    time so the update path adds integers instead of re-averaging."""
+
+    postings: DataFrame  # (word, doc_id, tf)
+    doclens: DataFrame  # (doc_id, dl)
+    df: DataFrame  # (word, df)
+    stats: DataFrame  # one row: (n_docs, sum_dl)
+
+
+def bm25_build_index(docs: DataFrame) -> BM25Index:
+    """Build the BM25 index from a corpus: ONE tokenize scan feeds the
+    (doc, word) tf aggregation; doclens is a raw-text expression (no
+    token shuffle); df and stats derive from those bounded tables,
+    never from the token stream again.  All four tables are
+    plain DataFrames — write them out partitioned/bucketed by their
+    join keys (word for postings/df, doc_id for doclens) and the next
+    session's update/serve paths start shuffle-free."""
+    from dask_mwu_spark.operators.text import tokens
+
+    postings = (
+        tokens(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    doclens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    df_ = postings.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return BM25Index(postings, doclens, df_, stats)
+
+
+def bm25_index_update(
+    index: BM25Index, new_docs: DataFrame, *, check_disjoint: bool = True
+) -> BM25Index:
+    """Append a new-document batch to an existing index — the ONLY
+    tokenize work is over the batch.  The corpus is append-only by
+    contract: a batch doc_id already present in the index would
+    double-count df/stats, so ``check_disjoint`` (default) probes the
+    history doclens for any batch id and raises — one semi-join that
+    prunes to the batch's (bounded) id set; disable it when ingestion
+    guarantees disjointness upstream.
+
+    Scale: postings/doclens grow by UNION (narrow — no shuffle, no
+    rewrite of history partitions; with both sides written bucketed by
+    the same key the bucketing survives); the df merge is a
+    full-outer join on the union vocabulary (bounded, term-keyed);
+    stats is 1-row arithmetic.  Nothing rescans history text."""
+    batch = bm25_build_index(new_docs)
+    if check_disjoint:
+        clash = index.doclens.join(
+            batch.doclens.select("doc_id"), "doc_id", "left_semi"
+        )
+        hit = clash.take(1)
+        if hit:
+            raise ValueError(
+                f"batch doc_id {hit[0]['doc_id']} already exists in the "
+                "index; the corpus is append-only — dedupe ids upstream "
+                "or pass check_disjoint=False if ingestion guarantees it"
+            )
+    postings = index.postings.unionByName(batch.postings)
+    doclens = index.doclens.unionByName(batch.doclens)
+    df_ = (
+        index.df.select("word", F.col("df").alias("_a"))
+        .join(
+            batch.df.select("word", F.col("df").alias("_b")),
+            "word",
+            "full_outer",
+        )
+        .select(
+            "word",
+            (
+                F.coalesce(F.col("_a"), F.lit(0))
+                + F.coalesce(F.col("_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias("df"),
+        )
+    )
+    stats = (
+        index.stats.crossJoin(
+            batch.stats.select(
+                F.col("n_docs").alias("_n"), F.col("sum_dl").alias("_s")
+            )
+        )
+        .select(
+            (F.col("n_docs") + F.col("_n")).cast("long").alias("n_docs"),
+            (F.col("sum_dl") + F.col("_s")).cast("long").alias("sum_dl"),
+        )
+    )
+    return BM25Index(postings, doclens, df_, stats)
+
+
+def bm25_topk_from_index(
+    index: BM25Index,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a BM25 query from the maintained index — bit-identical
+    output to :func:`~dask_mwu_spark.operators.text.bm25_topk` over
+    the same corpus (same Lucene idf form, same ascending-term float
+    fold, same round-to-6 + doc_id tiebreak; pinned by pytest AND by
+    the registered oracle, whose SQL is the full recompute).
+
+    Scale: postings filter to the query terms BEFORE any shuffle (a
+    term-bucketed index makes this a partition-pruned read); df joins
+    after the same filter (|query|-bounded, broadcast); avgdl/n_docs
+    is the 1-row stats table (broadcast cross).  The only corpus-sized
+    join is postings->doclens for dl, keyed by doc_id on the matched
+    candidate set only."""
+    terms = sorted(set(query_terms))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = index.postings.where(F.array_contains(term_arr, F.col("word")))
+    df_q = index.df.where(F.array_contains(term_arr, F.col("word")))
+    avgdl = index.stats.select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_q), "word")
+        .join(index.doclens, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("word", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["s"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    top = per_doc.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # k rows only — post-limit
+    return top.select(
+        "doc_id", "score", "n_terms_hit", F.row_number().over(w).alias("rank")
+    )

@@ -1982,6 +1982,22 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
             depth=20,
         ),
+        # round 11: incremental BM25 index maintenance — build on the
+        # even-doc_id half, UPDATE with the odd half (only the batch is
+        # tokenized), serve the standard query terms; the oracle is the
+        # FULL-corpus recompute, so a green row proves the incremental
+        # path equals the rebuild cross-engine
+        "text_bm25_incremental": lambda s, d: rtv.bm25_topk_from_index(
+            rtv.bm25_index_update(
+                rtv.bm25_build_index(
+                    _docs(s, d).where(F.col("doc_id") % 2 == 0)
+                ),
+                _docs(s, d).where(F.col("doc_id") % 2 == 1),
+                check_disjoint=False,
+            ),
+            ["the", "fast", "datos", "row"],
+            k=10,
+        ),
         # round 11: interpolated Kneser-Ney trigram perplexity — the
         # published CCNet quality filter (Wenzek et al. 2020) with the
         # corpus as its own training set (the score_docs= seam covers
@@ -6080,4 +6096,9 @@ LIMIT 20
     # path's — decoded sampled content is frames 0 and 2 of the padded
     # text either way; what changes is the REAL codec under test
     o["mm_avi_decode_stats"] = o["mm_real_decode_stats"]
+    # round 11: the incremental BM25 query serves from an index built on
+    # the even-doc_id half and UPDATED with the odd half — equal by the
+    # batch-twin contract to the full recompute, so the full-corpus BM25
+    # SQL IS the oracle (the cross-engine proof of recompute equality)
+    o["text_bm25_incremental"] = o["text_bm25_topk"]
     return o

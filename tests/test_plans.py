@@ -142,6 +142,10 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # selected via TakeOrderedAndProject — plan-asserted in
         # test_r4_ops/test_plans)
         "text_bm25_topk": {"global_window"},
+        # round 11: serve-from-index ends in the IDENTICAL post-limit
+        # <= k-row rank head as text_bm25_topk (TakeOrderedAndProject
+        # selects it; the serve==direct pytest pins output equality)
+        "text_bm25_incremental": {"global_window"},
         "cur_weighted_sample": {"global_window"},
         # round 5: dsir_resample ranks ONLY the post-limit <= k-row head
         # (TakeOrderedAndProject selects it — weighted_sample precedent)

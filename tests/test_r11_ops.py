@@ -424,3 +424,88 @@ def test_batch_query_table_validation(spark):
         sim.cosine_batch_topk(emb, ok, k=0)
     with pytest.raises(ValueError, match="n_probe"):
         sim.ivf_batch_topk(emb, ok, n_probe=0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index maintenance (VERDICT r10 item 5)
+# ---------------------------------------------------------------------------
+
+_BM25_A = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "spark shuffles data across the cluster"),
+    (2, "the fox and the dog became friends"),
+]
+_BM25_B = [
+    (10, "a quick batch of new documents arrives"),
+    (11, "the dog barks at the spark cluster"),
+]
+
+
+def _bm25_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_index_update_equals_full_rebuild(spark):
+    """The batch twin: update(build(A), B) is row-identical to
+    build(A UNION B) on every index table."""
+    a = _bm25_docs(spark, _BM25_A)
+    b = _bm25_docs(spark, _BM25_B)
+    full = _bm25_docs(spark, _BM25_A + _BM25_B)
+    inc = rtv.bm25_index_update(rtv.bm25_build_index(a), b)
+    want = rtv.bm25_build_index(full)
+    for got_t, want_t in zip(inc, want):
+        assert sorted(map(tuple, got_t.collect())) == sorted(
+            map(tuple, want_t.collect())
+        )
+
+
+def test_bm25_serve_from_updated_index_equals_direct(spark):
+    """Scores served from the incrementally maintained index are
+    bit-identical to bm25_topk over the full corpus."""
+    from dask_mwu_spark.operators import text as txm
+
+    a = _bm25_docs(spark, _BM25_A)
+    b = _bm25_docs(spark, _BM25_B)
+    full = _bm25_docs(spark, _BM25_A + _BM25_B)
+    idx = rtv.bm25_index_update(rtv.bm25_build_index(a), b)
+    terms = ["the", "dog", "spark"]
+    got = sorted(
+        tuple(r) for r in rtv.bm25_topk_from_index(idx, terms, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in txm.bm25_topk(full, terms, k=5).collect()
+    )
+    assert got == want
+
+
+def test_bm25_index_update_rejects_duplicate_doc_id(spark):
+    a = _bm25_docs(spark, _BM25_A)
+    dup = _bm25_docs(spark, [(1, "doc id one again")])
+    idx = rtv.bm25_build_index(a)
+    with pytest.raises(ValueError, match="append-only"):
+        rtv.bm25_index_update(idx, dup)
+    # and the escape hatch skips the probe
+    out = rtv.bm25_index_update(idx, dup, check_disjoint=False)
+    assert out.postings.count() > 0
+
+
+def test_bm25_index_two_sequential_batches(spark):
+    """Chained updates (the continuous-ingest shape) still equal one
+    full rebuild."""
+    a = _bm25_docs(spark, _BM25_A)
+    b1 = _bm25_docs(spark, _BM25_B[:1])
+    b2 = _bm25_docs(spark, _BM25_B[1:])
+    full = _bm25_docs(spark, _BM25_A + _BM25_B)
+    idx = rtv.bm25_index_update(
+        rtv.bm25_index_update(rtv.bm25_build_index(a), b1), b2
+    )
+    terms = ["the", "quick", "cluster"]
+    got = sorted(
+        tuple(r) for r in rtv.bm25_topk_from_index(idx, terms, k=10).collect()
+    )
+    from dask_mwu_spark.operators import text as txm
+
+    want = sorted(
+        tuple(r) for r in txm.bm25_topk(full, terms, k=10).collect()
+    )
+    assert got == want

@@ -66,6 +66,15 @@ QUICK = {
     "curation": ("scale_probe_curation.py", ["100000"]),
     # --- r10 vintage (retrieval: batch BM25 query scaling + RRF fuse) ---
     "retrieval": ("scale_probe_retrieval.py", ["20480", "8"]),
+    # --- r6-r7 vintage (round-11 rotation: VERDICT r10 item 6) ---
+    "pq_trained": ("scale_probe_pq_trained.py", ["40000"]),
+    "kcore": ("scale_probe_kcore.py", ["200000"]),
+    "cache": ("scale_probe_cache.py", ["8"]),
+    "graph": ("scale_probe_graph.py", ["100000", "10000", "5000"]),
+    "semdedup": ("scale_probe_semdedup.py", ["10000", "0.3", "200"]),
+    # --- r11 vintage (batch dense ANN + incremental BM25) ---
+    "batch_ann": ("scale_probe_batch_ann.py", ["20000", "4"]),
+    "bm25_incr": ("scale_probe_bm25_incr.py", ["10000", "8"]),
 }
 
 
