@@ -1038,14 +1038,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r0*.json ledger (staleness sort, rows-only
         # excluded, name asc within a round) and matching the r10
         # pre-computation exactly: the 12 remaining r6-attested entries
-        # then 34 of the 38 r7 entries — the four round-11
+        # then 33 of the 38 r7 entries — the five round-11
         # registrations below take the head (never-attested sorts
-        # stalest), displacing sim_ivf_recall_curve, sim_ivf_topk,
-        # sim_ivf_trained_recall and sim_ivf_trained_topk to the
-        # round-12 tier head.
+        # stalest), displacing sim_ivf_pq_trained_topk,
+        # sim_ivf_recall_curve, sim_ivf_topk, sim_ivf_trained_recall
+        # and sim_ivf_trained_topk to the round-12 tier head.
         # --- round-11 registrations ---
         "sim_cosine_batch_topk",
         "sim_ivf_batch_topk",
+        "sim_ivf_incremental_topk",
         "text_bm25_incremental",
         "text_kn_score",
         # --- last driver-attested in round 6 (12) ---
@@ -1066,13 +1067,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_real_decode_stats", "mwu_events_core", "mwu_full_rounded",
         "mwu_kruskal_wallis", "mwu_rank_data", "mwu_rank_ties", "mwu_topk",
         "sim_ann_recall", "sim_cosine_topk", "sim_embedding_dup_pairs",
-        "sim_ivf_pq_topk", "sim_ivf_pq_trained_topk",
+        "sim_ivf_pq_topk",
     ]
     # Round-12 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round) — the 14 remaining r7 entries then 36 r8 entries:
-    #   sim_ivf_recall_curve, sim_ivf_topk, sim_ivf_trained_recall,
-    #   sim_ivf_trained_topk,
+    # within a round) — the 15 remaining r7 entries then 35 r8 entries:
+    #   sim_ivf_pq_trained_topk, sim_ivf_recall_curve, sim_ivf_topk,
+    #   sim_ivf_trained_recall, sim_ivf_trained_topk,
     #   sim_lsh_multi_topk, sim_lsh_sample, sim_lsh_topk,
     #   sim_pq_trained_topk, sim_semantic_dedup, stream_drift_monitor,
     #   stream_sessionize, stream_windowed_agg, text_quality,
@@ -1088,7 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   mm_avi_decode_stats, mm_decode_meta, mm_features,
     #   mm_resize_plan, mm_sample_frames, mwu_bh_adjust,
     #   mwu_distinct_groups, mwu_group_means, mwu_group_sizes,
-    #   mwu_logfoldchange, mwu_rank_sum, mwu_tie_term
+    #   mwu_logfoldchange, mwu_rank_sum
     # —
     # plus any round-12 registrations at the head, displacing from the
     # tail.  Re-derive if r11 attestation differs: staleness sort over

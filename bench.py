@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     # the corpus-append retrieval shape (equality with full recompute
     # is the oracle)
     "text_bm25_incremental",
+    # incremental IVF maintenance: the dense mirror (fixed-centroid
+    # build + batch-assignment update + index= serve)
+    "sim_ivf_incremental_topk",
 ]
 
 # VERDICT r10 "what's wrong": BENCH_r10.json was captured at 1m loadavg

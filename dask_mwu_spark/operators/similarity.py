@@ -467,6 +467,50 @@ def cosine_batch_topk(
     )
 
 
+def ivf_index_update(
+    index: DataFrame,
+    new_emb: DataFrame,
+    *,
+    centroids: DataFrame,
+    check_disjoint: bool = True,
+) -> DataFrame:
+    """Append a new-vector batch to an existing IVF posting-list index
+    — the :func:`~dask_mwu_spark.operators.retrieval.bm25_index_update`
+    corpus-append story for the dense ladder: ONLY the batch pays the
+    centroid-assignment cross join; history postings are untouched
+    (narrow UNION — with both sides written bucketed by cent_id the
+    bucketing survives).  ``centroids`` is REQUIRED and must be the
+    same fixed table the index was built with — that is what makes
+    update ≡ rebuild (`ivf_index(history ∪ batch, centroids=...)`,
+    pinned by pytest); production re-trains centroids only on explicit
+    reindex, exactly like FAISS.  The corpus is append-only by
+    contract: ``check_disjoint`` (default) probes history for any
+    batch vec_id and raises (one semi-join pruned to the batch's
+    bounded id set); disable when ingestion guarantees disjointness.
+
+    Output schema = :func:`ivf_index`: (vec_id, vec, nrm, cent_id).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    missing = {"vec_id", "vec", "nrm", "cent_id"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"index table is missing columns {sorted(missing)}; expected "
+            "the ivf_index schema (vec_id, vec, nrm, cent_id)"
+        )
+    if check_disjoint:
+        clash = index.select("vec_id").join(
+            new_emb.select("vec_id"), "vec_id", "left_semi"
+        )
+        hit = clash.take(1)
+        if hit:
+            raise ValueError(
+                f"batch vec_id {hit[0]['vec_id']} already exists in the "
+                "index; the corpus is append-only — dedupe ids upstream "
+                "or pass check_disjoint=False if ingestion guarantees it"
+            )
+    batch = ivf_index(new_emb, centroids=centroids)
+    return index.select("vec_id", "vec", "nrm", "cent_id").unionByName(batch)
+
+
 def ivf_batch_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -475,6 +519,7 @@ def ivf_batch_topk(
     n_probe: int = 4,
     k: int = 5,
     centroids: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Batch IVF ANN top-k: every query in an external ``(query_id,
     embedding)`` table probes its ``n_probe`` nearest cells against ONE
@@ -488,6 +533,14 @@ def ivf_batch_topk(
     (see :func:`cosine_batch_topk`).  ``centroids=`` swaps in trained
     (e.g. KMeans||) centers exactly as in :func:`ivf_index`.  Output
     ``(query_id, vec_id, cosine, rank)``.
+
+    ``index=`` injects a PREVIOUSLY BUILT posting-list table (the
+    :func:`ivf_index` schema, e.g. a persisted table maintained by
+    :func:`ivf_index_update`) — the `model=`/`vocab=` reuse seam:
+    no assignment cross join runs at all, and ``emb`` is consulted
+    only for the (default-seeded) centroid table, so pass the SAME
+    ``centroids=`` the index was built with.  The caller owns the
+    injected table's persistence (it is not re-persisted here).
 
     Scale: the corpus-side cost is the one persisted index build;
     per batch, the bounded probe table (Q x n_probe rows) BROADCASTS
@@ -503,9 +556,18 @@ def ivf_batch_topk(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     q = _batch_query_table(queries)
     cents = _centroid_table(emb, n_centroids, centroids)
-    idx = ivf_index(
-        emb, n_centroids=n_centroids, centroids=centroids
-    ).transform(tracked_persist)
+    if index is not None:
+        missing = {"vec_id", "vec", "nrm", "cent_id"} - set(index.columns)
+        if missing:
+            raise ValueError(
+                f"index table is missing columns {sorted(missing)}; "
+                "expected the ivf_index schema (vec_id, vec, nrm, cent_id)"
+            )
+        idx = index
+    else:
+        idx = ivf_index(
+            emb, n_centroids=n_centroids, centroids=centroids
+        ).transform(tracked_persist)
     probe_scored = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "q_vec",

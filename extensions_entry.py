@@ -784,6 +784,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_QUERY_IDS = (3, 47, 101, 163, 222, 287, 341, 499)
 
 
+def _seed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default IVF seed (full-table vec_id < 16) as an EXPLICIT
+    centroid table — the incremental query must pin centroids across
+    build and update (the fixed-centroid contract)."""
+    from pyspark.sql import functions as F
+
+    return _emb(spark, sf_dir).where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_t = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -1862,6 +1873,30 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
             .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
             .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+        ),
+        # round 11: incremental IVF maintenance — index built on the
+        # even-vec_id half, UPDATED with the odd half against the SAME
+        # fixed centroid table (the full table's default vec_id<16
+        # seed), then served via the index= injection seam; equal by
+        # the fixed-centroid batch-twin contract to the full rebuild,
+        # so sim_ivf_batch_topk's oracle IS this query's oracle (the
+        # cross-engine proof of recompute equality, the
+        # text_bm25_incremental precedent)
+        "sim_ivf_incremental_topk": lambda s, d: sim.ivf_batch_topk(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            index=sim.ivf_index_update(
+                sim.ivf_index(
+                    _emb(s, d).where(F.col("vec_id") % 2 == 0),
+                    centroids=_seed_centroids(s, d),
+                ),
+                _emb(s, d).where(F.col("vec_id") % 2 == 1),
+                centroids=_seed_centroids(s, d),
+                check_disjoint=False,
+            ),
             k=5,
         ),
         # round 11: the brute-force truth baseline for the batch ladder
@@ -6101,4 +6136,8 @@ LIMIT 20
     # batch-twin contract to the full recompute, so the full-corpus BM25
     # SQL IS the oracle (the cross-engine proof of recompute equality)
     o["text_bm25_incremental"] = o["text_bm25_topk"]
+    # round 11: the incremental IVF query equals the full rebuild by the
+    # fixed-centroid batch-twin contract (same centroids = the default
+    # vec_id<16 seed), so the batch oracle proves recompute equality
+    o["sim_ivf_incremental_topk"] = o["sim_ivf_batch_topk"]
     return o

@@ -509,3 +509,76 @@ def test_bm25_index_two_sequential_batches(spark):
         tuple(r) for r in txm.bm25_topk(full, terms, k=10).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (the bm25_index_update story for
+# the dense ladder)
+# ---------------------------------------------------------------------------
+
+
+def _fixed_cents(emb, n=8):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+
+
+def test_ivf_index_update_equals_full_rebuild(spark):
+    """The fixed-centroid batch twin: update(index(A), B) is
+    row-identical to ivf_index(A UNION B) with the same centroids."""
+    from dask_mwu_spark.operators import similarity as sim
+
+    emb = _toy_emb(spark, n=60)
+    a = emb.where(F.col("vec_id") < 40)
+    b = emb.where(F.col("vec_id") >= 40)
+    cents = _fixed_cents(emb)
+    inc = sim.ivf_index_update(
+        sim.ivf_index(a, centroids=cents), b, centroids=cents
+    )
+    want = sim.ivf_index(emb, centroids=cents)
+    key = lambda r: (r["vec_id"], r["cent_id"])
+    assert sorted(map(key, inc.collect())) == sorted(
+        map(key, want.collect())
+    )
+
+
+def test_ivf_serve_from_updated_index_equals_rebuild(spark):
+    from dask_mwu_spark.operators import similarity as sim
+
+    emb = _toy_emb(spark, n=60)
+    a = emb.where(F.col("vec_id") < 40)
+    b = emb.where(F.col("vec_id") >= 40)
+    cents = _fixed_cents(emb)
+    queries = emb.where(F.col("vec_id").isin([5, 23, 51])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = sim.ivf_index_update(
+        sim.ivf_index(a, centroids=cents), b, centroids=cents
+    )
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_batch_topk(
+            emb, queries, index=idx, centroids=cents, n_probe=3, k=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ivf_batch_topk(
+            emb, queries, centroids=cents, n_probe=3, k=4
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_index_update_rejects_duplicate_vec_id(spark):
+    from dask_mwu_spark.operators import similarity as sim
+
+    emb = _toy_emb(spark, n=30)
+    cents = _fixed_cents(emb)
+    idx = sim.ivf_index(emb, centroids=cents)
+    dup = emb.where(F.col("vec_id") == 7)
+    with pytest.raises(ValueError, match="append-only"):
+        sim.ivf_index_update(idx, dup, centroids=cents)
+    bad = spark.createDataFrame([(0, 1)], "vec_id long, cent_id long")
+    with pytest.raises(ValueError, match="ivf_index schema"):
+        sim.ivf_index_update(bad, dup, centroids=cents)
