@@ -1114,12 +1114,15 @@ def kneser_ney_score(
     lower-order table (contexts, continuation bigrams, continuation
     unigrams) derives from the TYPE table ``c3`` — O(distinct
     trigrams), far below the token stream — with more groupBys, never
-    a distinct over raw tokens.  The scored stream joins the count
-    tables with plain shuffle equi-joins (count tables are too big to
-    broadcast at 100 TB and are never collected); the three scalar
-    totals ride ONE 1-row broadcast crossJoin.  Per-doc fold state is
-    bounded by doc length.  No counterpart in the reference
-    (SURVEY.md section 2.1).
+    a distinct over raw tokens.  Scoring joins land on the bounded
+    distinct-trigram table of the SCORED corpus, not the token stream:
+    the stream shuffles exactly twice (the map-side-combinable
+    distinct + the final (w1,w2,w3) model join) instead of once per
+    count table; all count joins are type-table x type-table shuffle
+    equi-joins (too big to broadcast at 100 TB, never collected); the
+    three scalar totals ride ONE 1-row broadcast crossJoin.  Per-doc
+    fold state is bounded by doc length.  No counterpart in the
+    reference (SURVEY.md section 2.1).
     """
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
@@ -1158,8 +1161,14 @@ def kneser_ney_score(
 
     target = docs if score_docs is None else score_docs
     sc = adjacent_trigrams(target)
+    # score TYPES, not the stream: the scored token stream would
+    # otherwise shuffle once per count-table join (5x).  Deduplicating
+    # to the bounded distinct-trigram table first (map-side-combinable)
+    # moves every count join onto type-sized tables; the stream then
+    # shuffles exactly twice — the distinct and the final model join.
+    types_ = sc.select("w1", "w2", "w3").distinct()
     j = (
-        sc.join(c3, ["w1", "w2", "w3"], "left")
+        types_.join(c3, ["w1", "w2", "w3"], "left")
         .join(ctx2, ["w1", "w2"], "left")
         .join(cbi, ["w2", "w3"], "left")
         .join(ctx1, ["w2"], "left")
@@ -1190,7 +1199,8 @@ def kneser_ney_score(
         (F.greatest(c3c - d, F.lit(0.0)) / c12)
         + (((d * F.col("n12").cast("double")) / c12) * p2)
     )
-    lp = j.select("doc_id", "pos", F.log(p3).alias("logp"))
+    model = j.select("w1", "w2", "w3", F.log(p3).alias("logp"))
+    lp = sc.join(model, ["w1", "w2", "w3"]).select("doc_id", "pos", "logp")
 
     per_doc = lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
