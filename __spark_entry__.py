@@ -1038,9 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r0*.json ledger (staleness sort, rows-only
         # excluded, name asc within a round) and matching the r10
         # pre-computation exactly: the 12 remaining r6-attested entries
-        # then 33 of the 38 r7 entries — the five round-11
+        # then 31 of the 38 r7 entries — the seven round-11
         # registrations below take the head (never-attested sorts
-        # stalest), displacing sim_ivf_pq_trained_topk,
+        # stalest), displacing sim_embedding_dup_pairs,
+        # sim_ivf_pq_topk, sim_ivf_pq_trained_topk,
         # sim_ivf_recall_curve, sim_ivf_topk, sim_ivf_trained_recall
         # and sim_ivf_trained_topk to the round-12 tier head.
         # --- round-11 registrations ---
@@ -1048,7 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_batch_topk",
         "sim_ivf_incremental_topk",
         "text_bm25_incremental",
+        "text_kn_buckets",
         "text_kn_score",
+        "text_phrase_search",
         # --- last driver-attested in round 6 (12) ---
         "mwu_ks_test", "orders_large_volume", "orders_monthly_growth",
         "orders_priority_wait", "part_supplier_cnt",
@@ -1066,12 +1069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank", "lineitem_bloom_semi", "lineitem_chi2_assoc",
         "mm_real_decode_stats", "mwu_events_core", "mwu_full_rounded",
         "mwu_kruskal_wallis", "mwu_rank_data", "mwu_rank_ties", "mwu_topk",
-        "sim_ann_recall", "sim_cosine_topk", "sim_embedding_dup_pairs",
-        "sim_ivf_pq_topk",
+        "sim_ann_recall", "sim_cosine_topk",
     ]
     # Round-12 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round) — the 15 remaining r7 entries then 35 r8 entries:
+    # within a round) — the 17 remaining r7 entries then 33 r8 entries:
+    #   sim_embedding_dup_pairs, sim_ivf_pq_topk,
     #   sim_ivf_pq_trained_topk, sim_ivf_recall_curve, sim_ivf_topk,
     #   sim_ivf_trained_recall, sim_ivf_trained_topk,
     #   sim_lsh_multi_topk, sim_lsh_sample, sim_lsh_topk,
@@ -1088,8 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   lineitem_range_join, lineitem_rollup, lineitem_unpivot,
     #   mm_avi_decode_stats, mm_decode_meta, mm_features,
     #   mm_resize_plan, mm_sample_frames, mwu_bh_adjust,
-    #   mwu_distinct_groups, mwu_group_means, mwu_group_sizes,
-    #   mwu_logfoldchange, mwu_rank_sum
+    #   mwu_distinct_groups, mwu_group_means, mwu_group_sizes
     # —
     # plus any round-12 registrations at the head, displacing from the
     # tail.  Re-derive if r11 attestation differs: staleness sort over

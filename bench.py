@@ -128,6 +128,12 @@ BENCH_QUERIES = [
     # incremental IVF maintenance: the dense mirror (fixed-centroid
     # build + batch-assignment update + index= serve)
     "sim_ivf_incremental_topk",
+    # positional phrase search: one pruned token pass + per-phrase
+    # (m-1)-way positional equi-joins
+    "text_phrase_search",
+    # CCNet tertile bucketing on KN perplexity (scorer + exact global
+    # percentile thresholds)
+    "text_kn_buckets",
 ]
 
 # VERDICT r10 "what's wrong": BENCH_r10.json was captured at 1m loadavg

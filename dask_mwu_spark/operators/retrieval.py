@@ -369,3 +369,104 @@ def bm25_topk_from_index(
     return top.select(
         "doc_id", "score", "n_terms_hit", F.row_number().over(w).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search over the positional inverted index — the
+# Elasticsearch/Lucene match_phrase shape.  BM25 (bag-of-words) cannot
+# distinguish "sort merge" from "merge sort"; phrase queries are the
+# standard next rung of the lexical retrieval ladder, and the
+# positional m-way join below is the textbook inverted-index phrase
+# algorithm (terms with positions, adjacency by position arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def phrase_match_positions(
+    docs: DataFrame, phrases: list[str]
+) -> DataFrame:
+    """Every occurrence of each phrase as a CONSECUTIVE whitespace-token
+    sequence: ``(phrase_id, doc_id, start_pos)`` — phrase_id = the
+    phrase's 0-based index in ``phrases``, start_pos the 0-based token
+    position of its first word.  Overlapping occurrences all emit
+    (e.g. "batch batch" matches twice in "batch batch batch") — the
+    position-join semantics, which substring replace() tricks get
+    wrong.
+
+    Scale (the positional-inverted-index shape): the token stream is
+    filtered ONCE to the union vocabulary of all phrases (a broadcast
+    filter pushed below everything — only phrase words survive the
+    scan stage) and session-persisted; each phrase of length m is then
+    an (m-1)-way EQUI-join of position-shifted slices of that pruned
+    stream on (doc_id, start_pos) — hash joins on a compound key, no
+    inequality conditions, no windows.  Candidate rows are bounded by
+    the rarest term's postings per phrase (AQE picks build sides by
+    actual size).  Phrases are a bounded query set by contract (the
+    ``bm25_batch_topk`` precedent).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    from dask_mwu_spark.cache import tracked_persist
+    from dask_mwu_spark.operators.text import tokens
+
+    if not phrases:
+        raise ValueError("phrases must contain at least one phrase")
+    split = []
+    for p in phrases:
+        words = p.split(" ")
+        if not p or any(w == "" for w in words):
+            raise ValueError(
+                f"phrase {p!r} is empty or contains empty tokens"
+            )
+        split.append(words)
+    vocab = sorted({w for ws in split for w in ws})
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    # ONE pruned pass of the corpus serves every phrase arm
+    pruned = (
+        tokens(docs)
+        .where(F.array_contains(vocab_arr, F.col("word")))
+        .transform(tracked_persist)
+    )
+    out = None
+    for pid, words in enumerate(split):
+        cur = pruned.where(F.col("word") == words[0]).select(
+            "doc_id", F.col("pos").alias("start_pos")
+        )
+        for i in range(1, len(words)):
+            nxt = pruned.where(F.col("word") == words[i]).select(
+                "doc_id", (F.col("pos") - i).alias("start_pos")
+            )
+            cur = cur.join(nxt, ["doc_id", "start_pos"])
+        part = cur.select(
+            F.lit(pid).cast("long").alias("phrase_id"),
+            "doc_id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def phrase_search(
+    docs: DataFrame, phrases: list[str]
+) -> DataFrame:
+    """Doc-level phrase hits: ``(phrase_id, phrase, doc_id, n_matches,
+    first_pos)`` — one row per (phrase, doc) with at least one exact
+    consecutive-token occurrence; ``n_matches`` counts occurrences
+    (overlaps included), ``first_pos`` is the earliest.  The
+    aggregation of :func:`phrase_match_positions`, grouped on the
+    (phrase_id, doc_id) key (map-side-combinable — no extra corpus
+    work beyond the position join).  Phrase strings ride a broadcast
+    join of the bounded phrase table.
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    pos = phrase_match_positions(docs, phrases)
+    spark = docs.sparkSession
+    ptab = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(phrases)],
+        "phrase_id long, phrase string",
+    )
+    return (
+        pos.groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("start_pos").cast("long").alias("first_pos"),
+        )
+        .join(F.broadcast(ptab), "phrase_id")
+        .select("phrase_id", "phrase", "doc_id", "n_matches", "first_pos")
+    )

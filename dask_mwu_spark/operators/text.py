@@ -1228,6 +1228,55 @@ def kneser_ney_score(
     )
 
 
+def kn_perplexity_buckets(
+    docs: DataFrame,
+    *,
+    discount: float = 0.75,
+    score_docs: DataFrame | None = None,
+) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020, §4.3):
+    bucket documents by Kneser-Ney perplexity TERTILES — "head" = the
+    lowest-perplexity (most reference-like) third, "middle", "tail" =
+    the noisiest third; CCNet trains on each bucket separately or
+    drops the tail.  Composes :func:`kneser_ney_score` (same
+    ``score_docs=`` train-once seam) with two exact global perplexity
+    quantiles.  Docs with < 3 tokens have no score and bucket as
+    ``unscored``.  Output: ``(doc_id, ppl_proxy, bucket)``; ties at a
+    threshold fall into the lower bucket (<=, matching the oracle).
+
+    Scale: the scorer's contract plus ONE exact ``percentile``
+    aggregation over the doc-level (already reduced) score table and a
+    1-row broadcast cross of the two thresholds.  ``F.percentile`` is
+    exact but single-buffer — at 1e11 docs swap in the bounded-state
+    exact histogram quantile (``audit.exact_quantile``) or the
+    t-digest sketch, the documented
+    :func:`~dask_mwu_spark.operators.curation.calibrated_quality_filter`
+    scale paths.  No counterpart in the reference (SURVEY.md
+    section 2.1)."""
+    scored = kneser_ney_score(
+        docs, discount=discount, score_docs=score_docs
+    )
+    valid = scored.where(F.col("ppl_proxy").isNotNull())
+    th = valid.agg(
+        F.round(
+            F.percentile(F.col("ppl_proxy"), F.lit(1.0 / 3.0)), 6
+        ).alias("t1"),
+        F.round(
+            F.percentile(F.col("ppl_proxy"), F.lit(2.0 / 3.0)), 6
+        ).alias("t2"),
+    )
+    ppl = F.col("ppl_proxy")
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "ppl_proxy",
+        F.when(ppl.isNull(), F.lit("unscored"))
+        .when(ppl <= F.col("t1"), F.lit("head"))
+        .when(ppl <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # The published Gopher/MassiveText required-word list (Rae et al. 2021,
 # Appendix A1.1): a doc must contain at least GOPHER_MIN_STOP_HITS of these.
 GOPHER_STOPWORDS: tuple[str, ...] = (

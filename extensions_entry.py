@@ -784,6 +784,57 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_QUERY_IDS = (3, 47, 101, 163, 222, 287, 341, 499)
 
 
+# Registered phrase-search query set: in-vocabulary 2/3-word phrases,
+# an overlap-capable self-phrase, and one phrase that never occurs in
+# the synthetic corpus (exercises the absent case).  Mirrored literally
+# in the generated oracle.
+_PHRASES = (
+    "table scan",
+    "sort merge",
+    "merge join",
+    "batch batch batch",
+    "sort merge join",
+)
+
+
+def _phrase_search_oracle(phrases) -> str:
+    """Generate the DuckDB twin of phrase_search: per phrase an
+    (m-1)-way positional self-join (0-based positions to match the
+    engine's posexplode), UNION ALL, then the (phrase_id, doc_id)
+    aggregation and the phrase-string CASE."""
+    arms = []
+    for pid, p in enumerate(phrases):
+        words = p.split(" ")
+        joins = " ".join(
+            f"JOIN t t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.p = t0.p + {i} AND t{i}.word = '{w}'"
+            for i, w in enumerate(words)
+            if i > 0
+        )
+        arms.append(
+            f"SELECT {pid} AS phrase_id, t0.doc_id, t0.p AS start_pos "
+            f"FROM t t0 {joins} WHERE t0.word = '{words[0]}'"
+        )
+    case = " ".join(
+        f"WHEN {pid} THEN '{p}'" for pid, p in enumerate(phrases)
+    )
+    return f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, word, pos - 1 AS p FROM tok),
+m AS ({' UNION ALL '.join(arms)}),
+agg AS (
+  SELECT phrase_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         CAST(MIN(start_pos) AS BIGINT) AS first_pos
+  FROM m GROUP BY 1, 2
+)
+SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+       CASE phrase_id {case} END AS phrase,
+       doc_id, n_matches, first_pos
+FROM agg
+"""
+
+
 def _seed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default IVF seed (full-table vec_id < 16) as an EXPLICIT
     centroid table — the incremental query must pin centroids across
@@ -2033,12 +2084,25 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["the", "fast", "datos", "row"],
             k=10,
         ),
+        # round 11: exact phrase search over the positional inverted
+        # index (the Lucene match_phrase shape) — mixed 2/3-word
+        # phrases incl. an overlapping self-phrase and one that never
+        # occurs (the absent case must yield zero rows for that id)
+        "text_phrase_search": lambda s, d: rtv.phrase_search(
+            _docs(s, d), list(_PHRASES)
+        ),
         # round 11: interpolated Kneser-Ney trigram perplexity — the
         # published CCNet quality filter (Wenzek et al. 2020) with the
         # corpus as its own training set (the score_docs= seam covers
         # the train-on-wiki/score-crawl production shape; pinned by
         # pytest against an independent hand-worked KN implementation)
         "text_kn_score": lambda s, d: tx.kneser_ney_score(_docs(s, d)),
+        # round 11: the CCNet head/middle/tail tertile split on KN
+        # perplexity (Wenzek et al. 2020 section 4.3) — exact global
+        # percentile thresholds, 1-row broadcast cross
+        "text_kn_buckets": lambda s, d: tx.kn_perplexity_buckets(
+            _docs(s, d)
+        ),
         # substring-level dedup signal: maximal duplicated 5-gram spans
         # and the per-doc coverage summary over them
         "dedup_dup_spans": lambda s, d: dd.duplicated_spans(_docs(s, d), n=5),
@@ -6140,4 +6204,25 @@ LIMIT 20
     # fixed-centroid batch-twin contract (same centroids = the default
     # vec_id<16 seed), so the batch oracle proves recompute equality
     o["sim_ivf_incremental_topk"] = o["sim_ivf_batch_topk"]
+    # round 11: positional phrase search — generated per-phrase m-way
+    # positional self-join twin
+    o["text_phrase_search"] = _phrase_search_oracle(_PHRASES)
+    # round 11: CCNet tertile bucketing — wrap the KN scorer oracle as
+    # a CTE, add the two exact quantile_cont thresholds (Spark's exact
+    # F.percentile matches quantile_cont bit-for-bit — the
+    # calibrated_quality_filter precedent) and the CASE bucketing
+    o["text_kn_buckets"] = f"""
+WITH base AS ({o["text_kn_score"]}),
+th AS (
+  SELECT ROUND(quantile_cont(ppl_proxy, 1.0 / 3.0), 6) AS t1,
+         ROUND(quantile_cont(ppl_proxy, 2.0 / 3.0), 6) AS t2
+  FROM base WHERE ppl_proxy IS NOT NULL
+)
+SELECT doc_id, ppl_proxy,
+       CASE WHEN ppl_proxy IS NULL THEN 'unscored'
+            WHEN ppl_proxy <= t1 THEN 'head'
+            WHEN ppl_proxy <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base CROSS JOIN th
+"""
     return o

@@ -582,3 +582,126 @@ def test_ivf_index_update_rejects_duplicate_vec_id(spark):
     bad = spark.createDataFrame([(0, 1)], "vec_id long, cent_id long")
     with pytest.raises(ValueError, match="ivf_index schema"):
         sim.ivf_index_update(bad, dup, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (the match_phrase shape)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_hand_worked(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "sort merge join beats hash join here"),
+            (1, "merge sort is not sort merge"),
+            (2, "batch batch batch batch"),
+            (3, "no hits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = ["sort merge", "sort merge join", "batch batch", "zz qq"]
+    got = {
+        (r["phrase_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in rtv.phrase_search(docs, phrases).collect()
+    }
+    assert got == {
+        (0, 0): (1, 0),  # 'sort merge' once in doc 0 at pos 0
+        (0, 1): (1, 4),  # ...and once in doc 1 at pos 4 (word order matters)
+        (1, 0): (1, 0),  # the trigram only in doc 0
+        (2, 2): (3, 0),  # OVERLAPPING: 'batch batch' x3 in 4 tokens
+    }
+    # phrase strings ride through
+    by_pid = {
+        r["phrase_id"]: r["phrase"]
+        for r in rtv.phrase_search(docs, phrases).collect()
+    }
+    assert by_pid[0] == "sort merge"
+
+
+def test_phrase_match_positions_overlap_and_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b a")], "doc_id long, text string"
+    )
+    pos = sorted(
+        (r["phrase_id"], r["start_pos"])
+        for r in rtv.phrase_match_positions(docs, ["a b a"]).collect()
+    )
+    assert pos == [(0, 0), (0, 2)]  # overlapping occurrences both emit
+
+
+def test_phrase_search_validation(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        rtv.phrase_search(docs, [])
+    with pytest.raises(ValueError, match="empty"):
+        rtv.phrase_search(docs, ["a  b"])
+    with pytest.raises(ValueError, match="empty"):
+        rtv.phrase_search(docs, [""])
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+def test_kn_buckets_tertiles_hand_worked(spark):
+    """Six scored docs split 2/2/2 by exact tertile thresholds; the
+    short doc lands in 'unscored'."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),          # same text -> same ppl
+        (2, "the dog ate the fish on the rug"),
+        (3, "a dog ate a bone on a mat"),
+        (4, "zebra cat quagga dog okapi fish"), # noisy -> high ppl
+        (5, "fish bone rug zebra a the on"),
+        (6, "tiny"),                            # < 3 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.kn_perplexity_buckets(docs).collect()}
+    assert out[6]["bucket"] == "unscored" and out[6]["ppl_proxy"] is None
+    scored = {d: r for d, r in out.items() if d != 6}
+    # identical text -> identical ppl -> identical bucket
+    assert out[0]["ppl_proxy"] == out[1]["ppl_proxy"]
+    assert out[0]["bucket"] == out[1]["bucket"]
+    # buckets respect the ppl ordering: every head ppl <= every middle
+    # ppl <= every tail ppl
+    by_bucket = {}
+    for r in scored.values():
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl_proxy"])
+    for lo, hi in (("head", "middle"), ("middle", "tail")):
+        if lo in by_bucket and hi in by_bucket:
+            assert max(by_bucket[lo]) <= min(by_bucket[hi])
+    # the independently computed tertiles reproduce the split
+    import statistics
+
+    ppls = sorted(r["ppl_proxy"] for r in scored.values())
+    qs = statistics.quantiles(ppls, n=3, method="inclusive")
+    t1, t2 = round(qs[0], 6), round(qs[1], 6)
+    for r in scored.values():
+        want = (
+            "head" if r["ppl_proxy"] <= t1
+            else "middle" if r["ppl_proxy"] <= t2
+            else "tail"
+        )
+        assert r["bucket"] == want, r
+
+
+def test_kn_buckets_score_docs_seam(spark):
+    """Thresholds derive from the SCORED corpus; training stays on
+    docs — the CCNet shape (train wiki, bucket crawl)."""
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a dog ate a bone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the cat sat on a bone"), (11, "okapi zebra quagga wombat")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in tx.kn_perplexity_buckets(train, score_docs=new).collect()
+    }
+    assert set(out) == {10, 11}
+    # the reference-like doc buckets no worse than the noise doc
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert order[out[10]] <= order[out[11]]
