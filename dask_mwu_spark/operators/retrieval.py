@@ -392,18 +392,21 @@ def phrase_match_positions(
     position-join semantics, which substring replace() tricks get
     wrong.
 
-    Scale (the positional-inverted-index shape): the token stream is
-    filtered ONCE to the union vocabulary of all phrases (a broadcast
-    filter pushed below everything — only phrase words survive the
-    scan stage) and session-persisted; each phrase of length m is then
-    an (m-1)-way EQUI-join of position-shifted slices of that pruned
-    stream on (doc_id, start_pos) — hash joins on a compound key, no
-    inequality conditions, no windows.  Candidate rows are bounded by
-    the rarest term's postings per phrase (AQE picks build sides by
-    actual size).  Phrases are a bounded query set by contract (the
-    ``bm25_batch_topk`` precedent).
+    Scale (intersect-by-count — the batched positional-inverted-index
+    algorithm): the bounded ``(phrase_id, offset, word)`` table
+    broadcasts onto ONE pass of the token stream (only phrase words
+    survive the join — the scan-stage prune), every match proposes the
+    candidate anchor ``start_pos = pos - offset``, and one
+    map-side-combinable groupBy on (phrase_id, doc_id, start_pos)
+    counts matched offsets; a candidate with ``hits == phrase length``
+    IS a full consecutive match ((doc_id, pos) is unique, so each
+    offset can contribute at most once per anchor, and offset 0
+    anchors start_pos >= 0 for free).  Cost is ONE corpus scan + one
+    aggregation REGARDLESS of phrase count — wall is ~flat in the
+    number of phrases (tools/scale_probe_phrase.py; the per-phrase
+    join formulation this replaced measured ~linear).  Phrases are a
+    bounded query set by contract (the ``bm25_batch_topk`` precedent).
     No counterpart in the reference (SURVEY.md section 2.1)."""
-    from dask_mwu_spark.cache import tracked_persist
     from dask_mwu_spark.operators.text import tokens
 
     if not phrases:
@@ -416,31 +419,35 @@ def phrase_match_positions(
                 f"phrase {p!r} is empty or contains empty tokens"
             )
         split.append(words)
-    vocab = sorted({w for ws in split for w in ws})
-    vocab_arr = F.array(*[F.lit(w) for w in vocab])
-    # ONE pruned pass of the corpus serves every phrase arm
-    pruned = (
-        tokens(docs)
-        .where(F.array_contains(vocab_arr, F.col("word")))
-        .transform(tracked_persist)
+    spark = docs.sparkSession
+    pw = spark.createDataFrame(
+        [
+            (pid, off, w)
+            for pid, ws in enumerate(split)
+            for off, w in enumerate(ws)
+        ],
+        "phrase_id long, off long, word string",
     )
-    out = None
-    for pid, words in enumerate(split):
-        cur = pruned.where(F.col("word") == words[0]).select(
-            "doc_id", F.col("pos").alias("start_pos")
-        )
-        for i in range(1, len(words)):
-            nxt = pruned.where(F.col("word") == words[i]).select(
-                "doc_id", (F.col("pos") - i).alias("start_pos")
-            )
-            cur = cur.join(nxt, ["doc_id", "start_pos"])
-        part = cur.select(
-            F.lit(pid).cast("long").alias("phrase_id"),
+    lens = spark.createDataFrame(
+        [(pid, len(ws)) for pid, ws in enumerate(split)],
+        "phrase_id long, m long",
+    )
+    cand = tokens(docs).join(F.broadcast(pw), "word").select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("off")).alias("start_pos"),
+    )
+    return (
+        cand.groupBy("phrase_id", "doc_id", "start_pos")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .join(F.broadcast(lens), "phrase_id")
+        .where(F.col("_hits") == F.col("m"))
+        .select(
+            F.col("phrase_id").cast("long").alias("phrase_id"),
             "doc_id",
             F.col("start_pos").cast("long").alias("start_pos"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    )
 
 
 def phrase_search(

@@ -75,6 +75,7 @@ QUICK = {
     # --- r11 vintage (batch dense ANN + incremental BM25) ---
     "batch_ann": ("scale_probe_batch_ann.py", ["20000", "4"]),
     "bm25_incr": ("scale_probe_bm25_incr.py", ["10000", "8"]),
+    "phrase": ("scale_probe_phrase.py", ["20000", "8"]),
 }
 
 
