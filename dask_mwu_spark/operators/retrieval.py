@@ -235,9 +235,12 @@ def bm25_build_index(docs: DataFrame) -> BM25Index:
     df_ = postings.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
+    # coalesce: SUM over an EMPTY corpus is NULL, and a NULL sum_dl
+    # would poison every later update's addition (an empty APPEND
+    # batch must be a no-op on stats, not a NULL infection)
     stats = doclens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
     return BM25Index(postings, doclens, df_, stats)
 

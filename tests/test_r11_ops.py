@@ -705,3 +705,26 @@ def test_kn_buckets_score_docs_seam(spark):
     # the reference-like doc buckets no worse than the noise doc
     order = {"head": 0, "middle": 1, "tail": 2}
     assert order[out[10]] <= order[out[11]]
+
+
+def test_bm25_index_empty_batch_is_noop(spark):
+    """An empty append batch must leave the served scores unchanged —
+    before the coalesce fix, SUM(dl) over the empty batch was NULL and
+    the stats addition NULL-poisoned avgdl (and every score)."""
+    a = _bm25_docs(spark, _BM25_A)
+    empty = _bm25_docs(spark, []).where(F.lit(False))
+    idx = rtv.bm25_index_update(
+        rtv.bm25_build_index(a), empty, check_disjoint=False
+    )
+    stats = idx.stats.collect()[0]
+    assert (stats["n_docs"], stats["sum_dl"]) == (3, 22)
+    from dask_mwu_spark.operators import text as txm
+
+    got = sorted(
+        tuple(r)
+        for r in rtv.bm25_topk_from_index(idx, ["the", "dog"], k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in txm.bm25_topk(a, ["the", "dog"], k=5).collect()
+    )
+    assert got == want
