@@ -1038,7 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r0*.json ledger (staleness sort, rows-only
         # excluded, name asc within a round) and matching the r10
         # pre-computation exactly: the 12 remaining r6-attested entries
-        # then 31 of the 38 r7 entries — the seven round-11
+        # then 31 of the 48 r7 entries — the seven round-11
         # registrations below take the head (never-attested sorts
         # stalest), displacing sim_embedding_dup_pairs,
         # sim_ivf_pq_topk, sim_ivf_pq_trained_topk,
@@ -1058,7 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_trained_recall", "star_market_share", "star_nation_volume",
         "star_retail_margin", "supplier_sole_late", "supplier_top_revenue",
         "supplier_value_share",
-        # --- last driver-attested in round 7 (first 35 of 38) ---
+        # --- last driver-attested in round 7 (first 31 of 48, name asc) ---
         "cur_curate", "cur_dsir_resample", "cur_dsir_weights",
         "cur_fuzzy_contamination", "dedup_components_fixed",
         "dedup_containment", "dedup_cross_source", "dedup_incremental",

@@ -266,12 +266,26 @@ def exact_quantile(
     below = df.where(c < lo).count()
     from pyspark.sql import Window
 
-    vals = (
+    grouped = (
         df.where((c >= lo) & (c <= hi))
         .groupBy(c.alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(Window.orderBy("v")))
     )
+    # ENFORCED bound on the final ordered window (VERDICT r11): the
+    # "ties span the range" bail usually leaves a handful of distinct
+    # values, but an adversarial distribution (a massive tie at one
+    # edge holding rank k0 with high-cardinality mass spread to the
+    # other edge) can stall joint narrowing while the range still
+    # holds millions of distinct values — a global-sort window over
+    # them would be exactly the unbounded state this function exists
+    # to avoid.  Count the distinct values first (map-side-combinable,
+    # 1-row result) and fall back to the single-buffer exact aggregate
+    # when the cap trips; its interpolation is the same Percentile
+    # form the tail below reproduces, so both paths return the same
+    # bits.
+    if grouped.count() > 4 * n_bins:
+        return df.agg(F.percentile(c, F.lit(q))).first()[0]
+    vals = grouped.withColumn("cum", F.sum("cnt").over(Window.orderBy("v")))
     picked = vals.where(F.lit(below) + F.col("cum") > k0).orderBy("v").limit(2).collect()
     v0 = picked[0]["v"]
     if k1 == k0 or frac == 0:

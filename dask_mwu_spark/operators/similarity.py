@@ -537,10 +537,14 @@ def ivf_batch_topk(
     ``index=`` injects a PREVIOUSLY BUILT posting-list table (the
     :func:`ivf_index` schema, e.g. a persisted table maintained by
     :func:`ivf_index_update`) — the `model=`/`vocab=` reuse seam:
-    no assignment cross join runs at all, and ``emb`` is consulted
-    only for the (default-seeded) centroid table, so pass the SAME
-    ``centroids=`` the index was built with.  The caller owns the
-    injected table's persistence (it is not re-persisted here).
+    no assignment cross join runs at all.  ``centroids=`` is then
+    REQUIRED (raises ``ValueError`` if absent) and must be the SAME
+    table the index was built with — probing against any other
+    centroid set would assign queries to cells the index never used
+    and silently return wrong neighbors (the
+    :func:`ivf_index_update` fixed-centroid contract).  The caller
+    owns the injected table's persistence (it is not re-persisted
+    here).
 
     Scale: the corpus-side cost is the one persisted index build;
     per batch, the bounded probe table (Q x n_probe rows) BROADCASTS
@@ -554,6 +558,14 @@ def ivf_batch_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if index is not None and centroids is None:
+        raise ValueError(
+            "centroids= is required when index= is injected: the probe "
+            "assignment must use the SAME centroid table the index was "
+            "built with (a default-derived seed could silently mismatch "
+            "the index's cells) — pass the table given to ivf_index/"
+            "ivf_index_update"
+        )
     q = _batch_query_table(queries)
     cents = _centroid_table(emb, n_centroids, centroids)
     if index is not None:

@@ -1113,8 +1113,13 @@ def kneser_ney_score(
     map-side-combinable groupBy on the (w1,w2,w3) key; every
     lower-order table (contexts, continuation bigrams, continuation
     unigrams) derives from the TYPE table ``c3`` — O(distinct
-    trigrams), far below the token stream — with more groupBys, never
-    a distinct over raw tokens.  Scoring joins land on the bounded
+    trigrams), far below the token stream.  The ONE exception is the
+    vocabulary size ``V``: it is a ``countDistinct`` over the raw
+    exploded token stream, because words appearing only in <3-token
+    documents never reach the trigram table (a c3-derived vocabulary
+    would undercount them); the aggregate is map-side-combinable with
+    1-row output, so it adds a scan but no unbounded state.  Scoring
+    joins land on the bounded
     distinct-trigram table of the SCORED corpus, not the token stream:
     the stream shuffles exactly twice (the map-side-combinable
     distinct + the final (w1,w2,w3) model join) instead of once per

@@ -797,6 +797,13 @@ _PHRASES = (
 )
 
 
+def _sq(s: str) -> str:
+    """Single-quote a string for interpolation into generated SQL —
+    doubles embedded quotes so a phrase containing ``'`` cannot break
+    (or inject into) the oracle text."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _phrase_search_oracle(phrases) -> str:
     """Generate the DuckDB twin of phrase_search: per phrase an
     (m-1)-way positional self-join (0-based positions to match the
@@ -807,16 +814,16 @@ def _phrase_search_oracle(phrases) -> str:
         words = p.split(" ")
         joins = " ".join(
             f"JOIN t t{i} ON t{i}.doc_id = t0.doc_id "
-            f"AND t{i}.p = t0.p + {i} AND t{i}.word = '{w}'"
+            f"AND t{i}.p = t0.p + {i} AND t{i}.word = {_sq(w)}"
             for i, w in enumerate(words)
             if i > 0
         )
         arms.append(
             f"SELECT {pid} AS phrase_id, t0.doc_id, t0.p AS start_pos "
-            f"FROM t t0 {joins} WHERE t0.word = '{words[0]}'"
+            f"FROM t t0 {joins} WHERE t0.word = {_sq(words[0])}"
         )
     case = " ".join(
-        f"WHEN {pid} THEN '{p}'" for pid, p in enumerate(phrases)
+        f"WHEN {pid} THEN {_sq(p)}" for pid, p in enumerate(phrases)
     )
     return f"""
 WITH {_TOK_CTE},
@@ -1948,6 +1955,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 centroids=_seed_centroids(s, d),
                 check_disjoint=False,
             ),
+            centroids=_seed_centroids(s, d),
             k=5,
         ),
         # round 11: the brute-force truth baseline for the batch ladder

@@ -128,6 +128,34 @@ def test_exact_quantile_matches_percentile(spark):
             assert got == want, (name, q, got, want)
 
 
+def test_exact_quantile_adversarial_ties_cap(spark):
+    """Planted adversarial distribution for the tie-bail (VERDICT r11):
+    a massive tie at the low edge holds rank k0 while high-cardinality
+    mass spreads to the high edge, so joint narrowing stalls ("ties
+    span the range") with MANY distinct values still in range.  The
+    enforced distinct-count cap must trip and the F.percentile
+    fallback must return the exact same bits."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_mwu_spark.operators.audit import exact_quantile
+
+    rng = np.random.default_rng(12)
+    # 2000 zeros + 2000 distinct values packed into the top histogram
+    # bin of [0, 1] (with n_bins=16 every positive value lands in the
+    # last bin, ranks k0/k1 straddle bin 0 and bin 15 -> no narrowing)
+    arr = np.concatenate(
+        [np.zeros(2000), 1.0 - rng.uniform(0, 1.0 / 32.0, 2000)]
+    )
+    df = spark.createDataFrame([(float(x),) for x in arr], "v: double")
+    # q placing k0 on the last zero and k1 on the first positive value
+    for q in (0.4999, 0.5, 0.5002, 0.75):
+        want = df.agg(F.percentile("v", F.lit(q))).first()[0]
+        # cap = 4*n_bins = 64 << 2000 distinct -> fallback path runs
+        got = exact_quantile(df, "v", q, n_bins=16, max_rounds=6)
+        assert got == want, (q, got, want)
+
+
 def test_exact_quantile_empty_and_null(spark):
     from pyspark.sql import functions as F  # noqa: F401
 

@@ -1,8 +1,11 @@
-"""Phrase-search scale probe: phrase_search claims ONE
-vocabulary-pruned token pass serves every phrase (the pruned stream is
-session-persisted; each phrase is an (m-1)-way positional equi-join of
-slices of it), so wall should grow ~linearly in corpus size and far
-sub-linearly in phrase count.
+"""Phrase-search scale probe: phrase_search claims ONE corpus token
+scan serves every phrase (intersect-by-count: the bounded
+(phrase_id, offset, word) table broadcasts onto the token stream, each
+surviving token proposes the anchor ``pos - offset``, and one
+map-side-combinable count per (phrase_id, doc_id, anchor) compared to
+the phrase length decides the match — no per-phrase join, no session
+persist), so wall should grow ~linearly in corpus size and ~flat in
+phrase count.
 
 - ``sec_p{a,b,c}``: phrase_search wall at 4 / 16 / 64 phrases over the
   SAME corpus — 16x phrases nowhere near 16x the 4-phrase wall;
