@@ -306,6 +306,79 @@ def bm25_index_update(
     return BM25Index(postings, doclens, df_, stats)
 
 
+def bm25_index_delete(
+    index: BM25Index, deleted: DataFrame, *, check_present: bool = True
+) -> BM25Index:
+    """Remove a document batch from an existing index — the
+    takedown/GDPR-erasure operation the append-only
+    :func:`bm25_index_update` contract could not cover (VERDICT r11
+    item 1).  ``deleted`` is a bounded ``(doc_id)`` batch (a takedown
+    list, not a corpus).  The result is EXACTLY
+    ``bm25_build_index(corpus minus deleted docs)`` — pinned by the
+    registered oracle (whose SQL is that rebuild) and by pytest —
+    but nothing re-tokenizes: every decrement derives from the
+    index's OWN postings.
+
+    - postings/doclens: broadcast anti-join on doc_id — one
+      scan-stage prune of history, no shuffle (history bucketing by
+      word survives: an anti-join filter does not re-key);
+    - df: the deleted docs' postings rows (broadcast semi-prune)
+      re-aggregate per word into decrements; words whose df reaches 0
+      drop out entirely, matching the rebuild's vocabulary;
+    - stats: 1-row integer subtraction of the deleted doclens batch.
+
+    ``check_present`` (default) probes that every deleted id exists
+    in the index and raises otherwise — a takedown for an unknown id
+    is an upstream bookkeeping bug worth failing loudly on; disable
+    for idempotent at-least-once delete streams (absent ids then
+    no-op).  Ids duplicated WITHIN the batch are deduped here, so an
+    id listed twice cannot double-decrement."""
+    dl = deleted.select("doc_id").distinct()
+    if check_present:
+        missing = dl.join(
+            index.doclens.select("doc_id"), "doc_id", "left_anti"
+        )
+        hit = missing.take(1)
+        if hit:
+            raise ValueError(
+                f"doc_id {hit[0]['doc_id']} is not in the index; a "
+                "takedown for an unknown id is an upstream bug — or pass "
+                "check_present=False for idempotent delete streams"
+            )
+    removed_df = (
+        index.postings.join(F.broadcast(dl), "doc_id")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("_rm"))
+    )
+    df_ = (
+        index.df.join(removed_df, "word", "left")
+        .select(
+            "word",
+            (F.col("df") - F.coalesce(F.col("_rm"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .where(F.col("df") > 0)
+    )
+    rm_stats = index.doclens.join(F.broadcast(dl), "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("_s"),
+    )
+    stats = index.stats.crossJoin(rm_stats).select(
+        (F.col("n_docs") - F.col("_n")).cast("long").alias("n_docs"),
+        (F.col("sum_dl") - F.col("_s")).cast("long").alias("sum_dl"),
+    )
+    # re-select the build-schema column order: the anti-join hoists its
+    # key first, and a persisted index must keep a stable layout
+    postings = index.postings.join(
+        F.broadcast(dl), "doc_id", "left_anti"
+    ).select("word", "doc_id", "tf")
+    doclens = index.doclens.join(
+        F.broadcast(dl), "doc_id", "left_anti"
+    ).select("doc_id", "dl")
+    return BM25Index(postings, doclens, df_, stats)
+
+
 def bm25_topk_from_index(
     index: BM25Index,
     query_terms: list[str],

@@ -1958,6 +1958,27 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             centroids=_seed_centroids(s, d),
             k=5,
         ),
+        # round 12: index-maintenance DELETE (takedown/GDPR erasure,
+        # VERDICT r11 item 1) — every vec_id % 5 == 0 removed from the
+        # full index by one broadcast anti-join (no rebuild, no
+        # re-assignment), served against the SAME fixed centroids; the
+        # oracle IS the rebuild-without-deleted-vectors SQL, so a
+        # green row proves delete == rebuild cross-engine
+        "sim_ivf_delete_topk": lambda s, d: sim.ivf_batch_topk(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            index=sim.ivf_index_delete(
+                sim.ivf_index(
+                    _emb(s, d), centroids=_seed_centroids(s, d)
+                ),
+                _emb(s, d).where(F.col("vec_id") % 5 == 0).select("vec_id"),
+                check_present=False,
+            ),
+            centroids=_seed_centroids(s, d),
+            k=5,
+        ),
         # round 11: the brute-force truth baseline for the batch ladder
         "sim_cosine_batch_topk": lambda s, d: sim.cosine_batch_topk(
             _emb(s, d),
@@ -2088,6 +2109,23 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
                 _docs(s, d).where(F.col("doc_id") % 2 == 1),
                 check_disjoint=False,
+            ),
+            ["the", "fast", "datos", "row"],
+            k=10,
+        ),
+        # round 12: BM25 index DELETE (takedown/GDPR erasure, VERDICT
+        # r11 item 1) — every doc_id % 7 == 0 removed from the full
+        # index with NO re-tokenization (df decrements derive from the
+        # index's own postings), then served; the oracle IS the
+        # rebuild-on-remaining-docs recompute, so a green row proves
+        # delete == rebuild cross-engine
+        "text_bm25_delete": lambda s, d: rtv.bm25_topk_from_index(
+            rtv.bm25_index_delete(
+                rtv.bm25_build_index(_docs(s, d)),
+                _docs(s, d)
+                .where(F.col("doc_id") % 7 == 0)
+                .select("doc_id"),
+                check_present=False,
             ),
             ["the", "fast", "datos", "row"],
             k=10,
@@ -6215,6 +6253,22 @@ LIMIT 20
     # round 11: positional phrase search — generated per-phrase m-way
     # positional self-join twin
     o["text_phrase_search"] = _phrase_search_oracle(_PHRASES)
+    # round 12: the BM25 delete oracle IS the rebuild on the remaining
+    # corpus — the full-recompute SQL with the deleted docs filtered at
+    # the source scans (the delete-equals-rebuild cross-engine proof)
+    o["text_bm25_delete"] = o["text_bm25_topk"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 7 != 0"
+    )
+    # round 12: the IVF delete oracle IS the rebuild without the
+    # deleted vectors: posting lists assign only the remaining ids,
+    # while the fixed centroid seed and the query set stay drawn from
+    # the FULL table (centroids are parameters — FAISS remove_ids
+    # does not retrain; queries are caller vectors)
+    o["sim_ivf_delete_topk"] = o["sim_ivf_batch_topk"].replace(
+        "idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg WHERE rn = 1)",
+        "idx AS (SELECT vec_id, vec, nrm, cent_id FROM asg"
+        " WHERE rn = 1 AND vec_id % 5 != 0)",
+    )
     # round 11: CCNet tertile bucketing — wrap the KN scorer oracle as
     # a CTE, add the two exact quantile_cont thresholds (Spark's exact
     # F.percentile matches quantile_cont bit-for-bit — the

@@ -146,6 +146,10 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # <= k-row rank head as text_bm25_topk (TakeOrderedAndProject
         # selects it; the serve==direct pytest pins output equality)
         "text_bm25_incremental": {"global_window"},
+        # round 12: delete-then-serve ends in the same post-limit
+        # <= k-row rank head (TakeOrderedAndProject selects it; the
+        # delete==rebuild pytest pins output equality)
+        "text_bm25_delete": {"global_window"},
         "cur_weighted_sample": {"global_window"},
         # round 5: dsir_resample ranks ONLY the post-limit <= k-row head
         # (TakeOrderedAndProject selects it — weighted_sample precedent)

@@ -1,0 +1,223 @@
+"""Round-12 regression tests.
+
+Covers VERDICT r11 item 1 (index-maintenance DELETE for the
+incremental BM25 and IVF indices: delete-then-serve must equal the
+rebuild on the remaining corpus) and the contract guards around it
+(check_present, df-reaches-zero vocabulary pruning, batch-dup
+dedupe, required-centroids on injected indices).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dask_mwu_spark.operators import retrieval as rtv
+from dask_mwu_spark.operators import similarity as sim
+
+
+def _docs(spark):
+    rows = [
+        (0, "the fast cat sat on the mat"),
+        (1, "a slow dog ran past the fast cat"),
+        (2, "rare unicorn word appears here only"),
+        (3, "the mat was flat and the cat sat"),
+        (4, "fast fast fast row row the"),
+        (5, "another plain document about a dog"),
+        (6, "the quick brown fox and the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _index_rows(idx):
+    """Materialize a BM25Index into comparable sorted tuples."""
+    return {
+        "postings": sorted(tuple(r) for r in idx.postings.collect()),
+        "doclens": sorted(tuple(r) for r in idx.doclens.collect()),
+        "df": sorted(tuple(r) for r in idx.df.collect()),
+        "stats": sorted(tuple(r) for r in idx.stats.collect()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# BM25 delete == rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_delete_equals_rebuild(spark):
+    """Every index table after delete matches the rebuild on the
+    remaining corpus, and the served top-k is row-identical."""
+    docs = _docs(spark)
+    full = rtv.bm25_build_index(docs)
+    deleted = docs.where(F.col("doc_id").isin(1, 4)).select("doc_id")
+    after = rtv.bm25_index_delete(full, deleted)
+    rebuilt = rtv.bm25_build_index(docs.where(~F.col("doc_id").isin(1, 4)))
+    assert _index_rows(after) == _index_rows(rebuilt)
+    terms = ["the", "fast", "dog"]
+    got = sorted(
+        tuple(r) for r in rtv.bm25_topk_from_index(after, terms).collect()
+    )
+    want = sorted(
+        tuple(r) for r in rtv.bm25_topk_from_index(rebuilt, terms).collect()
+    )
+    assert got == want
+
+
+def test_bm25_delete_prunes_vocabulary_to_zero_df(spark):
+    """Deleting the only doc containing a word removes the word from
+    df entirely (the rebuild's vocabulary), not a df=0 row."""
+    docs = _docs(spark)
+    full = rtv.bm25_build_index(docs)
+    after = rtv.bm25_index_delete(
+        full, docs.where(F.col("doc_id") == 2).select("doc_id")
+    )
+    assert after.df.where(F.col("word") == "unicorn").count() == 0
+    assert after.df.where(F.col("df") <= 0).count() == 0
+
+
+def test_bm25_delete_batch_duplicates_do_not_double_decrement(spark):
+    """An id listed twice in the batch decrements once."""
+    docs = _docs(spark)
+    full = rtv.bm25_build_index(docs)
+    dup_batch = spark.createDataFrame([(3,), (3,)], "doc_id long")
+    after = rtv.bm25_index_delete(full, dup_batch)
+    rebuilt = rtv.bm25_build_index(docs.where(F.col("doc_id") != 3))
+    assert _index_rows(after) == _index_rows(rebuilt)
+
+
+def test_bm25_delete_everything_yields_empty_index(spark):
+    docs = _docs(spark)
+    full = rtv.bm25_build_index(docs)
+    after = rtv.bm25_index_delete(full, docs.select("doc_id"))
+    assert after.postings.count() == 0
+    assert after.df.count() == 0
+    n_docs, sum_dl = after.stats.first()
+    assert (n_docs, sum_dl) == (0, 0)
+
+
+def test_bm25_delete_unknown_id_raises_and_flag_disables(spark):
+    docs = _docs(spark)
+    full = rtv.bm25_build_index(docs)
+    ghost = spark.createDataFrame([(99,)], "doc_id long")
+    with pytest.raises(ValueError, match="not in the index"):
+        rtv.bm25_index_delete(full, ghost)
+    # idempotent mode: unknown id no-ops, index unchanged
+    after = rtv.bm25_index_delete(full, ghost, check_present=False)
+    assert _index_rows(after) == _index_rows(full)
+
+
+def test_bm25_update_then_delete_round_trip(spark):
+    """Append a batch, then delete it again — the index returns to the
+    original build (the full maintenance cycle)."""
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") < 5)
+    batch = docs.where(F.col("doc_id") >= 5)
+    idx = rtv.bm25_index_update(rtv.bm25_build_index(base), batch)
+    back = rtv.bm25_index_delete(idx, batch.select("doc_id"))
+    assert _index_rows(back) == _index_rows(rtv.bm25_build_index(base))
+
+
+# ---------------------------------------------------------------------------
+# IVF delete == rebuild
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, n=40, dim=8):
+    rows = [
+        (
+            i,
+            [
+                round(((i * 37 + d * 11 + 3) % 97) / 97.0 - 0.5, 6)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_delete_equals_rebuild(spark):
+    emb = _emb(spark)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    full = sim.ivf_index(emb, centroids=cents)
+    deleted = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    after = sim.ivf_index_delete(full, deleted)
+    rebuilt = sim.ivf_index(
+        emb.where(F.col("vec_id") % 3 != 0), centroids=cents
+    )
+    got = sorted((r["vec_id"], r["cent_id"]) for r in after.collect())
+    want = sorted((r["vec_id"], r["cent_id"]) for r in rebuilt.collect())
+    assert got == want
+
+
+def test_ivf_delete_then_serve_equals_rebuild_serve(spark):
+    emb = _emb(spark)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id").isin(1, 7)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    after = sim.ivf_index_delete(
+        sim.ivf_index(emb, centroids=cents),
+        emb.where(F.col("vec_id") % 3 == 0).select("vec_id"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_batch_topk(
+            emb, queries, index=after, centroids=cents, k=3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ivf_batch_topk(
+            emb.where(F.col("vec_id") % 3 != 0),
+            queries,
+            centroids=cents,
+            k=3,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_delete_unknown_id_raises_and_flag_disables(spark):
+    emb = _emb(spark)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    full = sim.ivf_index(emb, centroids=cents)
+    ghost = spark.createDataFrame([(999,)], "vec_id long")
+    with pytest.raises(ValueError, match="not in the index"):
+        sim.ivf_index_delete(full, ghost)
+    after = sim.ivf_index_delete(full, ghost, check_present=False)
+    assert after.count() == full.count()
+
+
+def test_ivf_delete_rejects_wrong_schema(spark):
+    bad = spark.createDataFrame([(1, 2)], "vec_id long, cent_id long")
+    dl = spark.createDataFrame([(1,)], "vec_id long")
+    with pytest.raises(ValueError, match="missing columns"):
+        sim.ivf_index_delete(bad, dl)
+
+
+def test_ivf_batch_topk_requires_centroids_with_injected_index(spark):
+    """ADVICE r11: index= without centroids= must raise, never silently
+    probe against a default-derived seed."""
+    emb = _emb(spark)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    idx = sim.ivf_index(emb, centroids=cents)
+    queries = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="centroids= is required"):
+        sim.ivf_batch_topk(emb, queries, index=idx)
