@@ -1696,6 +1696,130 @@ def ivf_pq_topk_trained(
     )
 
 
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    *,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+    n_train: int = 256,
+    n_iter: int = 2,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the actual FAISS IVFPQ encoding (Jégou et
+    al., TPAMI 2011 §V.A): PQ codebooks are trained on and encode the
+    residual ``vec − coarse_centroid(vec)`` instead of the raw vector.
+    Residual magnitudes are much smaller than raw vectors once the
+    coarse quantizer has soaked up the cell mean, so the same 8×16
+    code budget spends its resolution on the part the cell does NOT
+    explain — this is where most of FAISS's recall at fixed code size
+    comes from (VERDICT r11 item 2; the recall-harness pytest pins
+    residual ≥ non-residual on the structured fixture).
+
+    Scoring decomposes exactly: q·x ≈ q·c + q·r̃ where c is the
+    candidate's coarse centroid (EXACT — one bounded (q_id, cent_id)
+    dot table) and r̃ the PQ-reconstructed residual (ADC partials from
+    a LUT of q against the residual codebooks).  Output
+    ``(q_id, vec_id, score)`` with the ADC contract (round6 once at
+    the end, score desc + vec_id tiebreak).
+
+    Determinism/exactness (the :func:`ivf_pq_topk_trained` rules):
+    coarse cells from :func:`kmeans_train_fixed`; residuals are exact
+    IEEE subtractions of round6-trained centroid dims from raw
+    parquet doubles, so both engines carry bit-identical residual
+    training sets into the SAME fixed-round Lloyd loop; the per-doc
+    score folds ADC partials in subspace order and adds the exact
+    q·c term once (IEEE addition commutes — engine and oracle may
+    order the two operands differently, never the fold itself).
+
+    Scale: both trainings are bounded-sample; residual computation is
+    ONE broadcast join (C-row centroid table) folded into the encode
+    scan — the corpus vectors still never shuffle; the query path is
+    identical to :func:`ivf_pq_topk_trained` plus one broadcast
+    (n_queries × k_cells) exact-dot table.  No counterpart in the
+    reference (SURVEY.md section 2.1)."""
+    vecs = _with_vec(emb)
+    trained_cells = kmeans_train_fixed(
+        emb, k=k_cells, n_train=n_train, n_iter=n_iter
+    )
+    cents = _centroid_table(emb, k_cells, trained_cells)
+    idx = ivf_index(emb, centroids=trained_cells).transform(tracked_persist)
+    # residual stream: (vec_id, cent_id, vec := vec - c_vec) — the
+    # broadcast centroid join rides the encode scan
+    res = idx.join(
+        F.broadcast(cents.select("cent_id", "c_vec")), "cent_id"
+    ).select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("vec", "c_vec", lambda a, b: a - b).alias("vec"),
+    )
+    rsubs = _subvectors(res)
+    rtrain = rsubs.where(F.col("vec_id") < n_train)
+    rcb0 = rtrain.where(F.col("vec_id") < N_PQ_CENTROIDS).select(
+        "s", F.col("vec_id").cast("int").alias("c"), F.col("x").alias("w")
+    )
+    codebooks = _lloyd_iterations(
+        rtrain, rcb0, n_iter=n_iter, dim=PQ_SUB_DIM
+    )
+    codes = _encode_codes(rsubs, codebooks)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "cent_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("c_cos"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("q_id", "cent_id")
+    )
+    # exact q·c per (query, cell) — bounded n_queries × k_cells rows
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id", "cent_id", dot(F.col("q_vec"), F.col("c_vec")).alias("qc")
+    )
+    cand = (
+        idx.select("vec_id", "cent_id")
+        .join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "cent_id")
+    )
+    lut = _adc_lut(_subvectors(vecs), codebooks, n_queries=n_queries)
+    est = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id", "cent_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("s", "partial"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["partial"],
+            ).alias("_rsum")
+        )
+    )
+    scored = est.join(F.broadcast(qc), ["q_id", "cent_id"]).select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("qc") + F.col("_rsum"), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "score")
+    )
+
+
 def _with_vec_label(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",

@@ -2365,6 +2365,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_pq_trained_topk": lambda s, d: sim.ivf_pq_topk_trained(
             _emb(s, d)
         ),
+        # round 12: RESIDUAL IVF-PQ (VERDICT r11 item 2) — codebooks
+        # trained on vec − coarse_centroid, scored q·c (exact) +
+        # ADC-residual; the FAISS IVFPQ encoding, every stage exact
+        # against the composed unrolled-Lloyd twin
+        "sim_ivf_pq_residual_topk": lambda s, d: sim.ivf_pq_residual_topk(
+            _emb(s, d)
+        ),
         # round 6: recall@k of the trained-IVF path through the shared
         # harness — completes the symmetry (every trained ANN path has a
         # recall-graded registered entry)
@@ -4955,6 +4962,126 @@ SELECT q_id, vec_id, score FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                ORDER BY score DESC, vec_id ASC) AS rn
   FROM est) WHERE rn <= 5
+"""
+    # round 12: RESIDUAL IVF-PQ — the same kmeans cell CTEs feed a
+    # residual stream (vec - assigned c_vec, exact IEEE subtraction of
+    # the round6-trained centroid dims), the SAME r-prefixed unrolled
+    # Lloyd rounds train codebooks on it, and scoring adds the exact
+    # per-cell q·c term to the s-ordered ADC fold before the single
+    # final round6 (engine: similarity.ivf_pq_residual_topk)
+    def _pq_residual_blocks(
+        n_train: int = 256, n_iter: int = 2, n_queries: int = 10
+    ) -> str:
+        """CTE blocks `rsub, rtr, rcb0..rcbN, rcodes, qsub, rlut` —
+        assumes `nv`, `cents`, `idx` (vec_id, cent_id) are in scope."""
+        sd = sim.PQ_SUB_DIM
+        mean_dims = ", ".join(
+            f"ROUND(list_aggregate(list(x[{d}] ORDER BY vec_id), 'sum')"
+            f" / CAST(COUNT(*) AS DOUBLE), 6)"
+            for d in range(1, sd + 1)
+        )
+        rounds = []
+        for i in range(1, n_iter + 1):
+            rounds.append(f""",
+rasg{i} AS (
+  SELECT vec_id, rtr.s, x, c, ROUND({_pq_dist('x', 'w')}, 6) AS d
+  FROM rtr JOIN rcb{i - 1} ON rtr.s = rcb{i - 1}.s
+),
+rbest{i} AS (
+  SELECT vec_id, s, x, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d ASC, c ASC) AS rn
+    FROM rasg{i}) WHERE rn = 1
+),
+rupd{i} AS (
+  SELECT s, c, [{mean_dims}] AS w_new FROM rbest{i} GROUP BY s, c
+),
+rcb{i} AS MATERIALIZED (
+  SELECT cb.s, cb.c, COALESCE(u.w_new, cb.w) AS w
+  FROM rcb{i - 1} cb LEFT JOIN rupd{i} u ON cb.s = u.s AND cb.c = u.c
+)""")
+        return (
+            f"""rsub AS MATERIALIZED (
+  SELECT nv.vec_id, CAST(ss.s AS INT) AS s,
+         list_transform(range(CAST(ss.s * {sd} + 1 AS BIGINT),
+                              CAST(ss.s * {sd} + {sd + 1} AS BIGINT)),
+                        d -> nv.vec[d] - c.c_vec[d]) AS x
+  FROM nv
+  JOIN idx ON nv.vec_id = idx.vec_id
+  JOIN cents c ON idx.cent_id = c.cent_id
+  CROSS JOIN (SELECT unnest(range({sim.N_PQ_SUB})) AS s) ss
+),
+rtr AS MATERIALIZED (SELECT * FROM rsub WHERE vec_id < {n_train}),
+rcb0 AS MATERIALIZED (
+  SELECT s, CAST(vec_id AS INT) AS c, x AS w
+  FROM rtr WHERE vec_id < {sim.N_PQ_CENTROIDS}
+)"""
+            + "".join(rounds)
+            + f""",
+rcodes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT rsub.vec_id, rsub.s, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+             ORDER BY ROUND({_pq_dist('x', 'w')}, 6) ASC, cb.c ASC) AS rn
+    FROM rsub JOIN rcb{n_iter} cb ON rsub.s = cb.s) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id, CAST(ss.s AS INT) AS s,
+         list_slice(vec, CAST(ss.s * {sd} + 1 AS INT),
+                    CAST(ss.s * {sd} + {sd} AS INT)) AS x
+  FROM nv CROSS JOIN (SELECT unnest(range({sim.N_PQ_SUB})) AS s) ss
+  WHERE vec_id < {n_queries}
+),
+rlut AS (
+  SELECT qsub.vec_id AS q_id, qsub.s, cb.c AS code,
+         {_pq_dot('x', 'w')} AS partial
+  FROM qsub JOIN rcb{n_iter} cb ON qsub.s = cb.s
+)"""
+        )
+
+    o["sim_ivf_pq_residual_topk"] = f"""
+WITH {_VEC_CTE.strip()},
+{_kmeans_cents_sql()},
+asg AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(vec, c_vec) / (nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM nv, cents
+),
+idx AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+{_pq_residual_blocks()},
+q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM nv WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) DESC, cent_id ASC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT q_id, cent_id FROM pr WHERE rn <= 4),
+qc AS (
+  SELECT q_id, cent_id, list_dot_product(q_vec, c_vec) AS qc
+  FROM q, cents
+),
+cand AS (
+  SELECT q_id, idx.vec_id, idx.cent_id FROM idx JOIN probes USING (cent_id)
+  WHERE idx.vec_id != q_id
+),
+est AS (
+  SELECT cand.q_id, cand.vec_id, cand.cent_id,
+         list_aggregate(list(partial ORDER BY rcodes.s), 'sum') AS rsum
+  FROM cand
+  JOIN rcodes ON rcodes.vec_id = cand.vec_id
+  JOIN rlut ON rlut.q_id = cand.q_id AND rlut.s = rcodes.s AND rlut.code = rcodes.code
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT est.q_id, est.vec_id, ROUND(qc.qc + est.rsum, 6) AS score
+  FROM est JOIN qc ON est.q_id = qc.q_id AND est.cent_id = qc.cent_id
+)
+SELECT q_id, vec_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 5
 """
     o["sim_ivf_trained_recall"] = f"""
 WITH truth AS ({o["sim_cosine_topk"]}),

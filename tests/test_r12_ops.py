@@ -208,6 +208,73 @@ def test_ivf_delete_rejects_wrong_schema(spark):
         sim.ivf_index_delete(bad, dl)
 
 
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (VERDICT r11 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(n=200, n_clusters=16, dim=64, scale=0.35):
+    """Vectors with STRONG coarse-cluster structure and codable
+    residuals — the regime residual PQ is built for: raw-vector
+    codebooks burn their 16 codes/subspace re-encoding the cluster
+    mean, residual codebooks spend them on the within-cluster
+    offsets.  The first 16 vectors are one per cluster so both the
+    kmeans seeds and the PQ seeds start well-spread."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_clusters, dim)) * 2.0
+    # residual prototypes shared across clusters (codable structure)
+    res_protos = rng.normal(size=(8, dim)) * scale
+    vecs = []
+    for i in range(n):
+        c = i % n_clusters
+        r = res_protos[rng.integers(8)] + rng.normal(scale=0.02, size=dim)
+        vecs.append(centers[c] + r)
+    return np.array(vecs)
+
+
+def _emb_from(spark, vecs):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [
+                np.asarray(v, dtype=np.float32).tolist() for v in vecs
+            ],
+            "label": [0] * len(vecs),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_residual_ivf_pq_recall_at_least_non_residual(spark):
+    """On coarse-clustered data the residual encoding must reach AT
+    LEAST the raw-vector trained IVF-PQ's recall (Jégou et al. 2011
+    section V.A — the residual is where the code budget's resolution
+    goes once the cells absorb the means)."""
+    from dask_mwu_spark.operators.similarity import (
+        ann_recall_eval,
+        ivf_pq_residual_topk,
+        ivf_pq_topk_trained,
+    )
+
+    emb = _emb_from(spark, _clustered_vectors(200))
+    kw = dict(n_train=200, n_queries=10, k=5)
+    residual = ann_recall_eval(
+        emb,
+        approx=ivf_pq_residual_topk(emb, **kw).select("q_id", "vec_id"),
+    ).toPandas()
+    raw = ann_recall_eval(
+        emb,
+        approx=ivf_pq_topk_trained(emb, **kw).select("q_id", "vec_id"),
+    ).toPandas()
+    assert residual.recall.mean() >= raw.recall.mean()
+    assert residual.recall.mean() >= 0.5
+
+
 def test_ivf_batch_topk_requires_centroids_with_injected_index(spark):
     """ADVICE r11: index= without centroids= must raise, never silently
     probe against a default-derived seed."""
