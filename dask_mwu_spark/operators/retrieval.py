@@ -526,6 +526,155 @@ def phrase_match_positions(
     )
 
 
+def _split_phrases(phrases: list[str]) -> list[list[str]]:
+    if not phrases:
+        raise ValueError("phrases must contain at least one phrase")
+    split = []
+    for p in phrases:
+        words = p.split(" ")
+        if not p or any(w == "" for w in words):
+            raise ValueError(
+                f"phrase {p!r} is empty or contains empty tokens"
+            )
+        split.append(words)
+    return split
+
+
+def phrase_match_positions_slop(
+    docs: DataFrame, phrases: list[str], *, slop: int = 0
+) -> DataFrame:
+    """Proximity phrase matching — the Elasticsearch/Lucene
+    ``match_phrase`` + ``slop`` shape (VERDICT r11 item 3): phrase
+    words must appear IN ORDER at strictly increasing positions
+    ``p_0 < p_1 < ... < p_(m-1)`` with total gap
+    ``p_(m-1) - p_0 - (m-1) <= slop``; ``slop=0`` degenerates to the
+    exact consecutive match of :func:`phrase_match_positions`
+    (pytest-pinned).  Output ``(phrase_id, doc_id, start_pos)`` — one
+    row per matching anchor (= occurrence of the first word),
+    overlapping anchors all emit.
+
+    Algorithm (greedy earliest-successor, EXACT): for each anchor,
+    take the smallest position of word i greater than the chosen
+    position of word i-1; greedy minimizes the final position, and
+    the constraint only bounds ``p_(m-1) - p_0``, so a greedy failure
+    proves no ordered match exists at that anchor.  The naive
+    "count offsets within ±slop of the anchor" relaxation is NOT
+    equivalent — it accepts out-of-order placements (phrase "a b c",
+    doc "a c b", slop 2) and double-counts one token for two offsets
+    of a repeated-word phrase ("b a a", doc "b x a", slop 1); the
+    greedy chain rejects both.
+
+    Scale: ONE corpus token scan — the bounded (phrase_id, off, word)
+    table broadcasts onto it (scan-stage prune to phrase words), ONE
+    map-side-combinable groupBy keyed (phrase_id, doc_id) collects
+    the matched tokens (bounded by doc length × |phrase| — the
+    per-doc state bound every per-doc fold in the package relies
+    on), and the greedy chain is a per-row expression unrolled to
+    max phrase length.  ~Flat in phrase count like
+    :func:`phrase_match_positions` (tools/scale_probe_phrase.py).
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    from dask_mwu_spark.operators.text import tokens
+
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    split = _split_phrases(phrases)
+    max_m = max(len(ws) for ws in split)
+    spark = docs.sparkSession
+    pw = spark.createDataFrame(
+        [
+            (pid, off, w)
+            for pid, ws in enumerate(split)
+            for off, w in enumerate(ws)
+        ],
+        "phrase_id long, off long, word string",
+    )
+    lens = spark.createDataFrame(
+        [(pid, len(ws)) for pid, ws in enumerate(split)],
+        "phrase_id long, m long",
+    )
+    grouped = (
+        tokens(docs)
+        .join(F.broadcast(pw), "word")
+        .groupBy("phrase_id", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "off"))).alias(
+                "lst"
+            )
+        )
+        .join(F.broadcast(lens), "phrase_id")
+    )
+
+    def _end(anchor):
+        # greedy chain unrolled to the longest phrase; steps beyond
+        # this phrase's m carry the previous position through, and a
+        # failed step yields NULL which propagates to the end
+        prev = anchor["pos"]
+        for i in range(1, max_m):
+            nxt = F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("lst"),
+                        (
+                            lambda p, j: lambda e: (e["off"] == j)
+                            & (e["pos"] > p)
+                        )(prev, i),
+                    ),
+                    lambda e: e["pos"],
+                )
+            )
+            prev = F.when(F.lit(i) < F.col("m"), nxt).otherwise(prev)
+        return prev
+
+    spans = F.filter(
+        F.transform(
+            F.filter(F.col("lst"), lambda e: e["off"] == 0),
+            lambda a: F.struct(
+                a["pos"].alias("s"), _end(a).alias("e")
+            ),
+        ),
+        lambda st: st["e"].isNotNull()
+        & (st["e"] - st["s"] <= F.col("m") - 1 + F.lit(slop)),
+    )
+    return grouped.select(
+        "phrase_id",
+        "doc_id",
+        F.explode(F.transform(spans, lambda st: st["s"])).alias(
+            "start_pos"
+        ),
+    ).select(
+        F.col("phrase_id").cast("long").alias("phrase_id"),
+        "doc_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+    )
+
+
+def phrase_search_slop(
+    docs: DataFrame, phrases: list[str], *, slop: int = 0
+) -> DataFrame:
+    """Doc-level proximity phrase hits — the :func:`phrase_search`
+    aggregation over :func:`phrase_match_positions_slop`: one row per
+    (phrase, doc) with ``n_matches`` matching anchors and the
+    earliest ``first_pos``; ``slop=0`` output is row-identical to
+    :func:`phrase_search` (pytest-pinned).  Output ``(phrase_id,
+    phrase, doc_id, n_matches, first_pos)``.
+    No counterpart in the reference (SURVEY.md section 2.1)."""
+    pos = phrase_match_positions_slop(docs, phrases, slop=slop)
+    spark = docs.sparkSession
+    ptab = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(phrases)],
+        "phrase_id long, phrase string",
+    )
+    return (
+        pos.groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("start_pos").cast("long").alias("first_pos"),
+        )
+        .join(F.broadcast(ptab), "phrase_id")
+        .select("phrase_id", "phrase", "doc_id", "n_matches", "first_pos")
+    )
+
+
 def phrase_search(
     docs: DataFrame, phrases: list[str]
 ) -> DataFrame:

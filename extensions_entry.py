@@ -842,6 +842,52 @@ FROM agg
 """
 
 
+def _phrase_slop_oracle(phrases, slop: int) -> str:
+    """Generate the DuckDB twin of phrase_search_slop: per phrase the
+    greedy earliest-successor chain as nested correlated-MIN
+    subqueries (p1 = MIN pos of word1 > p0, p2 = MIN pos of word2 >
+    p1, ...) with the total-gap filter pm - p0 <= (m-1) + slop —
+    greedy minimizes the end position, so it is exact for the
+    ordered-window semantics; slop=0 degenerates to the consecutive
+    match (pinned by pytest against phrase_search)."""
+    arms = []
+    for pid, p in enumerate(phrases):
+        words = p.split(" ")
+        m = len(words)
+        inner = (
+            f"SELECT doc_id, p AS p0 FROM t WHERE word = {_sq(words[0])}"
+        )
+        for i, w in enumerate(words[1:], start=1):
+            inner = (
+                f"SELECT *, (SELECT MIN(x.p) FROM t x WHERE x.doc_id = "
+                f"a{i - 1}.doc_id AND x.word = {_sq(w)} AND x.p > "
+                f"a{i - 1}.p{i - 1}) AS p{i} FROM ({inner}) a{i - 1}"
+            )
+        arms.append(
+            f"SELECT {pid} AS phrase_id, doc_id, p0 AS start_pos "
+            f"FROM ({inner}) WHERE p{m - 1} IS NOT NULL "
+            f"AND p{m - 1} - p0 <= {m - 1 + slop}"
+        )
+    case = " ".join(
+        f"WHEN {pid} THEN {_sq(p)}" for pid, p in enumerate(phrases)
+    )
+    return f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, word, pos - 1 AS p FROM tok),
+m AS ({' UNION ALL '.join(arms)}),
+agg AS (
+  SELECT phrase_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         CAST(MIN(start_pos) AS BIGINT) AS first_pos
+  FROM m GROUP BY 1, 2
+)
+SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+       CASE phrase_id {case} END AS phrase,
+       doc_id, n_matches, first_pos
+FROM agg
+"""
+
+
 def _seed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default IVF seed (full-table vec_id < 16) as an EXPLICIT
     centroid table — the incremental query must pin centroids across
@@ -2136,6 +2182,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occurs (the absent case must yield zero rows for that id)
         "text_phrase_search": lambda s, d: rtv.phrase_search(
             _docs(s, d), list(_PHRASES)
+        ),
+        # round 12: proximity phrase search (the Lucene match_phrase
+        # slop shape, VERDICT r11 item 3) — same phrase set, slop=1,
+        # greedy earliest-successor chain (exact for ordered-window
+        # semantics; slop=0 degenerates to text_phrase_search,
+        # pytest-pinned)
+        "text_phrase_slop": lambda s, d: rtv.phrase_search_slop(
+            _docs(s, d), list(_PHRASES), slop=1
         ),
         # round 11: interpolated Kneser-Ney trigram perplexity — the
         # published CCNet quality filter (Wenzek et al. 2020) with the
@@ -6380,6 +6434,9 @@ LIMIT 20
     # round 11: positional phrase search — generated per-phrase m-way
     # positional self-join twin
     o["text_phrase_search"] = _phrase_search_oracle(_PHRASES)
+    # round 12: proximity (slop) phrase search — generated greedy
+    # correlated-MIN chain twin
+    o["text_phrase_slop"] = _phrase_slop_oracle(_PHRASES, 1)
     # round 12: the BM25 delete oracle IS the rebuild on the remaining
     # corpus — the full-recompute SQL with the deleted docs filtered at
     # the source scans (the delete-equals-rebuild cross-engine proof)

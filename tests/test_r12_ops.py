@@ -209,6 +209,122 @@ def test_ivf_delete_rejects_wrong_schema(spark):
 
 
 # ---------------------------------------------------------------------------
+# Proximity phrase search (VERDICT r11 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _phrase_docs(spark):
+    rows = [
+        (0, "sort merge join is a sort x merge join"),
+        (1, "a c b"),
+        (2, "b x a"),
+        (3, "sort x merge"),
+        (4, "batch batch batch"),
+        (5, "merge sort"),
+        (6, "sort y y merge"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_slop_zero_degenerates_to_exact(spark):
+    """slop=0 output is row-identical to phrase_search — on the
+    planted corpus AND on a pseudo-random one (overlaps, repeats)."""
+    import random
+
+    docs = _phrase_docs(spark)
+    phrases = ["sort merge", "batch batch", "merge join", "a b c"]
+    exact = sorted(
+        tuple(r) for r in rtv.phrase_search(docs, phrases).collect()
+    )
+    slop0 = sorted(
+        tuple(r)
+        for r in rtv.phrase_search_slop(docs, phrases, slop=0).collect()
+    )
+    assert exact == slop0 and len(exact) > 0
+
+    rnd = random.Random(5)
+    vocab = ["a", "b", "c", "d"]
+    rdocs = spark.createDataFrame(
+        [
+            (i, " ".join(rnd.choice(vocab) for _ in range(30)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    rphr = ["a b", "b b", "c a d", "a a a"]
+    exact = sorted(
+        tuple(r) for r in rtv.phrase_search(rdocs, rphr).collect()
+    )
+    slop0 = sorted(
+        tuple(r)
+        for r in rtv.phrase_search_slop(rdocs, rphr, slop=0).collect()
+    )
+    assert exact == slop0 and len(exact) > 0
+
+
+def test_phrase_slop_ordered_window_semantics(spark):
+    """Positive matches within the gap budget; the two relaxation
+    counterexamples (out-of-order, repeated-word double-count) must
+    NOT match."""
+    docs = _phrase_docs(spark)
+    got = sorted(
+        tuple(r)
+        for r in rtv.phrase_match_positions_slop(
+            docs, ["sort merge"], slop=1
+        ).collect()
+    )
+    # doc0: exact at 0 and gapped at 5; doc3: gapped at 0; doc6's gap
+    # of 2 exceeds slop=1
+    assert got == [(0, 0, 0), (0, 0, 5), (0, 3, 0)]
+    got2 = sorted(
+        tuple(r)
+        for r in rtv.phrase_match_positions_slop(
+            docs, ["sort merge"], slop=2
+        ).collect()
+    )
+    assert (0, 6, 0) in got2
+    # out-of-order: "a b c" over "a c b" never matches at any slop
+    assert (
+        rtv.phrase_match_positions_slop(
+            docs.where(F.col("doc_id") == 1), ["a b c"], slop=2
+        ).count()
+        == 0
+    )
+    # repeated word: "b a a" over "b x a" has only ONE a — the single
+    # token must not satisfy both offsets
+    assert (
+        rtv.phrase_match_positions_slop(
+            docs.where(F.col("doc_id") == 2), ["b a a"], slop=1
+        ).count()
+        == 0
+    )
+
+
+def test_phrase_slop_overlaps_and_counts(spark):
+    """Overlapping anchors all emit; n_matches/first_pos aggregate
+    them like phrase_search."""
+    docs = _phrase_docs(spark)
+    out = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in rtv.phrase_search_slop(
+            docs, ["batch batch"], slop=1
+        ).collect()
+    }
+    # "batch batch batch": anchors 0 and 1 both match
+    assert out[("batch batch", 4)] == (2, 0)
+
+
+def test_phrase_slop_validation(spark):
+    docs = _phrase_docs(spark)
+    with pytest.raises(ValueError, match="slop"):
+        rtv.phrase_search_slop(docs, ["a b"], slop=-1)
+    with pytest.raises(ValueError, match="empty"):
+        rtv.phrase_search_slop(docs, [""], slop=1)
+    with pytest.raises(ValueError, match="at least one"):
+        rtv.phrase_search_slop(docs, [], slop=1)
+
+
+# ---------------------------------------------------------------------------
 # Residual IVF-PQ (VERDICT r11 item 2)
 # ---------------------------------------------------------------------------
 

@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from dask_mwu_spark.operators.retrieval import phrase_search  # noqa: E402
+from dask_mwu_spark.operators.retrieval import (  # noqa: E402
+    phrase_search,
+    phrase_search_slop,
+)
 from dask_mwu_spark.session import get_spark  # noqa: E402
 from scale_probe_bpe import synth_docs  # noqa: E402
 
@@ -69,6 +72,17 @@ def main() -> int:
         tables[label] = sorted(map(tuple, rows))
         release_caches()
     out["pa_rerun_identical"] = tables["pa"] == tables["pa2"]
+    # slop arm (round 12): the greedy ordered-window matcher must stay
+    # ~flat in phrase count too — one corpus scan + one grouped fold
+    # regardless of how many phrases ride the broadcast
+    for label, np_ in (("sa", 4), ("sb", 16), ("sc", 64)):
+        t0 = time.time()
+        rows = phrase_search_slop(
+            synth_docs(spark, n_docs), _phrases(np_), slop=1
+        ).collect()
+        out[f"sec_{label}"] = round(time.time() - t0, 2)
+        out[f"rows_{label}"] = len(rows)
+        release_caches()
     print(json.dumps(out))
     spark.stop()
     return 0
