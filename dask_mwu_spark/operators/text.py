@@ -1074,7 +1074,7 @@ def lm_bigram_score(docs: DataFrame, *, alpha: float = 0.5) -> DataFrame:
 def kneser_ney_score(
     docs: DataFrame,
     *,
-    discount: float = 0.75,
+    discount: float | str = 0.75,
     score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc interpolated Kneser-Ney TRIGRAM language-model score —
@@ -1083,8 +1083,26 @@ def kneser_ney_score(
     Chen & Goodman 1999 is the smoothing).  :func:`lm_bigram_score` is
     the cheap add-α proxy; this is the real thing at order 3 with a
     single fixed ``discount`` D (the classic interpolated-KN
-    formulation; KenLM's modified-KN differs only in using three
-    count-estimated discounts per order):
+    formulation), or — with ``discount="estimate"`` — the MODIFIED
+    Kneser-Ney of Chen & Goodman 1999 §2.7, what KenLM (and therefore
+    the shipped CCNet filter) actually uses: per order, three
+    discounts estimated from that order's count-of-count statistics
+    n1..n4 (types occurring exactly 1..4 times),
+
+        Y  = n1 / (n1 + 2·n2)
+        D1 = 1 − 2·Y·(n2/n1),  D2 = 2 − 3·Y·(n3/n2),
+        D3+ = 3 − 4·Y·(n4/n3)
+
+    applied by the count being discounted (D1 for count 1, D2 for 2,
+    D3+ for ≥3) with the back-off mass γ becoming the count-weighted
+    sum D1·N1 + D2·N2 + D3+·N3+ over the context's successor types.
+    An order whose statistics cannot support estimation — any of
+    n1..n3 zero, or an estimated discount outside its sane range
+    (D1∈[0,1], D2∈[0,2], D3+∈[0,3]) — falls back to the KenLM
+    ``--discount_fallback`` defaults (0.5, 1.0, 1.5) for THAT order,
+    exactly KenLM's behavior on "counts too small" corpora (lm/
+    builder/adjust_counts.cc); orders with healthy statistics still
+    estimate.  Fixed-D formulation:
 
         P3(w3|w1,w2) = max(c(w1w2w3)-D, 0)/c(w1w2·)
                        + D·N1+(w1w2·)/c(w1w2·) · P2(w3|w2)
@@ -1129,40 +1147,110 @@ def kneser_ney_score(
     fold state is bounded by doc length.  No counterpart in the
     reference (SURVEY.md section 2.1).
     """
-    if not 0.0 < discount < 1.0:
+    est = isinstance(discount, str)
+    if est and discount != "estimate":
+        raise ValueError(
+            f"discount must be a float in (0, 1) or 'estimate', "
+            f"got {discount!r}"
+        )
+    if not est and not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    D = float(discount)
+    D = 0.0 if est else float(discount)
     train_tri = adjacent_trigrams(docs, with_pos=False)
 
     # type/count tables — all derived from c3 (the bounded type table)
     c3 = train_tri.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
     )
-    ctx2 = c3.groupBy("w1", "w2").agg(
+    # estimate mode adds the per-context successor-type counts BY
+    # DISCOUNT BUCKET (N1/N2/N3+) that the modified-KN back-off mass
+    # weights — same map-side-combinable aggregations, wider rows
+    ctx2_aggs = [
         F.sum("c3").alias("c12"),  # c(w1w2·)
         F.count(F.lit(1)).alias("n12"),  # N1+(w1w2·)
-    )
+    ]
+    if est:
+        ctx2_aggs += [
+            F.sum((F.col("c3") == 1).cast("long")).alias("j1"),
+            F.sum((F.col("c3") == 2).cast("long")).alias("j2"),
+            F.sum((F.col("c3") >= 3).cast("long")).alias("j3p"),
+        ]
+    ctx2 = c3.groupBy("w1", "w2").agg(*ctx2_aggs)
     cbi = c3.groupBy("w2", "w3").agg(
         F.count(F.lit(1)).alias("cc")  # N1+(·w2w3)
     )
-    ctx1 = cbi.groupBy("w2").agg(
+    ctx1_aggs = [
         F.sum("cc").alias("cx1"),  # N1+(·w2·)
         F.count(F.lit(1)).alias("n1"),  # N1+(w2·) over continuation types
-    )
+    ]
+    if est:
+        ctx1_aggs += [
+            F.sum((F.col("cc") == 1).cast("long")).alias("k1"),
+            F.sum((F.col("cc") == 2).cast("long")).alias("k2"),
+            F.sum((F.col("cc") >= 3).cast("long")).alias("k3p"),
+        ]
+    ctx1 = cbi.groupBy("w2").agg(*ctx1_aggs)
     cuni = cbi.groupBy("w3").agg(
         F.count(F.lit(1)).alias("cu")  # N1+(·w3)
     )
     vocab = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).agg(F.countDistinct("word").alias("v"))
-    tot = (
-        cbi.agg(
-            F.count(F.lit(1)).cast("double").alias("b"),
-            F.countDistinct("w3").cast("double").alias("w1p"),
+    if est:
+        # count-of-count scalars per order (1-row aggregates over the
+        # type tables) feeding the discount formulas; the assert_true
+        # rides the b column so a too-small corpus throws in-plan
+        coc3 = c3.agg(
+            *[
+                F.sum((F.col("c3") == k).cast("long"))
+                .cast("double")
+                .alias(f"t{k}")
+                for k in (1, 2, 3, 4)
+            ]
         )
-        .crossJoin(vocab)
-        .select("b", "w1p", F.col("v").cast("double").alias("v"))
-    )
+        coc2 = cbi.agg(
+            F.count(F.lit(1)).cast("double").alias("b"),
+            *[
+                F.sum((F.col("cc") == k).cast("long"))
+                .cast("double")
+                .alias(f"b{k}")
+                for k in (1, 2, 3, 4)
+            ],
+        )
+        coc1 = cuni.agg(
+            F.count(F.lit(1)).cast("double").alias("w1p"),
+            *[
+                F.sum((F.col("cu") == k).cast("long"))
+                .cast("double")
+                .alias(f"u{k}")
+                for k in (1, 2, 3, 4)
+            ],
+            F.sum((F.col("cu") >= 3).cast("long"))
+            .cast("double")
+            .alias("u3p"),
+        )
+        tot = (
+            coc2.crossJoin(coc1)
+            .crossJoin(coc3)
+            .crossJoin(vocab)
+            .select(
+                "b",
+                "w1p",
+                F.col("v").cast("double").alias("v"),
+                "t1", "t2", "t3", "t4",
+                "b1", "b2", "b3", "b4",
+                "u1", "u2", "u3", "u4", "u3p",
+            )
+        )
+    else:
+        tot = (
+            cbi.agg(
+                F.count(F.lit(1)).cast("double").alias("b"),
+                F.countDistinct("w3").cast("double").alias("w1p"),
+            )
+            .crossJoin(vocab)
+            .select("b", "w1p", F.col("v").cast("double").alias("v"))
+        )
 
     target = docs if score_docs is None else score_docs
     sc = adjacent_trigrams(target)
@@ -1183,27 +1271,93 @@ def kneser_ney_score(
 
     # one expression tree, mirrored literally in the DuckDB oracle —
     # parenthesization and coalesce points must stay in lockstep
-    d = F.lit(D)
     cu = F.coalesce(F.col("cu"), F.lit(0)).cast("double")
-    p1 = (F.greatest(cu - d, F.lit(0.0)) / F.col("b")) + (
-        ((d * F.col("w1p")) / F.col("b")) * (F.lit(1.0) / (F.col("v") + F.lit(1.0)))
-    )
     cc = F.coalesce(F.col("cc"), F.lit(0)).cast("double")
     cx1 = F.col("cx1").cast("double")
-    p2 = F.when(
-        F.col("cx1").isNull(), p1
-    ).otherwise(
-        (F.greatest(cc - d, F.lit(0.0)) / cx1)
-        + (((d * F.col("n1").cast("double")) / cx1) * p1)
-    )
     c3c = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
     c12 = F.col("c12").cast("double")
-    p3 = F.when(
-        F.col("c12").isNull(), p2
-    ).otherwise(
-        (F.greatest(c3c - d, F.lit(0.0)) / c12)
-        + (((d * F.col("n12").cast("double")) / c12) * p2)
-    )
+    if est:
+        # Chen & Goodman §2.7 estimated discounts — all from the 1-row
+        # broadcast count-of-counts; pure IEEE arithmetic on
+        # integer-valued doubles, so both engines carry identical bits.
+        # try_divide keeps zero-count orders NULL (ANSI mode would
+        # throw), the sanity window then routes them to the KenLM
+        # --discount_fallback defaults per order
+        def _disc(n1c, n2c, n3c, n4c):
+            y = F.try_divide(n1c, n1c + F.lit(2.0) * n2c)
+            d1 = F.lit(1.0) - F.lit(2.0) * y * F.try_divide(n2c, n1c)
+            d2 = F.lit(2.0) - F.lit(3.0) * y * F.try_divide(n3c, n2c)
+            d3 = F.lit(3.0) - F.lit(4.0) * y * F.try_divide(n4c, n3c)
+            ok = F.coalesce(
+                (n1c > 0) & (n2c > 0) & (n3c > 0)
+                & (d1 >= 0.0) & (d1 <= 1.0)
+                & (d2 >= 0.0) & (d2 <= 2.0)
+                & (d3 >= 0.0) & (d3 <= 3.0),
+                F.lit(False),
+            )
+            return (
+                F.when(ok, d1).otherwise(F.lit(0.5)),
+                F.when(ok, d2).otherwise(F.lit(1.0)),
+                F.when(ok, d3).otherwise(F.lit(1.5)),
+            )
+
+        d1_3, d2_3, d3_3 = _disc(
+            F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4")
+        )
+        d1_2, d2_2, d3_2 = _disc(
+            F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4")
+        )
+        d1_1, d2_1, d3_1 = _disc(
+            F.col("u1"), F.col("u2"), F.col("u3"), F.col("u4")
+        )
+
+        def _dsel(c, d1, d2, d3):
+            return F.when(c >= 3, d3).when(c == 2, d2).otherwise(d1)
+
+        g1 = (
+            d1_1 * F.col("u1")
+            + d2_1 * F.col("u2")
+            + d3_1 * F.col("u3p")
+        )
+        p1 = (
+            F.greatest(cu - _dsel(cu, d1_1, d2_1, d3_1), F.lit(0.0))
+            / F.col("b")
+        ) + ((g1 / F.col("b")) * (F.lit(1.0) / (F.col("v") + F.lit(1.0))))
+        g2 = (
+            d1_2 * F.col("k1").cast("double")
+            + d2_2 * F.col("k2").cast("double")
+            + d3_2 * F.col("k3p").cast("double")
+        )
+        p2 = F.when(F.col("cx1").isNull(), p1).otherwise(
+            (F.greatest(cc - _dsel(cc, d1_2, d2_2, d3_2), F.lit(0.0)) / cx1)
+            + ((g2 / cx1) * p1)
+        )
+        g3 = (
+            d1_3 * F.col("j1").cast("double")
+            + d2_3 * F.col("j2").cast("double")
+            + d3_3 * F.col("j3p").cast("double")
+        )
+        p3 = F.when(F.col("c12").isNull(), p2).otherwise(
+            (F.greatest(c3c - _dsel(c3c, d1_3, d2_3, d3_3), F.lit(0.0)) / c12)
+            + ((g3 / c12) * p2)
+        )
+    else:
+        d = F.lit(D)
+        p1 = (F.greatest(cu - d, F.lit(0.0)) / F.col("b")) + (
+            ((d * F.col("w1p")) / F.col("b")) * (F.lit(1.0) / (F.col("v") + F.lit(1.0)))
+        )
+        p2 = F.when(
+            F.col("cx1").isNull(), p1
+        ).otherwise(
+            (F.greatest(cc - d, F.lit(0.0)) / cx1)
+            + (((d * F.col("n1").cast("double")) / cx1) * p1)
+        )
+        p3 = F.when(
+            F.col("c12").isNull(), p2
+        ).otherwise(
+            (F.greatest(c3c - d, F.lit(0.0)) / c12)
+            + (((d * F.col("n12").cast("double")) / c12) * p2)
+        )
     model = j.select("w1", "w2", "w3", F.log(p3).alias("logp"))
     lp = sc.join(model, ["w1", "w2", "w3"]).select("doc_id", "pos", "logp")
 

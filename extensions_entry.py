@@ -2203,6 +2203,14 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_buckets": lambda s, d: tx.kn_perplexity_buckets(
             _docs(s, d)
         ),
+        # round 12: MODIFIED Kneser-Ney (Chen & Goodman 1999 §2.7 —
+        # what KenLM ships): three count-estimated discounts per
+        # order from the n1..n4 count-of-counts, bucket-weighted
+        # back-off mass; the last gap to the published CCNet filter
+        # (VERDICT r11 item 4)
+        "text_kn_modified": lambda s, d: tx.kneser_ney_score(
+            _docs(s, d), discount="estimate"
+        ),
         # substring-level dedup signal: maximal duplicated 5-gram spans
         # and the per-doc coverage summary over them
         "dedup_dup_spans": lambda s, d: dd.duplicated_spans(_docs(s, d), n=5),
@@ -4307,6 +4315,183 @@ s3 AS (
                  ELSE (GREATEST(CAST(c3c AS DOUBLE) - 0.75, 0.0)
                        / CAST(c12 AS DOUBLE))
                       + (((0.75 * CAST(n12 AS DOUBLE))
+                          / CAST(c12 AS DOUBLE)) * p2)
+            END) AS logp
+  FROM s2
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         list_aggregate(list(logp ORDER BY pos), 'sum') AS total
+  FROM s3 GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_trigrams, 0) AS n_trigrams,
+       ROUND(total / per.n_trigrams, 6) AS avg_logp,
+       ROUND(EXP(-(total / per.n_trigrams)), 6) AS ppl_proxy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+        # round 12: MODIFIED Kneser-Ney — the text_kn_score chain with
+        # per-context N1/N2/N3+ bucket counts, the 1-row count-of-count
+        # scalars, the Chen-Goodman Y/D1/D2/D3+ formulas as a chained
+        # CTE (identical IEEE evaluation order to the engine), and the
+        # CASE-selected discount + bucket-weighted back-off mass
+        "text_kn_modified": f"""
+WITH {_TOK_CTE},
+tri0 AS (
+  SELECT doc_id, pos, word AS w1,
+         lead(word) OVER w AS w2,
+         lead(word, 2) OVER w AS w3
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+tri AS (SELECT doc_id, pos, w1, w2, w3 FROM tri0 WHERE w3 IS NOT NULL),
+c3 AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tri GROUP BY 1, 2, 3
+),
+ctx2 AS (
+  SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+         CAST(COUNT(*) AS BIGINT) AS n12,
+         CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS j1,
+         CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS j2,
+         CAST(SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS j3p
+  FROM c3 GROUP BY 1, 2
+),
+cbi AS (
+  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cc FROM c3 GROUP BY 1, 2
+),
+ctx1 AS (
+  SELECT w2, CAST(SUM(cc) AS BIGINT) AS cx1,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3p
+  FROM cbi GROUP BY 1
+),
+cuni AS (
+  SELECT w3, CAST(COUNT(*) AS BIGINT) AS cu FROM cbi GROUP BY 1
+),
+coc3 AS (
+  SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS t1,
+         CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS t2,
+         CAST(SUM(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS t3,
+         CAST(SUM(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS t4
+  FROM c3
+),
+coc2 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS b,
+         CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+         CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+         CAST(SUM(CASE WHEN cc = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS b3,
+         CAST(SUM(CASE WHEN cc = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS b4
+  FROM cbi
+),
+coc1 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS w1p,
+         CAST(SUM(CASE WHEN cu = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS u1,
+         CAST(SUM(CASE WHEN cu = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS u2,
+         CAST(SUM(CASE WHEN cu = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS u3,
+         CAST(SUM(CASE WHEN cu = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS u4,
+         CAST(SUM(CASE WHEN cu >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS u3p
+  FROM cuni
+),
+voc AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tok),
+ys AS (
+  SELECT *,
+         t1 / NULLIF(t1 + 2.0 * t2, 0.0) AS y3,
+         b1 / NULLIF(b1 + 2.0 * b2, 0.0) AS y2,
+         u1 / NULLIF(u1 + 2.0 * u2, 0.0) AS y1
+  FROM coc3, coc2, coc1, voc
+),
+rawd AS (
+  SELECT *,
+         1.0 - 2.0 * y3 * (t2 / NULLIF(t1, 0.0)) AS r13,
+         2.0 - 3.0 * y3 * (t3 / NULLIF(t2, 0.0)) AS r23,
+         3.0 - 4.0 * y3 * (t4 / NULLIF(t3, 0.0)) AS r33,
+         1.0 - 2.0 * y2 * (b2 / NULLIF(b1, 0.0)) AS r12,
+         2.0 - 3.0 * y2 * (b3 / NULLIF(b2, 0.0)) AS r22,
+         3.0 - 4.0 * y2 * (b4 / NULLIF(b3, 0.0)) AS r32,
+         1.0 - 2.0 * y1 * (u2 / NULLIF(u1, 0.0)) AS r11,
+         2.0 - 3.0 * y1 * (u3 / NULLIF(u2, 0.0)) AS r21,
+         3.0 - 4.0 * y1 * (u4 / NULLIF(u3, 0.0)) AS r31
+  FROM ys
+),
+okf AS (
+  SELECT *,
+         COALESCE(t1 > 0 AND t2 > 0 AND t3 > 0
+                  AND r13 >= 0.0 AND r13 <= 1.0
+                  AND r23 >= 0.0 AND r23 <= 2.0
+                  AND r33 >= 0.0 AND r33 <= 3.0, FALSE) AS ok3,
+         COALESCE(b1 > 0 AND b2 > 0 AND b3 > 0
+                  AND r12 >= 0.0 AND r12 <= 1.0
+                  AND r22 >= 0.0 AND r22 <= 2.0
+                  AND r32 >= 0.0 AND r32 <= 3.0, FALSE) AS ok2,
+         COALESCE(u1 > 0 AND u2 > 0 AND u3 > 0
+                  AND r11 >= 0.0 AND r11 <= 1.0
+                  AND r21 >= 0.0 AND r21 <= 2.0
+                  AND r31 >= 0.0 AND r31 <= 3.0, FALSE) AS ok1
+  FROM rawd
+),
+ds AS (
+  SELECT *,
+         CASE WHEN ok3 THEN r13 ELSE 0.5 END AS d13,
+         CASE WHEN ok3 THEN r23 ELSE 1.0 END AS d23,
+         CASE WHEN ok3 THEN r33 ELSE 1.5 END AS d33,
+         CASE WHEN ok2 THEN r12 ELSE 0.5 END AS d12,
+         CASE WHEN ok2 THEN r22 ELSE 1.0 END AS d22,
+         CASE WHEN ok2 THEN r32 ELSE 1.5 END AS d32,
+         CASE WHEN ok1 THEN r11 ELSE 0.5 END AS d11,
+         CASE WHEN ok1 THEN r21 ELSE 1.0 END AS d21,
+         CASE WHEN ok1 THEN r31 ELSE 1.5 END AS d31
+  FROM okf
+),
+tot AS (SELECT *, d11 * u1 + d21 * u2 + d31 * u3p AS g1 FROM ds),
+joined AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE(c3.c3, 0) AS c3c, ctx2.c12, ctx2.n12,
+         ctx2.j1, ctx2.j2, ctx2.j3p,
+         COALESCE(cbi.cc, 0) AS ccc, ctx1.cx1, ctx1.n1,
+         ctx1.k1, ctx1.k2, ctx1.k3p,
+         COALESCE(cuni.cu, 0) AS cuc, tot.*
+  FROM tri t
+  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+  LEFT JOIN ctx2 ON t.w1 = ctx2.w1 AND t.w2 = ctx2.w2
+  LEFT JOIN cbi ON t.w2 = cbi.w2 AND t.w3 = cbi.w3
+  LEFT JOIN ctx1 ON t.w2 = ctx1.w2
+  LEFT JOIN cuni ON t.w3 = cuni.w3
+  CROSS JOIN tot
+),
+s1 AS (
+  SELECT *,
+         (GREATEST(CAST(cuc AS DOUBLE)
+                   - (CASE WHEN cuc >= 3 THEN d31
+                           WHEN cuc = 2 THEN d21 ELSE d11 END), 0.0) / b)
+         + ((g1 / b) * (1.0 / (v + 1.0))) AS p1
+  FROM joined
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN cx1 IS NULL THEN p1
+              ELSE (GREATEST(CAST(ccc AS DOUBLE)
+                             - (CASE WHEN ccc >= 3 THEN d32
+                                     WHEN ccc = 2 THEN d22 ELSE d12 END), 0.0)
+                    / CAST(cx1 AS DOUBLE))
+                   + (((d12 * CAST(k1 AS DOUBLE)
+                        + d22 * CAST(k2 AS DOUBLE)
+                        + d32 * CAST(k3p AS DOUBLE))
+                       / CAST(cx1 AS DOUBLE)) * p1)
+         END AS p2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, pos,
+         LN(CASE WHEN c12 IS NULL THEN p2
+                 ELSE (GREATEST(CAST(c3c AS DOUBLE)
+                                - (CASE WHEN c3c >= 3 THEN d33
+                                        WHEN c3c = 2 THEN d23 ELSE d13 END), 0.0)
+                       / CAST(c12 AS DOUBLE))
+                      + (((d13 * CAST(j1 AS DOUBLE)
+                           + d23 * CAST(j2 AS DOUBLE)
+                           + d33 * CAST(j3p AS DOUBLE))
                           / CAST(c12 AS DOUBLE)) * p2)
             END) AS logp
   FROM s2

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from dask_mwu_spark.operators import retrieval as rtv
 from dask_mwu_spark.operators import similarity as sim
+from dask_mwu_spark.operators import text as tx
 
 
 def _docs(spark):
@@ -206,6 +207,213 @@ def test_ivf_delete_rejects_wrong_schema(spark):
     dl = spark.createDataFrame([(1,)], "vec_id long")
     with pytest.raises(ValueError, match="missing columns"):
         sim.ivf_index_delete(bad, dl)
+
+
+# ---------------------------------------------------------------------------
+# Modified Kneser-Ney (VERDICT r11 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _mkn_reference(train_rows, score_rows):
+    """Independent pure-Python MODIFIED-KN trigram scorer — the Chen &
+    Goodman §2.7 formulas with KenLM's --discount_fallback policy,
+    written from the definitions with no shared code with the
+    operator.  Returns (per_doc, ok_flags)."""
+    import math
+    from collections import Counter
+
+    c3 = Counter()
+    vocab = set()
+    for t in train_rows:
+        toks = t.split(" ")
+        vocab.update(toks)
+        for i in range(len(toks) - 2):
+            c3[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    c12, j1, j2, j3p = Counter(), Counter(), Counter(), Counter()
+    cc = Counter()
+    for (w1, w2, w3), c in c3.items():
+        c12[(w1, w2)] += c
+        if c == 1:
+            j1[(w1, w2)] += 1
+        elif c == 2:
+            j2[(w1, w2)] += 1
+        else:
+            j3p[(w1, w2)] += 1
+        cc[(w2, w3)] += 1
+    cx1, k1, k2, k3p = Counter(), Counter(), Counter(), Counter()
+    cu = Counter()
+    for (w2, w3), c in cc.items():
+        cx1[w2] += c
+        if c == 1:
+            k1[w2] += 1
+        elif c == 2:
+            k2[w2] += 1
+        else:
+            k3p[w2] += 1
+        cu[w3] += 1
+    B = float(len(cc))
+    V = float(len(vocab))
+
+    def discounts(values):
+        n = Counter(values)
+        n1, n2, n3, n4 = (
+            float(n[1]), float(n[2]), float(n[3]), float(n[4])
+        )
+        ok = n1 > 0 and n2 > 0 and n3 > 0
+        if ok:
+            y = n1 / (n1 + 2.0 * n2)
+            d1 = 1.0 - 2.0 * y * (n2 / n1)
+            d2 = 2.0 - 3.0 * y * (n3 / n2)
+            d3 = 3.0 - 4.0 * y * (n4 / n3)
+            ok = (
+                0.0 <= d1 <= 1.0 and 0.0 <= d2 <= 2.0 and 0.0 <= d3 <= 3.0
+            )
+        if not ok:
+            return (0.5, 1.0, 1.5), False
+        return (d1, d2, d3), True
+
+    ds3, ok3 = discounts(c3.values())
+    ds2, ok2 = discounts(cc.values())
+    ds1, ok1 = discounts(cu.values())
+    u_n = Counter(cu.values())
+    u1c, u2c = float(u_n[1]), float(u_n[2])
+    u3pc = float(sum(1 for v in cu.values() if v >= 3))
+    g1 = ds1[0] * u1c + ds1[1] * u2c + ds1[2] * u3pc
+
+    def dsel(c, ds):
+        return ds[2] if c >= 3 else (ds[1] if c == 2 else ds[0])
+
+    def p1(w3):
+        c = cu.get(w3, 0)
+        return (max(c - dsel(c, ds1), 0.0) / B) + (
+            (g1 / B) * (1.0 / (V + 1.0))
+        )
+
+    def p2(w2, w3):
+        if w2 not in cx1:
+            return p1(w3)
+        c = cc.get((w2, w3), 0)
+        g2 = ds2[0] * k1[w2] + ds2[1] * k2[w2] + ds2[2] * k3p[w2]
+        return (max(c - dsel(c, ds2), 0.0) / cx1[w2]) + (
+            (g2 / cx1[w2]) * p1(w3)
+        )
+
+    def p3(w1, w2, w3):
+        if (w1, w2) not in c12:
+            return p2(w2, w3)
+        k = (w1, w2)
+        c = c3.get((w1, w2, w3), 0)
+        g3 = ds3[0] * j1[k] + ds3[1] * j2[k] + ds3[2] * j3p[k]
+        return (max(c - dsel(c, ds3), 0.0) / c12[k]) + (
+            (g3 / c12[k]) * p2(w2, w3)
+        )
+
+    out = {}
+    for doc_id, t in enumerate(score_rows):
+        toks = t.split(" ")
+        lps = [
+            math.log(p3(toks[i], toks[i + 1], toks[i + 2]))
+            for i in range(len(toks) - 2)
+        ]
+        if not lps:
+            out[doc_id] = (0, None, None)
+            continue
+        total = 0.0
+        for x in lps:
+            total += x
+        avg = total / len(lps)
+        out[doc_id] = (len(lps), round(avg, 6), round(math.exp(-avg), 6))
+    return out, (ok3, ok2, ok1)
+
+
+_MKN_TRAIN = [
+    # repeated sentences plant trigram counts 1, 2, and 3+ so the
+    # order-3 discounts genuinely estimate (asserted below)
+    "the cat sat on the mat",
+    "the cat sat on the mat",
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "the dog sat on the rug",
+    "a dog ate a bone",
+    "a cat ate the fish",
+    "the fish swam in the pond",
+    "a bird flew over the pond",
+    "the bird ate the fish on the mat",
+]
+
+
+def test_kn_modified_matches_hand_worked_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_MKN_TRAIN)],
+        "doc_id long, text string",
+    )
+    want, (ok3, ok2, ok1) = _mkn_reference(_MKN_TRAIN, _MKN_TRAIN)
+    # the fixture must exercise genuine estimation at order 3 AND the
+    # fallback path at order 1 (continuation-unigram counts too flat)
+    assert ok3, "fixture no longer estimates order-3 discounts"
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["ppl_proxy"])
+        for r in tx.kneser_ney_score(docs, discount="estimate").collect()
+    }
+    assert got == want
+
+
+def test_kn_modified_differs_from_fixed_and_scores_unseen(spark):
+    """Estimated discounts actually change scores vs fixed D=0.75, the
+    score_docs seam stays total on unseen text, and short docs keep
+    NULL scores."""
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_MKN_TRAIN)],
+        "doc_id long, text string",
+    )
+    fixed = {
+        r["doc_id"]: r["avg_logp"]
+        for r in tx.kneser_ney_score(train).collect()
+    }
+    est = {
+        r["doc_id"]: r["avg_logp"]
+        for r in tx.kneser_ney_score(train, discount="estimate").collect()
+    }
+    assert any(fixed[k] != est[k] for k in fixed)
+    new_rows = ["zebra quagga okapi wildebeest", "tiny"]
+    new = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_rows)],
+        "doc_id long, text string",
+    )
+    want, _ = _mkn_reference(_MKN_TRAIN, new_rows)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["ppl_proxy"])
+        for r in tx.kneser_ney_score(
+            train, discount="estimate", score_docs=new
+        ).collect()
+    }
+    assert got == want
+    assert got[0][1] is not None
+    assert got[1] == (0, None, None)
+
+
+def test_kn_modified_fallback_on_tiny_corpus(spark):
+    """A corpus whose count-of-counts cannot support estimation at ANY
+    order must still score (all orders on the KenLM fallback
+    discounts), not throw or emit NULLs."""
+    rows = ["a b c d e", "f g h i j"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    want, (ok3, ok2, ok1) = _mkn_reference(rows, rows)
+    assert not (ok3 or ok2 or ok1)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["ppl_proxy"])
+        for r in tx.kneser_ney_score(docs, discount="estimate").collect()
+    }
+    assert got == want
+    assert all(v[1] is not None for v in got.values())
+
+
+def test_kn_discount_string_validation(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="estimate"):
+        tx.kneser_ney_score(docs, discount="estimat")
 
 
 # ---------------------------------------------------------------------------
