@@ -1032,69 +1032,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_FULL_r{N}_sf*.json artifacts run the FULL set at three
     # scale factors.
     priority = [
-        # --- round-11 rotation (the standing attestation-freshness
+        # --- round-12 rotation (the standing attestation-freshness
         # discipline).  The tier = the 50 STALEST oracle-gated entries
         # by last driver-attested round, re-derived this round from the
-        # CORRECTNESS_r0*.json ledger (staleness sort, rows-only
-        # excluded, name asc within a round) and matching the r10
-        # pre-computation exactly: the 12 remaining r6-attested entries
-        # then 31 of the 48 r7 entries — the seven round-11
-        # registrations below take the head (never-attested sorts
-        # stalest), displacing sim_embedding_dup_pairs,
-        # sim_ivf_pq_topk, sim_ivf_pq_trained_topk,
-        # sim_ivf_recall_curve, sim_ivf_topk, sim_ivf_trained_recall
-        # and sim_ivf_trained_topk to the round-12 tier head.
-        # --- round-11 registrations ---
-        "sim_cosine_batch_topk",
-        "sim_ivf_batch_topk",
-        "sim_ivf_incremental_topk",
-        "text_bm25_incremental",
-        "text_kn_buckets",
-        "text_kn_score",
-        "text_phrase_search",
-        # --- last driver-attested in round 6 (12) ---
-        "mwu_ks_test", "orders_large_volume", "orders_monthly_growth",
-        "orders_priority_wait", "part_supplier_cnt",
-        "sim_pq_trained_recall", "star_market_share", "star_nation_volume",
-        "star_retail_margin", "supplier_sole_late", "supplier_top_revenue",
-        "supplier_value_share",
-        # --- last driver-attested in round 7 (first 31 of 48, name asc) ---
-        "cur_curate", "cur_dsir_resample", "cur_dsir_weights",
-        "cur_fuzzy_contamination", "dedup_components_fixed",
-        "dedup_containment", "dedup_cross_source", "dedup_incremental",
-        "dedup_lsh_recall", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash_pairs", "dedup_sorted_neighborhood",
-        "dedup_tfidf_cosine", "dedup_verified", "events_anomaly",
-        "graph_degree_powerlaw", "graph_dup_stats", "graph_kcore",
-        "graph_pagerank", "lineitem_bloom_semi", "lineitem_chi2_assoc",
-        "mm_real_decode_stats", "mwu_events_core", "mwu_full_rounded",
-        "mwu_kruskal_wallis", "mwu_rank_data", "mwu_rank_ties", "mwu_topk",
-        "sim_ann_recall", "sim_cosine_topk",
+        # CORRECTNESS_r0*/r1*.json ledger (staleness sort, rows-only
+        # excluded, name asc within a round) and matching the r11
+        # pre-computation exactly: after the r11 tier attested green
+        # (50/50 in CORRECTNESS_r11.json), the stalest cohorts are the
+        # 17 remaining r7-attested entries then the 50 r8-attested
+        # ones — the five round-12 registrations below take the head
+        # (never-attested sorts stalest), so the first 28 of the 33
+        # planned r8 entries fit, displacing mm_sample_frames,
+        # mwu_bh_adjust, mwu_distinct_groups, mwu_group_means and
+        # mwu_group_sizes to the round-13 tier head.
+        # --- round-12 registrations ---
+        "sim_ivf_delete_topk",
+        "sim_ivf_pq_residual_topk",
+        "text_bm25_delete",
+        "text_kn_modified",
+        "text_phrase_slop",
+        # --- last driver-attested in round 7 (the 17 remaining) ---
+        "sim_embedding_dup_pairs", "sim_ivf_pq_topk",
+        "sim_ivf_pq_trained_topk", "sim_ivf_recall_curve", "sim_ivf_topk",
+        "sim_ivf_trained_recall", "sim_ivf_trained_topk",
+        "sim_lsh_multi_topk", "sim_lsh_sample", "sim_lsh_topk",
+        "sim_pq_trained_topk", "sim_semantic_dedup", "stream_drift_monitor",
+        "stream_sessionize", "stream_windowed_agg", "text_quality",
+        "wilcoxon_core",
+        # --- last driver-attested in round 8 (first 28 of 50, name asc) ---
+        "audit_lineitem_nulls", "audit_orders_keys", "cur_contamination",
+        "dedup_components", "dedup_exact", "dedup_minhash_signatures",
+        "dedup_simhash", "events_asof_join", "events_cohort",
+        "events_enriched", "events_funnel", "events_interval_join",
+        "events_json_agg", "events_pivot", "events_resample",
+        "events_rolling_window", "events_set_ops", "events_window_rank",
+        "lineitem_cube", "lineitem_grouping_sets", "lineitem_percentiles",
+        "lineitem_range_join", "lineitem_rollup", "lineitem_unpivot",
+        "mm_avi_decode_stats", "mm_decode_meta", "mm_features",
+        "mm_resize_plan",
     ]
-    # Round-12 tier, PRE-COMPUTED from the ledger assuming this round's
+    # Round-13 tier, PRE-COMPUTED from the ledger assuming this round's
     # tier attests green (staleness sort, rows-only excluded, name asc
-    # within a round) — the 17 remaining r7 entries then 33 r8 entries:
-    #   sim_embedding_dup_pairs, sim_ivf_pq_topk,
-    #   sim_ivf_pq_trained_topk, sim_ivf_recall_curve, sim_ivf_topk,
-    #   sim_ivf_trained_recall, sim_ivf_trained_topk,
-    #   sim_lsh_multi_topk, sim_lsh_sample, sim_lsh_topk,
-    #   sim_pq_trained_topk, sim_semantic_dedup, stream_drift_monitor,
-    #   stream_sessionize, stream_windowed_agg, text_quality,
-    #   wilcoxon_core,
-    #   audit_lineitem_nulls, audit_orders_keys, cur_contamination,
-    #   dedup_components, dedup_exact, dedup_minhash_signatures,
-    #   dedup_simhash, events_asof_join, events_cohort, events_enriched,
-    #   events_funnel, events_interval_join, events_json_agg,
-    #   events_pivot, events_resample, events_rolling_window,
-    #   events_set_ops, events_window_rank, lineitem_cube,
-    #   lineitem_grouping_sets, lineitem_percentiles,
-    #   lineitem_range_join, lineitem_rollup, lineitem_unpivot,
-    #   mm_avi_decode_stats, mm_decode_meta, mm_features,
-    #   mm_resize_plan, mm_sample_frames, mwu_bh_adjust,
-    #   mwu_distinct_groups, mwu_group_means, mwu_group_sizes
-    # —
-    # plus any round-12 registrations at the head, displacing from the
-    # tail.  Re-derive if r11 attestation differs: staleness sort over
+    # within a round) — the 5 r8 entries displaced above then the
+    # stalest r9-attested entries up to 50:
+    #   mm_sample_frames, mwu_bh_adjust, mwu_distinct_groups,
+    #   mwu_group_means, mwu_group_sizes,
+    # then the round-9 cohort (re-derive the name-asc list from
+    # CORRECTNESS_r09.json when building the tier) — plus any round-13
+    # registrations at the head, displacing from the tail.  Re-derive
+    # if r12 attestation differs: staleness sort over
     # CORRECTNESS_r0*.json + CORRECTNESS_r1*.json (green rows only).
     assert len(priority) == 50 and all(name in q for name in priority)
     rows_only = [name for name in q if name not in oracle_sql()]
