@@ -134,6 +134,17 @@ BENCH_QUERIES = [
     # CCNet tertile bucketing on KN perplexity (scorer + exact global
     # percentile thresholds)
     "text_kn_buckets",
+    # round-12 new surface: index-maintenance DELETE for both ladders
+    # (broadcast anti-join prune + serve), residual IVF-PQ (coarse
+    # train + residual Lloyd's + q.c-corrected ADC), proximity phrase
+    # search (greedy ordered-window chain over one grouped fold), and
+    # modified-KN estimated discounts (3 extra count-of-count
+    # aggregates on the fixed-D chain)
+    "text_bm25_delete",
+    "sim_ivf_delete_topk",
+    "sim_ivf_pq_residual_topk",
+    "text_phrase_slop",
+    "text_kn_modified",
 ]
 
 # VERDICT r10 "what's wrong": BENCH_r10.json was captured at 1m loadavg

@@ -1155,13 +1155,22 @@ def kneser_ney_score(
         )
     if not est and not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
+    from dask_mwu_spark.cache import tracked_persist
+
     D = 0.0 if est else float(discount)
     train_tri = adjacent_trigrams(docs, with_pos=False)
 
-    # type/count tables — all derived from c3 (the bounded type table)
+    # type/count tables — all derived from c3 (the bounded type
+    # table).  c3 is PERSISTED (session-tracked): it feeds 3 direct
+    # consumers in fixed mode and 4+ in estimate mode, and Catalyst
+    # does NOT reuse the aggregation subtree across them (measured: 10
+    # parquet scans of the corpus without the persist, 0
+    # ReusedExchange) — one materialized type table turns every
+    # downstream count into a cache read, which is the "stream
+    # shuffles exactly twice" contract the docstring promises.
     c3 = train_tri.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
-    )
+    ).transform(tracked_persist)
     # estimate mode adds the per-context successor-type counts BY
     # DISCOUNT BUCKET (N1/N2/N3+) that the modified-KN back-off mass
     # weights — same map-side-combinable aggregations, wider rows
@@ -1229,6 +1238,40 @@ def kneser_ney_score(
             .cast("double")
             .alias("u3p"),
         )
+        # the nine discounts and g1 are SCALARS — compute them once in
+        # the 1-row tot table (the oracle's ds CTE, literally) so the
+        # per-row scoring expressions reference plain broadcast columns
+        # instead of inlining the division trees at every use.
+        # try_divide keeps zero-count orders NULL (ANSI mode would
+        # throw); the sanity window then routes them to the KenLM
+        # --discount_fallback defaults per order
+        def _disc(n1c, n2c, n3c, n4c):
+            y = F.try_divide(n1c, n1c + F.lit(2.0) * n2c)
+            d1 = F.lit(1.0) - F.lit(2.0) * y * F.try_divide(n2c, n1c)
+            d2 = F.lit(2.0) - F.lit(3.0) * y * F.try_divide(n3c, n2c)
+            d3 = F.lit(3.0) - F.lit(4.0) * y * F.try_divide(n4c, n3c)
+            ok = F.coalesce(
+                (n1c > 0) & (n2c > 0) & (n3c > 0)
+                & (d1 >= 0.0) & (d1 <= 1.0)
+                & (d2 >= 0.0) & (d2 <= 2.0)
+                & (d3 >= 0.0) & (d3 <= 3.0),
+                F.lit(False),
+            )
+            return (
+                F.when(ok, d1).otherwise(F.lit(0.5)),
+                F.when(ok, d2).otherwise(F.lit(1.0)),
+                F.when(ok, d3).otherwise(F.lit(1.5)),
+            )
+
+        e13, e23, e33 = _disc(
+            F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4")
+        )
+        e12, e22, e32 = _disc(
+            F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4")
+        )
+        e11, e21, e31 = _disc(
+            F.col("u1"), F.col("u2"), F.col("u3"), F.col("u4")
+        )
         tot = (
             coc2.crossJoin(coc1)
             .crossJoin(coc3)
@@ -1237,9 +1280,18 @@ def kneser_ney_score(
                 "b",
                 "w1p",
                 F.col("v").cast("double").alias("v"),
-                "t1", "t2", "t3", "t4",
-                "b1", "b2", "b3", "b4",
-                "u1", "u2", "u3", "u4", "u3p",
+                "u1", "u2", "u3p",
+                e13.alias("d13"), e23.alias("d23"), e33.alias("d33"),
+                e12.alias("d12"), e22.alias("d22"), e32.alias("d32"),
+                e11.alias("d11"), e21.alias("d21"), e31.alias("d31"),
+            )
+            .select(
+                "*",
+                (
+                    F.col("d11") * F.col("u1")
+                    + F.col("d21") * F.col("u2")
+                    + F.col("d31") * F.col("u3p")
+                ).alias("g1"),
             )
         )
     else:
@@ -1277,68 +1329,50 @@ def kneser_ney_score(
     c3c = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
     c12 = F.col("c12").cast("double")
     if est:
-        # Chen & Goodman §2.7 estimated discounts — all from the 1-row
-        # broadcast count-of-counts; pure IEEE arithmetic on
-        # integer-valued doubles, so both engines carry identical bits.
-        # try_divide keeps zero-count orders NULL (ANSI mode would
-        # throw), the sanity window then routes them to the KenLM
-        # --discount_fallback defaults per order
-        def _disc(n1c, n2c, n3c, n4c):
-            y = F.try_divide(n1c, n1c + F.lit(2.0) * n2c)
-            d1 = F.lit(1.0) - F.lit(2.0) * y * F.try_divide(n2c, n1c)
-            d2 = F.lit(2.0) - F.lit(3.0) * y * F.try_divide(n3c, n2c)
-            d3 = F.lit(3.0) - F.lit(4.0) * y * F.try_divide(n4c, n3c)
-            ok = F.coalesce(
-                (n1c > 0) & (n2c > 0) & (n3c > 0)
-                & (d1 >= 0.0) & (d1 <= 1.0)
-                & (d2 >= 0.0) & (d2 <= 2.0)
-                & (d3 >= 0.0) & (d3 <= 3.0),
-                F.lit(False),
-            )
-            return (
-                F.when(ok, d1).otherwise(F.lit(0.5)),
-                F.when(ok, d2).otherwise(F.lit(1.0)),
-                F.when(ok, d3).otherwise(F.lit(1.5)),
-            )
-
-        d1_3, d2_3, d3_3 = _disc(
-            F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4")
-        )
-        d1_2, d2_2, d3_2 = _disc(
-            F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4")
-        )
-        d1_1, d2_1, d3_1 = _disc(
-            F.col("u1"), F.col("u2"), F.col("u3"), F.col("u4")
-        )
 
         def _dsel(c, d1, d2, d3):
             return F.when(c >= 3, d3).when(c == 2, d2).otherwise(d1)
 
-        g1 = (
-            d1_1 * F.col("u1")
-            + d2_1 * F.col("u2")
-            + d3_1 * F.col("u3p")
-        )
         p1 = (
-            F.greatest(cu - _dsel(cu, d1_1, d2_1, d3_1), F.lit(0.0))
+            F.greatest(
+                cu - _dsel(cu, F.col("d11"), F.col("d21"), F.col("d31")),
+                F.lit(0.0),
+            )
             / F.col("b")
-        ) + ((g1 / F.col("b")) * (F.lit(1.0) / (F.col("v") + F.lit(1.0))))
+        ) + (
+            (F.col("g1") / F.col("b"))
+            * (F.lit(1.0) / (F.col("v") + F.lit(1.0)))
+        )
         g2 = (
-            d1_2 * F.col("k1").cast("double")
-            + d2_2 * F.col("k2").cast("double")
-            + d3_2 * F.col("k3p").cast("double")
+            F.col("d12") * F.col("k1").cast("double")
+            + F.col("d22") * F.col("k2").cast("double")
+            + F.col("d32") * F.col("k3p").cast("double")
         )
         p2 = F.when(F.col("cx1").isNull(), p1).otherwise(
-            (F.greatest(cc - _dsel(cc, d1_2, d2_2, d3_2), F.lit(0.0)) / cx1)
+            (
+                F.greatest(
+                    cc
+                    - _dsel(cc, F.col("d12"), F.col("d22"), F.col("d32")),
+                    F.lit(0.0),
+                )
+                / cx1
+            )
             + ((g2 / cx1) * p1)
         )
         g3 = (
-            d1_3 * F.col("j1").cast("double")
-            + d2_3 * F.col("j2").cast("double")
-            + d3_3 * F.col("j3p").cast("double")
+            F.col("d13") * F.col("j1").cast("double")
+            + F.col("d23") * F.col("j2").cast("double")
+            + F.col("d33") * F.col("j3p").cast("double")
         )
         p3 = F.when(F.col("c12").isNull(), p2).otherwise(
-            (F.greatest(c3c - _dsel(c3c, d1_3, d2_3, d3_3), F.lit(0.0)) / c12)
+            (
+                F.greatest(
+                    c3c
+                    - _dsel(c3c, F.col("d13"), F.col("d23"), F.col("d33")),
+                    F.lit(0.0),
+                )
+                / c12
+            )
             + ((g3 / c12) * p2)
         )
     else:
