@@ -1155,22 +1155,26 @@ def kneser_ney_score(
         )
     if not est and not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    from dask_mwu_spark.cache import tracked_persist
-
     D = 0.0 if est else float(discount)
     train_tri = adjacent_trigrams(docs, with_pos=False)
 
     # type/count tables — all derived from c3 (the bounded type
-    # table).  c3 is PERSISTED (session-tracked): it feeds 3 direct
-    # consumers in fixed mode and 4+ in estimate mode, and Catalyst
-    # does NOT reuse the aggregation subtree across them (measured: 10
-    # parquet scans of the corpus without the persist, 0
-    # ReusedExchange) — one materialized type table turns every
-    # downstream count into a cache read, which is the "stream
-    # shuffles exactly twice" contract the docstring promises.
+    # table).  c3 is MATERIALIZED EAGERLY (localCheckpoint): it feeds 3
+    # direct consumers in fixed mode and 6+ in estimate mode, and
+    # Catalyst does NOT reuse the aggregation subtree across them
+    # (measured r12: 20-24 parquet scans of the corpus without a
+    # materialization, 0 ReusedExchange) — one materialized type table
+    # turns every downstream count into a cache read, which is the
+    # "stream shuffles exactly twice" contract the docstring promises.
+    # Eager, not a lazy tracked_persist: the estimate-mode count-of-count
+    # scalars build SEPARATE broadcast exchanges whose driver threads
+    # race into the uncached partitions concurrently — measured r12 at
+    # sf0.1: lazy persist 6-38s erratic, localCheckpoint 4.3-4.9s
+    # stable, and at scale the checkpoint guarantees exactly ONE corpus
+    # aggregation instead of up-to-consumer-count racing ones.
     c3 = train_tri.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
-    ).transform(tracked_persist)
+    ).localCheckpoint()
     # estimate mode adds the per-context successor-type counts BY
     # DISCOUNT BUCKET (N1/N2/N3+) that the modified-KN back-off mass
     # weights — same map-side-combinable aggregations, wider rows
@@ -1448,7 +1452,7 @@ def kn_perplexity_buckets(
     section 2.1)."""
     scored = kneser_ney_score(
         docs, discount=discount, score_docs=score_docs
-    )
+    ).localCheckpoint()
     valid = scored.where(F.col("ppl_proxy").isNotNull())
     th = valid.agg(
         F.round(

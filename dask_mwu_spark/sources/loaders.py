@@ -38,7 +38,7 @@ def load_table(
     sf_dir: str,
     name: str,
     *,
-    fan_out: bool = False,
+    fan_out: bool | str = False,
 ) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
@@ -62,12 +62,26 @@ def load_table(
     text/dedup operator shape) is 6.5x SLOWER single-task (225s vs 35s).
     Turn it on when the per-row work after the scan clearly outweighs one
     raw-row shuffle; with multi-row-group inputs it's moot.
+
+    ``fan_out="auto"`` (optimization r12) gates the same repartition on the
+    file's ACTUAL row-group parallelism, read from the parquet footers
+    driver-side (bounded metadata work — the scan planner reads the same
+    footers): the repartition is inserted only when the file set carries
+    fewer row groups than ``defaultParallelism``.  A production-scale input
+    (thousands of row groups) therefore never pays the extra shuffle and
+    keeps scan-stage filter pushdown intact, while a row-group-deficient
+    export stops serializing the whole narrow pipeline onto one core.  This
+    is the scale-adaptive form the optimization guide asks for (§2: derive
+    partitioning from the input, don't pin it to either regime).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
         df = _normalize_event_ts(spark, df)
+    if fan_out == "auto":
+        fan_out = _row_groups(path) < spark.sparkContext.defaultParallelism
     if fan_out:
         # UNCONDITIONAL repartition: getNumPartitions() cannot gate this —
         # Spark byte-splits a big single-row-group file into many scan
@@ -79,6 +93,50 @@ def load_table(
         # give it to them.
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+# parquet footer row-group counts per path — driver-side metadata cached for
+# the process lifetime (the files are immutable inputs; re-reading footers
+# per query construction would add driver latency for no information)
+_ROW_GROUP_CACHE: dict[str, int] = {}
+
+# stop counting once a file set provably carries enough row groups for any
+# realistic core count — keeps the footer walk bounded on huge tables
+_ROW_GROUP_ENOUGH = 4096
+
+
+def _row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` (file or directory), capped
+    at ``_ROW_GROUP_ENOUGH``: the ``fan_out="auto"`` gate only needs to
+    know whether the count clears ``defaultParallelism``, so the walk exits
+    early on well-laid-out tables instead of reading every footer."""
+    cached = _ROW_GROUP_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _one(p: str) -> int:
+        try:
+            return pq.ParquetFile(p).num_row_groups
+        except Exception:
+            # unreadable footer (not a data file): claim plenty so the
+            # auto gate stays a no-op rather than forcing a shuffle
+            return _ROW_GROUP_ENOUGH
+
+    if os.path.isdir(path):
+        total = 0
+        for entry in sorted(os.listdir(path)):
+            if not entry.endswith(".parquet"):
+                continue
+            total += _one(os.path.join(path, entry))
+            if total >= _ROW_GROUP_ENOUGH:
+                break
+    else:
+        total = _one(path)
+    _ROW_GROUP_CACHE[path] = total
+    return total
 
 
 def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
