@@ -1855,18 +1855,43 @@ def _bpe_merge_fold(syms, lhs, rhs):
     )
 
 
+# per-round-recheckpoint cadence for the distributed BPE loop: the merge
+# fold is cheap expression work over the vocabulary-bounded table, so a few
+# rounds can chain lazily between materializations (each round's pair-count
+# action re-evaluates at most BPE_CKPT_EVERY-1 earlier folds), trading a
+# bounded recompute for BPE_CKPT_EVERY-1 fewer eager checkpoint jobs per
+# block — the pagerank every-4-rounds discipline applied here (r12).
+BPE_CKPT_EVERY = 4
+
+
 def _bpe_train(
     word_freq: DataFrame, n_merges: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared BPE training loop over a (word, freq) table: returns
     (merge_table, final_vocab) where final_vocab is (word, syms, freq)
     with ``syms`` the word's segmentation AFTER all ``n_merges`` merges.
-    See :func:`bpe_train_merges` for the algorithm/scale contract."""
+    See :func:`bpe_train_merges` for the algorithm/scale contract.
+
+    Job-count shape (optimization r12): each round is ONE Spark job —
+    the (pair_count desc, lhs, rhs) argmax is a TakeOrderedAndProject
+    whose single winning row is collected (the bounded-collect
+    contract: 1 row per round, the same bound the ``engine="local"``
+    path collects wholesale), and the winner is folded back into the
+    vocabulary as PLAIN LITERALS.  The previous shape spent three jobs
+    per round (eager 1-row checkpoint + isEmpty probe + eager vocab
+    re-checkpoint after a broadcast cross join): measured at sf0.1 the
+    8-round trainer dropped ~7.3s -> ~3s isolated.  The vocabulary
+    re-checkpoints every ``BPE_CKPT_EVERY`` rounds instead of every
+    round — with the winner inlined as literals the vocab is referenced
+    ONCE per round, so lineage grows linearly (no 2^n sharing blowup)
+    and the only cost of chaining is re-evaluating <= 3 cheap merge
+    folds inside the next pair-count job."""
+    spark = word_freq.sparkSession
     vocab = word_freq.select(
         "word", _bpe_init_syms().alias("syms"), "freq"
     ).localCheckpoint()
 
-    rounds: list[DataFrame] = []
+    rows: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
         n = F.size("syms")
         pairs = vocab.select(
@@ -1889,43 +1914,24 @@ def _bpe_train(
                 F.col("rhs").asc(),
             )
             .limit(1)
-            .localCheckpoint()  # eager 1-row job; referenced twice below
+            .collect()  # bounded: exactly 0 or 1 row per round
         )
-        if best.rdd.isEmpty():
+        if not best:
             # pairs exhausted before n_merges rounds (tiny vocab / huge
             # n_merges): every word is one symbol, nothing left to merge.
-            # STOP — the crossJoin below would annihilate the vocabulary
-            # (0-row best x vocab = 0 rows) and lose every segmentation
-            # (review r8).  The merge table simply has fewer rows; the
-            # oracle agrees because its per-round merge is a LEFT join
-            # that no-ops on an empty b{r}.  isEmpty on the checkpointed
-            # 0/1-row table is a cached lookup, not a recompute.
+            # STOP — the merge table simply has fewer rows; the oracle
+            # agrees because its per-round merge is a LEFT join that
+            # no-ops on an empty b{r} (review r8).
             break
-        rounds.append(
-            best.select(
-                F.lit(r).cast("long").alias("merge_rank"),
-                "lhs",
-                "rhs",
-                F.col("pair_count").cast("long").alias("pair_count"),
-            )
-        )
-        merged = _bpe_merge_fold("syms", F.col("lhs"), F.col("rhs"))
-        vocab = (
-            vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
-            .select("word", merged.alias("syms"), "freq")
-            .localCheckpoint()
-        )
+        b = best[0]
+        rows.append((r, b["lhs"], b["rhs"], int(b["pair_count"])))
+        merged = _bpe_merge_fold("syms", F.lit(b["lhs"]), F.lit(b["rhs"]))
+        vocab = vocab.select("word", merged.alias("syms"), "freq")
+        if (r + 1) % BPE_CKPT_EVERY == 0 and r + 1 < n_merges:
+            vocab = vocab.localCheckpoint()
 
-    if not rounds:
-        # empty corpus: no words, no pairs, round 0 already exhausted
-        empty = vocab.sparkSession.createDataFrame(
-            [], "merge_rank long, lhs string, rhs string, pair_count long"
-        )
-        return empty, vocab
-    out = rounds[0]
-    for m in rounds[1:]:
-        out = out.unionAll(m)
-    return out, vocab
+    merges = spark.createDataFrame(rows, _BPE_MERGE_SCHEMA)
+    return merges, vocab
 
 
 # past this many merge rounds, engine="auto" switches from the
@@ -2065,9 +2071,14 @@ def _bpe_segmented_vocab(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if _bpe_resolve_engine(engine, n_merges, max_vocab) == "local":
         _merges, vocab = _bpe_train_collected(docs, n_merges, max_vocab)
-    else:
-        _merges, vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
-    return vocab
+        return vocab
+    _merges, vocab = _bpe_train(_bpe_word_freq(docs, max_vocab), n_merges)
+    # the apply twins BRANCH over the final vocabulary (id assignment +
+    # dictionary join): materialize it once here so the branches read a
+    # cached table instead of both re-deriving the trailing merge folds
+    # (r12: without this the encode path re-optimized/re-ran the deep
+    # fold chain per branch — measured 10-35s erratic vs ~4s stable)
+    return vocab.localCheckpoint()
 
 
 def bpe_trained_vocab(
