@@ -104,11 +104,39 @@ def bloom_might_contain(
     prints k copies of the build subtree — but AQE dedupes them at
     runtime (tests/test_bloom.py asserts k-1 ReusedExchange and exactly
     one real shuffle in the final plan), so no eager materialization is
-    needed here; don't "fix" the initial-plan duplication."""
+    needed here; don't "fix" the initial-plan duplication.
+
+    Nullability discipline (optimization r12): the probe columns are
+    projected through ``coalesce(..., 0)`` so they are provably
+    NON-NULLABLE attributes.  With nullable join keys Catalyst inferred
+    ``isnotnull`` on every key and pushed those filters BELOW the
+    projection, re-expanding each aliased position back into the full
+    md5 chain — the scan-stage filter then evaluated the digest k+1
+    times per row (measured 6x the md5 cost on lineitem_bloom_semi;
+    the plan's Filter(2) held five copies of conv(md5(...))).  The
+    coalesce never fires on data (md5 of a non-null key is never NULL,
+    and NULL keys are dropped up front exactly as the old inner-join-
+    on-NULL-key semantics did) — it exists purely to mark the
+    attributes non-nullable so no isnotnull is inferred and the digest
+    is computed ONCE per row."""
+    out = df.where(F.col(key_col).isNotNull())
     digest = md5_long(F.col(key_col).cast("string"))
     positions = _positions_from_digest(F.col("_h"), m_bits)
-    out = df.withColumn("_h", digest).select(
-        "*", *[p.alias(f"_p{j}") for j, p in enumerate(positions)]
+    out = out.withColumn("_h", digest).select(
+        "*",
+        *[
+            F.coalesce(p, F.lit(0)).alias(f"_p{j}")
+            for j, p in enumerate(positions)
+        ],
+    )
+    out = out.select(
+        "*",
+        *[
+            F.coalesce((F.col(f"_p{j}") / WORD_BITS).cast("int"), F.lit(0)).alias(
+                f"_wk{j}"
+            )
+            for j in range(BLOOM_K)
+        ],
     )
     for j in range(BLOOM_K):
         bj = bloom.select(
@@ -117,12 +145,17 @@ def bloom_might_contain(
         mask = F.expr(f"shiftleft(1L, cast(_p{j} % {WORD_BITS} as int))")
         out = out.join(
             F.broadcast(bj),
-            (F.col(f"_p{j}") / WORD_BITS).cast("int") == F.col(f"_w{j}"),
+            F.col(f"_wk{j}") == F.col(f"_w{j}"),
             "left",
         ).where(F.col(f"_b{j}").bitwiseAND(mask).isNotNull()
                 & (F.col(f"_b{j}").bitwiseAND(mask) != 0))
     return out.drop(
-        "_h", *[c for j in range(BLOOM_K) for c in (f"_p{j}", f"_w{j}", f"_b{j}")]
+        "_h",
+        *[
+            c
+            for j in range(BLOOM_K)
+            for c in (f"_p{j}", f"_wk{j}", f"_w{j}", f"_b{j}")
+        ],
     )
 
 

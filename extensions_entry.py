@@ -2258,8 +2258,13 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_price_histogram": lambda s, d: au.value_histogram(
             load_table(s, d, "lineitem"), "l_extendedprice", n_bins=20
         ),
+        # fan_out="auto" (optimization r12): the md5 probe chain is
+        # hashing-heavy compute per row, and a row-group-deficient export
+        # pins it to one core — the auto gate inserts the fan-out shuffle
+        # only on such inputs (never at production row-group counts);
+        # measured 2.8s -> 1.9s steady-state interleaved at sf0.1
         "lineitem_bloom_semi": lambda s, d: bl.bloom_semi_join(
-            load_table(s, d, "lineitem"),
+            load_table(s, d, "lineitem", fan_out="auto"),
             load_table(s, d, "orders").where(F.col("o_totalprice") >= 400000),
             on="l_orderkey",
             key_col="o_orderkey",
