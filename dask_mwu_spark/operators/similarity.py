@@ -1431,6 +1431,14 @@ def pq_train_codebooks(
     return _lloyd_iterations(train, cb, n_iter=n_iter, dim=PQ_SUB_DIM)
 
 
+# chain up to this many Lloyd rounds between eager checkpoints: each
+# unmaterialized round references the codebook twice, so the lazy plan
+# at most quadruples before the next materialization barrier (the
+# BPE_CKPT_EVERY=4 discipline, held tighter here because of the 2x
+# per-round reference fan-out)
+LLOYD_CKPT_EVERY = 2
+
+
 def _lloyd_iterations(
     train: DataFrame, cb: DataFrame, *, n_iter: int, dim: int
 ) -> DataFrame:
@@ -1440,8 +1448,20 @@ def _lloyd_iterations(
     (single s = 0, dim = EMB_DIM).  All the cross-engine exactness rules
     live here ONCE: round6 distances with (d, c) tiebreak, per-dim
     vec_id-ordered sum folds, round6 means, empty clusters keep their
-    previous position, localCheckpoint per round."""
-    for _ in range(n_iter):
+    previous position.
+
+    Checkpoint cadence (optimization r12, the BPE_CKPT_EVERY /
+    pagerank discipline): the codebook is referenced twice per round
+    (assignment join + the keep-position left join), so an
+    unmaterialized round doubles the plan — bounded growth for a round
+    or two, a blowup beyond that.  Materializing EVERY round (the old
+    form) pays one eager driver action per round; chaining
+    LLOYD_CKPT_EVERY rounds between checkpoints executes those rounds
+    inside ONE job, and the FINAL round always checkpoints because the
+    returned codebook fans out into several consumers (encode join, ADC
+    LUT) that must not re-run the loop.  Numerically nothing changes —
+    a checkpoint is pure materialization."""
+    for _r in range(n_iter):
         asg = train.join(F.broadcast(cb), "s").select(
             "vec_id",
             "s",
@@ -1478,11 +1498,11 @@ def _lloyd_iterations(
                 ).alias("w_new"),
             )
         )
-        cb = (
-            cb.join(upd, ["s", "c"], "left")
-            .select("s", "c", F.coalesce("w_new", "w").alias("w"))
-            .localCheckpoint(eager=True)
+        cb = cb.join(upd, ["s", "c"], "left").select(
+            "s", "c", F.coalesce("w_new", "w").alias("w")
         )
+        if _r == n_iter - 1 or (_r + 1) % LLOYD_CKPT_EVERY == 0:
+            cb = cb.localCheckpoint(eager=True)
     return cb
 
 
