@@ -338,7 +338,7 @@ def kcore(
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     edges = canonical_edges(pairs, src=src, dst=dst).localCheckpoint()
-    for _ in range(n_rounds):
+    for r in range(n_rounds):
         keep = (
             degrees(edges)
             .where(F.col("deg") >= k)
@@ -350,8 +350,16 @@ def kcore(
             )
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
         )
+        # checkpoint every 2 peels + after the final round (optimization
+        # r12, VERDICT r11 item 6; the pagerank/BPE cadence): the edge
+        # table is referenced 4x per round (degree union + both semi
+        # joins), so one chained round at most quadruples the lazy plan
+        # on top of a checkpointed scan — bounded — while halving the
+        # eager materialization barriers.  The final round checkpoints
+        # because the returned degree aggregate references edges twice.
+        if r % 2 == 1 or r == n_rounds - 1:
+            edges = edges.localCheckpoint()
     return degrees(edges)
 
 
