@@ -254,10 +254,17 @@ def pagerank(
                 ).alias("s")
             )
         )
-        base = nodes.join(contribs, "node", "left").crossJoin(
-            F.broadcast(n_row)
-        )
         if directed_edges is None:
+            # Every node appears as e_dst on the bidirectional path (each
+            # canonical edge walks both ways), so the contribution
+            # aggregate already covers the FULL node set — the nodes
+            # left-join is a per-round no-op shuffle join (optimization
+            # r12, guide §2.4 "remove shuffles outright": 2 Exchanges +
+            # 1 SortMergeJoin per round, x n_iter).  Values unchanged:
+            # s is never NULL here, the coalesce is kept only so the
+            # rank expression stays textually identical to the directed
+            # path and the oracle.
+            base = contribs.crossJoin(F.broadcast(n_row))
             # D ≡ 0: every node has out-degree ≥ 1 by construction, so the
             # anti-join aggregate below would scan rank each round only to
             # produce an empty sum — skip it entirely.
@@ -269,6 +276,12 @@ def pagerank(
                 ).alias("rank"),
             )
             continue
+        # directed path: contribs covers only nodes WITH in-edges, so the
+        # nodes left-join is load-bearing here (in-degree-0 sources must
+        # keep their (1-d)/N + dangling share)
+        base = nodes.join(contribs, "node", "left").crossJoin(
+            F.broadcast(n_row)
+        )
         dangling = (
             rank.join(
                 out_deg.select(F.col("e_src").alias("node"), "out_deg"),
