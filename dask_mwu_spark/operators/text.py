@@ -1189,9 +1189,15 @@ def kneser_ney_score(
             F.sum((F.col("c3") >= 3).cast("long")).alias("j3p"),
         ]
     ctx2 = c3.groupBy("w1", "w2").agg(*ctx2_aggs)
+    # cbi (the continuation-bigram type table) has 4 consumers in fixed
+    # mode (the scoring join, ctx1, cuni, tot's b/w1p aggregate) and 5+
+    # in estimate mode (+ coc2, coc1 via cuni) — without materialization
+    # each one re-runs the same (w2,w3) aggregation over c3 (measured
+    # r12: 4-5 duplicate shuffles of the type table, 0 ReusedExchange).
+    # Same argument as the c3 checkpoint above, one order down.
     cbi = c3.groupBy("w2", "w3").agg(
         F.count(F.lit(1)).alias("cc")  # N1+(·w2w3)
-    )
+    ).localCheckpoint()
     ctx1_aggs = [
         F.sum("cc").alias("cx1"),  # N1+(·w2·)
         F.count(F.lit(1)).alias("n1"),  # N1+(w2·) over continuation types
