@@ -645,7 +645,8 @@ def incremental_dedup_flags(
     O(corpus).  The batch-side self-join is quadratic only within a band
     bucket, the standard LSH bound.
     """
-    # the internally-derived band table feeds THREE consumers below, so
+    # the internally-derived band table feeds TWO consumers below (the
+    # bucket aggregate and the flags join-back), so
     # it is tracked-persisted; a CALLER-supplied batch_bands is the
     # caller's object and is NOT re-persisted or registered here — the
     # library must never let release_caches() unpersist a caller-owned
@@ -663,32 +664,38 @@ def incremental_dedup_flags(
     # 10%-duplicated 1.6M-doc probe (tools/scale_probe_incremental.py).
     # The distinct is map-side combinable and exactly as parallel as the
     # index scan; a production index can store this key set directly.
-    hist_hit = (
-        batch_bands.join(
-            history_bands.select("band", "band_key").distinct(),
+    # Both flags are per-BUCKET facts fanned back out to docs, so compute
+    # them in ONE bucket pass (optimization r12, guide §2.4): aggregate
+    # the batch side once per (band, band_key) — min doc_id for the
+    # greedy first-seen-wins rule (never the d^2 self-join) — left-join
+    # the history KEY SET onto that bounded bucket table, re-attach to
+    # the batch bands (same join key as the aggregate, so the exchange is
+    # shared), and OR the flags per doc.  The earlier two-branch form
+    # shuffled batch_bands by (band, band_key) three times and ran two
+    # extra doc_id distincts + a second doc-level join (measured r12:
+    # 30 -> ~17 Exchanges, identical rows).
+    bucket = (
+        batch_bands.groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("_min_doc"))
+        .join(
+            history_bands.select("band", "band_key")
+            .distinct()
+            .withColumn("_hist", F.lit(True)),
             on=["band", "band_key"],
+            how="left",
         )
-        .select("doc_id")
-        .distinct()
-        .withColumn("dup_of_history", F.lit(True))
     )
-    # "collides with a SMALLER batch doc_id" == "is not its bucket's
-    # minimum": one aggregation + join-back, never the d^2 self-join
-    # (the greedy first-seen-wins rule makes the min sufficient)
-    bucket_min = batch_bands.groupBy("band", "band_key").agg(
-        F.min("doc_id").alias("_min_doc")
-    )
-    batch_hit = (
-        batch_bands.join(bucket_min, on=["band", "band_key"])
-        .where(F.col("doc_id") > F.col("_min_doc"))
-        .select("doc_id")
-        .distinct()
-        .withColumn("dup_in_batch", F.lit(True))
+    flags = (
+        batch_bands.join(bucket, on=["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce("_hist", F.lit(False))).alias("dup_of_history"),
+            F.max(F.col("doc_id") > F.col("_min_doc")).alias("dup_in_batch"),
+        )
     )
     return (
         new_docs.select("doc_id")
-        .join(hist_hit, "doc_id", "left")
-        .join(batch_hit, "doc_id", "left")
+        .join(flags, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("dup_of_history", F.lit(False)).alias("dup_of_history"),
