@@ -37,11 +37,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # reused Python workers crash (silent exit, no traceback) in
+        # reused Python workers once crashed (silent exit, no traceback) in
         # applyInPandasWithState when any streaming aggregation ran earlier
-        # in the same local-mode context (observed on PySpark 4.1.2); fresh
-        # workers cost ~nothing here and are safe everywhere
-        .config("spark.python.worker.reuse", "false")
+        # in the same local-mode context (observed round 2 on PySpark
+        # 4.1.2); reuse=false as the blanket workaround made EVERY
+        # Python-boundary task (the erfc pandas_udf, the codec mapInPandas
+        # seams) pay a worker spawn.  Optimization r12: the crash no longer
+        # reproduces (tests/test_streaming.py green on 3 consecutive runs
+        # with reuse on), so reuse is back on — guide §4: worker startup is
+        # per-task overhead at any scale.  SPARK_GRAFT_WORKER_REUSE=false
+        # restores the old blanket opt-out if the crash ever resurfaces.
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
