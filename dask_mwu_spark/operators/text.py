@@ -2610,11 +2610,12 @@ def unigram_lm_segments(
             unroll_l,
         )
     else:
-        wf, lp = _unigram_train(
+        wf, inv = _unigram_train(
             docs, max_pieces, max_piece_len, n_iter, max_word_len, max_vocab
         )
         seg = _unigram_viterbi_segments(
-            wf.crossJoin(F.broadcast(_unigram_lp_map_row(lp))), max_piece_len
+            wf.crossJoin(F.broadcast(_unigram_lp_map_from_counts(inv))),
+            max_piece_len,
         )
     return seg.select(
         "word",
@@ -2732,10 +2733,10 @@ def unigram_trained_model(
     broadcasting it is a few KB at these bounds and a few MB at
     production SentencePiece sizes (32k-1M pieces).
     No counterpart in the reference (SURVEY.md section 2.1)."""
-    _, lp = _unigram_train(
+    _, inv = _unigram_train(
         docs, max_pieces, max_piece_len, n_iter, max_word_len, max_vocab
     )
-    return lp
+    return _unigram_lp_scores(inv)
 
 
 def _unigram_require_model(model: DataFrame) -> None:
@@ -2782,6 +2783,45 @@ def _unigram_lp_map_row(lp_df: DataFrame) -> DataFrame:
     return lp_df.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "lp"))).alias(
             "lp_map"
+        )
+    )
+
+
+def _unigram_lp_map_from_counts(inv_df: DataFrame) -> DataFrame:
+    """(piece, cnt) -> ONE row (lp_map), fusing :func:`_unigram_lp_scores`
+    and :func:`_unigram_lp_map_row` into a single aggregate (optimization
+    r12, guide §2.4): the unfused chain built the model in three stages —
+    a 1-row totals aggregate, a broadcast crossJoin back onto the
+    inventory, and a second 1-row map aggregate — paid once per EM round
+    and once for the final segmentation.  Here one aggregate collects the
+    (piece, cnt) entries together with T and V, and the lp quantization
+    ``round(ln((cnt+1)/(T+V)) * 1e6)`` runs inside a transform over the
+    collected array — bounded by the inventory (max_pieces + alphabet),
+    and arithmetically IDENTICAL to _unigram_lp_scores term for term, so
+    the injected-model parity pytest pins the equivalence."""
+    return (
+        inv_df.agg(
+            F.collect_list(F.struct("piece", "cnt")).alias("entries"),
+            F.sum("cnt").cast("double").alias("T"),
+            F.count(F.lit(1)).cast("double").alias("V"),
+        ).select(
+            F.map_from_entries(
+                F.transform(
+                    "entries",
+                    lambda e: F.struct(
+                        e["piece"].alias("piece"),
+                        F.round(
+                            F.log(
+                                (e["cnt"] + F.lit(1.0))
+                                / (F.col("T") + F.col("V"))
+                            )
+                            * F.lit(1000000.0)
+                        )
+                        .cast("long")
+                        .alias("lp"),
+                    ),
+                )
+            ).alias("lp_map")
         )
     )
 
@@ -2886,9 +2926,10 @@ def _unigram_train(
     max_word_len: int | None,
     max_vocab: int | None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared EM loop: returns (word table, final (piece, lp) model).
-    The final segmentation = one Viterbi pass of the returned model
-    over the returned word table, so segment-and-return and
+    """Shared EM loop: returns (word table, final (piece, cnt)
+    inventory).  The final model is :func:`_unigram_lp_scores` /
+    :func:`_unigram_lp_map_from_counts` over the returned inventory —
+    both derive the SAME quantized lp values, so segment-and-return and
     train-then-inject are identical by construction."""
     wf = _unigram_word_table(docs, max_vocab, max_word_len)
     # ONE corpus tokenize scan total: the vocabulary-bounded word table
@@ -2903,23 +2944,20 @@ def _unigram_train(
     inv = inv.localCheckpoint()
     piece_set = inv.select("piece")
 
-    lp = None
-    for r in range(n_iter):
-        lp = _unigram_lp_scores(inv)
-        if r < n_iter - 1:
-            # M-step: Viterbi piece counts (freq-weighted occurrences),
-            # zero-filled against the fixed seed set; eager + bounded
-            seg = _unigram_viterbi_segments(
-                wf.crossJoin(F.broadcast(_unigram_lp_map_row(lp))),
-                max_piece_len,
+    for _r in range(n_iter - 1):
+        # M-step: Viterbi piece counts (freq-weighted occurrences),
+        # zero-filled against the fixed seed set; eager + bounded
+        seg = _unigram_viterbi_segments(
+            wf.crossJoin(F.broadcast(_unigram_lp_map_from_counts(inv))),
+            max_piece_len,
+        )
+        counts = seg.groupBy("piece").agg(F.sum("freq").alias("used"))
+        inv = (
+            piece_set.join(counts, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("used"), F.lit(0)).cast("long").alias("cnt"),
             )
-            counts = seg.groupBy("piece").agg(F.sum("freq").alias("used"))
-            inv = (
-                piece_set.join(counts, "piece", "left")
-                .select(
-                    "piece",
-                    F.coalesce(F.col("used"), F.lit(0)).cast("long").alias("cnt"),
-                )
-                .localCheckpoint()
-            )
-    return wf, lp
+            .localCheckpoint()
+        )
+    return wf, inv
