@@ -2490,6 +2490,17 @@ def maxmatch_segment_words(
             F.sequence(F.lit(1), n), acc0, step, lambda a: a["pieces"]
         ).alias("pieces"),
     )
+    # Eager barrier before the posexplode (optimization r12, the round-10
+    # Viterbi discipline): Catalyst infers `size(pieces) > 0 AND
+    # isnotnull(pieces)` from the Generate and — because the fold depends
+    # only on the grouping key — pushes it through the word aggregate
+    # onto the RAW TOKEN STREAM, evaluating the whole greedy scan twice
+    # per corpus token instead of once per distinct word (measured r12 at
+    # sf0.1: 2.3s -> 0.3s; the committed before-plan's Filter(3) holds
+    # two full copies of the fold below the aggregate).  The checkpoint
+    # materializes the vocabulary-bounded segmentation once and the
+    # inferred filter lands on the tiny table.
+    seg = seg.localCheckpoint()
     return seg.select(
         "word",
         F.posexplode("pieces").alias("pos", "piece"),
@@ -2681,12 +2692,11 @@ def unigram_encode_ids(
         max_vocab=max_vocab,
         model=model,
     )
-    # seg feeds BOTH the piece-count aggregation and the dictionary
-    # join below; without a checkpoint the final Viterbi DP fold (the
-    # expensive scan-stage expression) would evaluate twice.  The table
-    # is vocabulary-bounded (words x pieces-per-word) — the same
-    # localCheckpoint discipline the trainer applies per round
-    seg = seg.localCheckpoint()
+    # seg feeds BOTH the piece-count aggregation and the dictionary join
+    # below; the expensive Viterbi fold is already materialized INSIDE
+    # _unigram_viterbi_segments (optimization r12), so the two consumers
+    # here only re-run the cheap posexplode over that vocabulary-bounded
+    # checkpoint — no second barrier needed.
     piece_counts = seg.groupBy("piece").agg(
         F.sum("freq").alias("piece_count")
     )
@@ -2909,9 +2919,19 @@ def _unigram_viterbi_segments(words: DataFrame, L: int) -> DataFrame:
         back_step,
         lambda a: F.reverse(a["rev"]),
     )
-    return with_dp.select(
-        "word", "freq", pieces.alias("pieces")
-    ).select(
+    # Eager barrier before the posexplode (optimization r12, the same
+    # inferred-filter pathology as maxmatch_segment_words): Catalyst
+    # infers `size(pieces) > 0 AND isnotnull(pieces)` from the Generate
+    # and pushes it into the 1-row broadcast cross's join CONDITION —
+    # the round-10 "conditioned BNLJ" — so the full forward-DP +
+    # backward-recovery fold evaluated ~3x per word (the before-plan's
+    # BNLJ condition is a 234 KB expression holding two fold copies).
+    # Materializing the vocabulary-bounded (word, freq, pieces)
+    # projection — lp_map deliberately dropped first so the checkpoint
+    # never stores an inventory-map copy per word row — runs the fold
+    # exactly once; the inferred filter lands on the tiny table.
+    seg = with_dp.select("word", "freq", pieces.alias("pieces")).localCheckpoint()
+    return seg.select(
         "word",
         F.posexplode("pieces").alias("pos", "piece"),
         "freq",

@@ -206,25 +206,20 @@ def test_all_registered_queries_free_of_scale_antipatterns(spark, sf_dir):
         # round 5: Q15's argmax equality folds into the 1-ROW MAX
         # broadcast cross (same per-row-filter-in-disguise pattern)
         "supplier_top_revenue": {"nested_loop"},
-        # round 10: the Generate's implicit size(pieces) > 0 filter is
-        # pushed by Catalyst INTO the 1-ROW lp_map model broadcast cross
-        # as a join condition (events_rolling_dau per-row-filter-in-
-        # disguise precedent; build side = the 1-row map_from_entries
-        # aggregate, verified by plan read).  The filter is vacuous —
-        # char-floor totality guarantees a non-empty segmentation for
-        # every word — and the left side is the vocabulary-bounded word
-        # table, not the corpus.
-        "text_unigram_segments": {"nested_loop"},
+        # (round-10 text_unigram_segments nested_loop waiver RETIRED in
+        # the r12 optimization round: the Viterbi fold is materialized
+        # before the posexplode, so the size(pieces) > 0 filter no
+        # longer folds into the 1-row model cross — the plan is clean.)
         # round 10: both RRF rank windows run over POST-LIMIT heads
         # (TakeOrderedAndProject selects <= depth / <= k rows first —
         # the bm25/vocab_topk precedent; plan-asserted in
         # test_retrieval via the fused-output shape)
         "text_hybrid_rrf": {"global_window"},
-        # round 10: the encode composes the unigram segmentation (same
-        # vacuous size()>0-in-the-1-row-model-cross BNLJ as above) and
-        # ranks piece ids over the max_pieces+alphabet-bounded piece
-        # inventory (the text_bpe_encode bounded-head precedent)
-        "text_unigram_encode": {"global_window", "nested_loop"},
+        # round 10 (nested_loop half retired r12 with the segments
+        # waiver above): the encode ranks piece ids over the
+        # max_pieces+alphabet-bounded piece inventory (the
+        # text_bpe_encode bounded-head precedent)
+        "text_unigram_encode": {"global_window"},
     }
     bad: list[str] = []
     for name, fn in entrymod.queries().items():
