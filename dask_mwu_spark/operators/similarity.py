@@ -1431,12 +1431,82 @@ def pq_train_codebooks(
     return _lloyd_iterations(train, cb, n_iter=n_iter, dim=PQ_SUB_DIM)
 
 
-# chain up to this many Lloyd rounds between eager checkpoints: each
-# unmaterialized round references the codebook twice, so the lazy plan
-# at most quadruples before the next materialization barrier (the
-# BPE_CKPT_EVERY=4 discipline, held tighter here because of the 2x
-# per-round reference fan-out)
+# chain up to this many Lloyd rounds inside one select between eager
+# checkpoints: each round appears exactly ONCE in the expression (the
+# let-binding below), so growth is linear in rounds; the cadence only
+# bounds expression DEPTH for large n_iter
 LLOYD_CKPT_EVERY = 2
+
+
+def _lloyd_round_expr(T, C, dim: int):
+    """ONE Lloyd round as a pure expression over the single-row state:
+    ``(T: array<struct<vec_id,s,x>>, C: array<struct<s,c,w>>) -> C'``.
+    Exactness rules identical to the former DataFrame round (see
+    :func:`_lloyd_iterations`): round6 fold distances; first-min over
+    c-ascending candidates == the old (d asc, c asc) row_number
+    tiebreak; per-(s,c) sums fold in vec_id order because T is sorted
+    by (vec_id, s) and transform/filter preserve order; round6 means;
+    empty clusters keep their previous position."""
+
+    def argmin_c(t):
+        cands = F.transform(
+            F.filter(C, lambda e: e["s"] == t["s"]),
+            lambda e: F.struct(
+                _sub_sq_dist(t["x"], e["w"]).alias("d"),
+                e["c"].alias("c"),
+            ),
+        )
+        return F.aggregate(
+            cands,
+            F.struct(
+                F.lit(0.0).alias("d"), F.lit(-1).cast("int").alias("c")
+            ),
+            lambda a, p: F.when(a["c"] == F.lit(-1), p)
+            .when(p["d"] < a["d"], p)
+            .otherwise(a),
+        )["c"]
+
+    asg = F.transform(
+        T,
+        lambda t: F.struct(
+            t["s"].alias("s"), t["x"].alias("x"), argmin_c(t).alias("c")
+        ),
+    )
+
+    def update(a):
+        def assigned(e):
+            return F.filter(
+                a, lambda t: (t["s"] == e["s"]) & (t["c"] == e["c"])
+            )
+
+        return F.transform(
+            C,
+            lambda e: F.struct(
+                e["s"].alias("s"),
+                e["c"].alias("c"),
+                F.when(F.size(assigned(e)) == 0, e["w"])
+                .otherwise(
+                    F.transform(
+                        F.aggregate(
+                            assigned(e),
+                            F.array_repeat(F.lit(0.0), dim),
+                            lambda acc, t: F.zip_with(
+                                acc, t["x"], lambda u, v: u + v
+                            ),
+                        ),
+                        lambda v: F.round(
+                            v / F.size(assigned(e)).cast("double"), 6
+                        ),
+                    )
+                )
+                .alias("w"),
+            ),
+        )
+
+    # let-bind the assignment ONCE (transform over a 1-element array):
+    # `asg` is referenced three times per centroid in the update; an
+    # unbound reference would re-evaluate every round6 distance per use
+    return F.element_at(F.transform(F.array(asg), update), 1)
 
 
 def _lloyd_iterations(
@@ -1450,60 +1520,56 @@ def _lloyd_iterations(
     vec_id-ordered sum folds, round6 means, empty clusters keep their
     previous position.
 
-    Checkpoint cadence (optimization r12, the BPE_CKPT_EVERY /
-    pagerank discipline): the codebook is referenced twice per round
-    (assignment join + the keep-position left join), so an
-    unmaterialized round doubles the plan — bounded growth for a round
-    or two, a blowup beyond that.  Materializing EVERY round (the old
-    form) pays one eager driver action per round; chaining
-    LLOYD_CKPT_EVERY rounds between checkpoints executes those rounds
-    inside ONE job, and the FINAL round always checkpoints because the
-    returned codebook fans out into several consumers (encode join, ADC
-    LUT) that must not re-run the loop.  Numerically nothing changes —
-    a checkpoint is pure materialization."""
-    for _r in range(n_iter):
-        asg = train.join(F.broadcast(cb), "s").select(
-            "vec_id",
-            "s",
-            "x",
-            "c",
-            _sub_sq_dist(F.col("x"), F.col("w")).alias("d"),
-        )
-        wa = Window.partitionBy("vec_id", "s").orderBy(
-            F.col("d").asc(), F.col("c").asc()
-        )
-        best = (
-            asg.withColumn("_rn", F.row_number().over(wa))
-            .where(F.col("_rn") == 1)
-            .select("vec_id", "s", "x", "c")
-        )
-        upd = (
-            best.groupBy("s", "c")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("vec_id", "x"))),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, r: F.zip_with(
-                        acc, r["x"], lambda a, b: a + b
-                    ),
-                ).alias("_sum"),
-            )
-            .select(
-                "s",
-                "c",
+    Single-row formulation (optimization r12, guide §1.2 step 1 — fix
+    the distributed algorithm first): training is bounded-sample BY
+    DESIGN (``n_train`` rows — k-means at corpus scale always trains on
+    a sample; the corpus-wide work is the encode/assignment scan, not
+    here), yet the former DataFrame loop paid a broadcast join, a
+    (vec_id, s) window, a (s, c) aggregation exchange and a codebook
+    join PER ROUND to move a few hundred KB around the cluster.  Now
+    ONE aggregate collects the sorted training sample and seed codebook
+    into a single row, every Lloyd round is a pure expression
+    (:func:`_lloyd_round_expr`) chained via let-bindings so each round
+    evaluates exactly once, and the loop runs ZERO shuffles — one
+    collect-style job + one checkpoint barrier per LLOYD_CKPT_EVERY
+    rounds.  Numbers are bit-identical to the old loop (same folds,
+    same order, same tiebreaks — oracle-pinned at 3 SFs); the training
+    sample never leaves the JVM plan, so the "never collected to
+    Python" contract still holds."""
+    T_row = train.agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "s", "x"))).alias("T")
+    )
+    C_row = cb.agg(
+        F.sort_array(F.collect_list(F.struct("s", "c", "w"))).alias("C")
+    )
+    state = T_row.crossJoin(F.broadcast(C_row))
+    done = 0
+    while done < n_iter:
+        k = min(LLOYD_CKPT_EVERY, n_iter - done)
+
+        def chain(C_col, remaining):
+            if remaining == 1:
+                return _lloyd_round_expr(F.col("T"), C_col, dim)
+            return F.element_at(
                 F.transform(
-                    "_sum",
-                    lambda t: F.round(t / F.col("n").cast("double"), 6),
-                ).alias("w_new"),
+                    F.array(_lloyd_round_expr(F.col("T"), C_col, dim)),
+                    lambda c_next: chain(c_next, remaining - 1),
+                ),
+                1,
             )
-        )
-        cb = cb.join(upd, ["s", "c"], "left").select(
-            "s", "c", F.coalesce("w_new", "w").alias("w")
-        )
-        if _r == n_iter - 1 or (_r + 1) % LLOYD_CKPT_EVERY == 0:
-            cb = cb.localCheckpoint(eager=True)
-    return cb
+
+        done += k
+        keep = [F.col("T")] if done < n_iter else []
+        # eager checkpoint: the returned codebook fans out into several
+        # consumers (encode join, ADC LUT) that must not re-run the loop
+        state = state.select(
+            *keep, chain(F.col("C"), k).alias("C")
+        ).localCheckpoint(eager=True)
+    return state.select(F.explode("C").alias("_e")).select(
+        F.col("_e.s").alias("s"),
+        F.col("_e.c").alias("c"),
+        F.col("_e.w").alias("w"),
+    )
 
 
 def kmeans_train_fixed(
