@@ -2231,24 +2231,39 @@ def dominant_pc(
     and broadcasts into the next round.  localCheckpoint per round
     truncates lineage (2^n plan growth otherwise — see pagerank).
 
-    Scale: cx is checkpointed once; each round touches the corpus twice
-    (dot scan + product shuffle on vec_id) with all reduction state
-    bounded by d x n_buckets.  No counterpart in the reference
+    Scale: cx is checkpointed once; each round touches the corpus ONCE
+    (the dot rides the explode scan — optimization r12; the only
+    shuffle is the map-side-combinable (dim, bucket) partial, state
+    bounded by d x n_buckets).  No counterpart in the reference
     (SURVEY.md section 2.1).
     """
     assert EMB_DIM == 64, "v0 literal assumes d=64 (1/sqrt(64) = 0.125)"
-    cx, cxe = _centered_coords(emb, n_buckets=n_buckets)
+    cx, _cxe = _centered_coords(emb, n_buckets=n_buckets)
     spark = emb.sparkSession
     vdf = spark.range(1).select(
         F.array(*[F.lit(0.125).cast("double")] * EMB_DIM).alias("vl")
     )
     eig = None
     for _ in range(n_iter):
-        sdf = cx.crossJoin(F.broadcast(vdf.select("vl"))).select(
-            "vec_id", dot(F.col("cx"), F.col("vl")).alias("s")
+        # s_i = x'_i . v and the per-dim products ride ONE scan of the
+        # checkpointed cx (optimization r12, guide §2.4): the dot is
+        # computed once per row below the posexplode and carried onto
+        # every exploded (dim, xd) — the former formulation joined the
+        # exploded coordinate table back to a separate dot table on
+        # vec_id, a corpus-sized shuffle of BOTH sides per round.  Fold
+        # inputs are identical term for term (same xd, same s, same
+        # vec_id order within each (dim, bucket)), so the iterates stay
+        # bit-identical and the oracle is unchanged.
+        prods = cx.crossJoin(F.broadcast(vdf.select("vl"))).select(
+            "vec_id",
+            dot(F.col("cx"), F.col("vl")).alias("s"),
+            F.posexplode("cx").alias("dim", "xd"),
+        ).withColumn(
+            "bucket",
+            F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets),
         )
         partial = (
-            cxe.join(sdf, "vec_id")
+            prods
             .groupBy("dim", "bucket")
             .agg(
                 F.aggregate(
