@@ -315,29 +315,48 @@ def ivf_index(
     DataFrame, e.g. KMeans|| cluster centers) — the assignment and query
     paths are unchanged, only the broadcast side swaps (VERDICT r1 #8).
 
-    Scale: assignment is a broadcast cross join against C centroids —
-    O(N·C) per-row expression work in the scan, no shuffle of the vectors;
-    the only shuffle in the query path is the bucket join on cent_id.
-    Deterministic: cosine rounded to 6 + cent_id tiebreak.
+    Scale: assignment is a 1-row broadcast of the C-centroid array with
+    a scan-stage argmax fold — O(N·C) per-row expression work, ZERO
+    shuffle of the vectors (optimization r12: the former formulation
+    cross-joined to C scored rows per vector and ran a (vec_id)
+    row_number window over them, i.e. an N·C-row exchange CARRYING THE
+    FULL VECTOR C times — the one thing the posting-list design exists
+    to avoid); the only shuffle in the query path is the bucket join on
+    cent_id.  Deterministic: cosine rounded to 6 + cent_id tiebreak
+    (first-max over cent_id-ascending candidates == the old
+    (c_cos desc, cent_id asc) row_number).
     """
     vecs = _with_vec(emb)
     cents = _centroid_table(emb, n_centroids, centroids)
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
+    cents_row = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("cent_id", "c_vec", "c_nrm"))
+        ).alias("cl")
+    )
+    return vecs.crossJoin(F.broadcast(cents_row)).select(
         "vec_id",
         "vec",
         "nrm",
-        "cent_id",
-        F.round(
-            dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_nrm")), 6
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "vec", "nrm", "cent_id")
+        F.aggregate(
+            F.transform(
+                F.col("cl"),
+                lambda e: F.struct(
+                    F.round(
+                        dot(F.col("vec"), e["c_vec"])
+                        / (F.col("nrm") * e["c_nrm"]),
+                        6,
+                    ).alias("cc"),
+                    e["cent_id"].alias("cent_id"),
+                ),
+            ),
+            F.struct(
+                F.lit(None).cast("double").alias("cc"),
+                F.lit(None).cast("long").alias("cent_id"),
+            ),
+            lambda a, p: F.when(a["cent_id"].isNull(), p)
+            .when(p["cc"] > a["cc"], p)
+            .otherwise(a),
+        )["cent_id"].alias("cent_id"),
     )
 
 
@@ -1608,17 +1627,36 @@ def _encode_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     round6 distance, first-min (d, c) tiebreak.  Shared by
     pq_topk_with_codebooks and ivf_pq_topk_trained so the encode
     contract cannot drift between them (and both oracle twins mirror
-    this single definition)."""
-    enc = subs.join(F.broadcast(codebooks), "s").select(
-        "vec_id", "s", "c", _sub_sq_dist(F.col("x"), F.col("w")).alias("d")
+    this single definition).
+
+    Zero-shuffle form (optimization r12, guide §2.4): the former
+    broadcast join exploded every subvector into |codes| distance rows
+    and ran a (vec_id, s) row_number window over them — a full
+    corpus x 16 exchange + sort just to pick each row's minimum.  The
+    codebook is bounded (128 rows), so it rides a 1-row sorted-array
+    broadcast and the argmin is a scan-stage fold: same round6
+    distances, and first-min over c-ascending candidates is exactly the
+    old (d asc, c asc) tiebreak.  ENCODE — the one pass that touches
+    all N vectors — now never shuffles them."""
+    cb_row = codebooks.agg(
+        F.sort_array(F.collect_list(F.struct("s", "c", "w"))).alias("cbl")
     )
-    we = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d").asc(), F.col("c").asc()
-    )
-    return (
-        enc.withColumn("_rn", F.row_number().over(we))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "s", F.col("c").alias("code"))
+    return subs.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id",
+        "s",
+        F.aggregate(
+            F.transform(
+                F.filter(F.col("cbl"), lambda e: e["s"] == F.col("s")),
+                lambda e: F.struct(
+                    _sub_sq_dist(F.col("x"), e["w"]).alias("d"),
+                    e["c"].alias("c"),
+                ),
+            ),
+            F.struct(F.lit(0.0).alias("d"), F.lit(-1).cast("int").alias("c")),
+            lambda a, p: F.when(a["c"] == F.lit(-1), p)
+            .when(p["d"] < a["d"], p)
+            .otherwise(a),
+        )["c"].alias("code"),
     )
 
 
@@ -1658,9 +1696,9 @@ def pq_topk_with_codebooks(
     round6 in-subspace-order partial fold, ranked desc + vec_id tiebreak.
 
     Scale: the codebook is 128 rows — ALWAYS broadcast; encode is one
-    corpus scan (subvector explode x broadcast codebook, argmin window
-    keyed by (vec_id, s) — map-local after the explode since both carry
-    vec_id); the LUT is n_queries x 128 rows (broadcast); scoring joins
+    corpus scan (subvector explode x 1-row broadcast codebook array,
+    scan-stage argmin fold — zero shuffle, optimization r12); the LUT
+    is n_queries x 128 rows (broadcast); scoring joins
     codes to the LUT on the 128-value (s, code) key exactly like
     ``pq_topk``.  The float vectors never shuffle."""
     vecs = _with_vec(emb)
