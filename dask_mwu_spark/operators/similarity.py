@@ -333,30 +333,39 @@ def ivf_index(
             F.collect_list(F.struct("cent_id", "c_vec", "c_nrm"))
         ).alias("cl")
     )
+    # coalesce marks cent_id provably NON-NULLABLE (it never fires —
+    # the centroid table is non-empty on every path): without it the
+    # downstream posting-list equi-joins infer isnotnull(cent_id) and
+    # Catalyst pushes that INTO the 1-row cross as a conditioned BNLJ,
+    # re-evaluating the whole argmax per row (the bloom.py:104
+    # nullability discipline)
     return vecs.crossJoin(F.broadcast(cents_row)).select(
         "vec_id",
         "vec",
         "nrm",
-        F.aggregate(
-            F.transform(
-                F.col("cl"),
-                lambda e: F.struct(
-                    F.round(
-                        dot(F.col("vec"), e["c_vec"])
-                        / (F.col("nrm") * e["c_nrm"]),
-                        6,
-                    ).alias("cc"),
-                    e["cent_id"].alias("cent_id"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.col("cl"),
+                    lambda e: F.struct(
+                        F.round(
+                            dot(F.col("vec"), e["c_vec"])
+                            / (F.col("nrm") * e["c_nrm"]),
+                            6,
+                        ).alias("cc"),
+                        e["cent_id"].alias("cent_id"),
+                    ),
                 ),
-            ),
-            F.struct(
-                F.lit(None).cast("double").alias("cc"),
-                F.lit(None).cast("long").alias("cent_id"),
-            ),
-            lambda a, p: F.when(a["cent_id"].isNull(), p)
-            .when(p["cc"] > a["cc"], p)
-            .otherwise(a),
-        )["cent_id"].alias("cent_id"),
+                F.struct(
+                    F.lit(None).cast("double").alias("cc"),
+                    F.lit(None).cast("long").alias("cent_id"),
+                ),
+                lambda a, p: F.when(a["cent_id"].isNull(), p)
+                .when(p["cc"] > a["cc"], p)
+                .otherwise(a),
+            )["cent_id"],
+            F.lit(-1).cast("long"),
+        ).alias("cent_id"),
     )
 
 
@@ -1641,22 +1650,32 @@ def _encode_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     cb_row = codebooks.agg(
         F.sort_array(F.collect_list(F.struct("s", "c", "w"))).alias("cbl")
     )
+    # coalesce marks `code` provably NON-NULLABLE (it never fires — the
+    # codebook always covers every s): without it downstream (s, code)
+    # equi-joins infer isnotnull(code) and Catalyst pushes that INTO the
+    # 1-row cross as a conditioned BNLJ, re-evaluating the whole argmin
+    # per row (the bloom.py:104 nullability discipline)
     return subs.crossJoin(F.broadcast(cb_row)).select(
         "vec_id",
         "s",
-        F.aggregate(
-            F.transform(
-                F.filter(F.col("cbl"), lambda e: e["s"] == F.col("s")),
-                lambda e: F.struct(
-                    _sub_sq_dist(F.col("x"), e["w"]).alias("d"),
-                    e["c"].alias("c"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.filter(F.col("cbl"), lambda e: e["s"] == F.col("s")),
+                    lambda e: F.struct(
+                        _sub_sq_dist(F.col("x"), e["w"]).alias("d"),
+                        e["c"].alias("c"),
+                    ),
                 ),
-            ),
-            F.struct(F.lit(0.0).alias("d"), F.lit(-1).cast("int").alias("c")),
-            lambda a, p: F.when(a["c"] == F.lit(-1), p)
-            .when(p["d"] < a["d"], p)
-            .otherwise(a),
-        )["c"].alias("code"),
+                F.struct(
+                    F.lit(0.0).alias("d"), F.lit(-1).cast("int").alias("c")
+                ),
+                lambda a, p: F.when(a["c"] == F.lit(-1), p)
+                .when(p["d"] < a["d"], p)
+                .otherwise(a),
+            )["c"],
+            F.lit(-1),
+        ).alias("code"),
     )
 
 

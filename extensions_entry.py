@@ -1992,6 +1992,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
             .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
             .select(F.col("vec_id").alias("query_id"), "embedding"),
+            # the maintained index is MATERIALIZED (localCheckpoint) as a
+            # production index artifact would be — also keeps Catalyst's
+            # seed-range constraint (cent_id < 16, propagated from the
+            # probes equi-join) from folding the assignment argmax into
+            # the 1-row centroid cross as a conditioned BNLJ (r12)
             index=sim.ivf_index_update(
                 sim.ivf_index(
                     _emb(s, d).where(F.col("vec_id") % 2 == 0),
@@ -2000,7 +2005,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _emb(s, d).where(F.col("vec_id") % 2 == 1),
                 centroids=_seed_centroids(s, d),
                 check_disjoint=False,
-            ),
+            ).localCheckpoint(),
             centroids=_seed_centroids(s, d),
             k=5,
         ),
@@ -2015,13 +2020,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
             .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
             .select(F.col("vec_id").alias("query_id"), "embedding"),
+            # materialized like the incremental index above (same
+            # conditioned-BNLJ constraint-propagation fix, r12)
             index=sim.ivf_index_delete(
                 sim.ivf_index(
                     _emb(s, d), centroids=_seed_centroids(s, d)
                 ),
                 _emb(s, d).where(F.col("vec_id") % 5 == 0).select("vec_id"),
                 check_present=False,
-            ),
+            ).localCheckpoint(),
             centroids=_seed_centroids(s, d),
             k=5,
         ),
