@@ -762,20 +762,29 @@ def duplicated_spans(docs: DataFrame, *, n: int = 5) -> DataFrame:
     (uniform) for the per-doc island windows.  No self-join anywhere —
     cost is linear in corpus tokens, which is what makes the n-gram
     approximation scale where a distributed suffix array would not."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
+    # n-gram hashes come straight off the token ARRAY (optimization r12,
+    # guide §2.4): the former formulation posexploded the token stream
+    # and assembled each gram with n-1 window leads over
+    # (doc_id, pos) — a full corpus-token shuffle + per-doc sort before
+    # any counting.  slice() over the split array builds the identical
+    # "w_i .. w_{i+n-1}" strings in the scan stage; posexplode's index
+    # IS the 0-based gram start, and the sequence bound reproduces the
+    # old lead(word, n-1) IS NOT NULL cutoff exactly (docs shorter than
+    # n tokens emit no grams — the when() guards sequence's descending
+    # behavior on a negative end).
+    toks_arr = docs.select("doc_id", F.split("text", " ").alias("_toks"))
+    garr = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - F.lit(n)),
+            lambda i: md5_long(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, F.lit(n)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    grams = (
-        toks.select(
-            "doc_id",
-            "pos",
-            md5_long(F.concat_ws(" ", *parts)).alias("h"),
-            F.lead("word", n - 1).over(w).alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .drop("_last")
+    grams = toks_arr.select(
+        "doc_id", F.posexplode(garr).alias("pos", "h")
     )
     occ = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_occ"))
     dup_pos = (
