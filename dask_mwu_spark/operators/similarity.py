@@ -2303,21 +2303,41 @@ def dominant_pc(
     eig = None
     for _ in range(n_iter):
         # s_i = x'_i . v and the per-dim products ride ONE scan of the
-        # checkpointed cx (optimization r12, guide §2.4): the dot is
-        # computed once per row below the posexplode and carried onto
-        # every exploded (dim, xd) — the former formulation joined the
-        # exploded coordinate table back to a separate dot table on
-        # vec_id, a corpus-sized shuffle of BOTH sides per round.  Fold
-        # inputs are identical term for term (same xd, same s, same
-        # vec_id order within each (dim, bucket)), so the iterates stay
+        # checkpointed cx (optimization r12, guide §2.4): the former
+        # formulation joined the exploded coordinate table back to a
+        # separate dot table on vec_id — a corpus-sized shuffle of BOTH
+        # sides per round.  The dot must live INSIDE the generator
+        # expression (the 1-element-array let-binding): listed next to
+        # the posexplode in a select, Catalyst extracts the generator
+        # and leaves the dot in the Project ABOVE the Generate, i.e.
+        # evaluated once per exploded dim (64x per vector — measured as
+        # a 2x end-to-end regression before this form).  Here each
+        # element carries (xd, s) with s computed once per row; fold
+        # inputs are identical term for term, so the iterates stay
         # bit-identical and the oracle is unchanged.
-        prods = cx.crossJoin(F.broadcast(vdf.select("vl"))).select(
-            "vec_id",
-            dot(F.col("cx"), F.col("vl")).alias("s"),
-            F.posexplode("cx").alias("dim", "xd"),
-        ).withColumn(
-            "bucket",
-            F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets),
+        entries = F.element_at(
+            F.transform(
+                F.array(dot(F.col("cx"), F.col("vl"))),
+                lambda s: F.transform(
+                    F.col("cx"),
+                    lambda x: F.struct(x.alias("xd"), s.alias("s")),
+                ),
+            ),
+            1,
+        )
+        prods = (
+            cx.crossJoin(F.broadcast(vdf.select("vl")))
+            .select("vec_id", F.posexplode(entries).alias("dim", "e"))
+            .select(
+                "vec_id",
+                "dim",
+                F.col("e.xd").alias("xd"),
+                F.col("e.s").alias("s"),
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(md5_long(F.col("vec_id").cast("string")), n_buckets),
+            )
         )
         partial = (
             prods
