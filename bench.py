@@ -190,6 +190,13 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # core-count contract, self-proving (VERDICT r12 item 2): the r12
+    # driver heuristically flagged `suspect_cpus_ignored` because nothing
+    # in the artifact RECORDED the resolved master — stamp the master
+    # string and the scheduler's actual defaultParallelism into the JSON
+    # so the $SPARK_GRAFT_CPUS contract is checkable from the line alone.
+    resolved_master = spark.sparkContext.master
+    resolved_parallelism = spark.sparkContext.defaultParallelism
     qs = entrymod.queries()
 
     # warmup: ONE untimed pass of every benched query.  A single
@@ -203,8 +210,17 @@ def main() -> None:
     # extra pass (~40s).
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     samples: dict[str, list[float]] = {q: [] for q in BENCH_QUERIES if q in qs}
+    # cold-build visibility (VERDICT r12 item 9): time the warmup pass
+    # per query too — the first rep carries whole-stage-codegen compile
+    # AND every eager build barrier (trainer rounds, localCheckpoints),
+    # so builder-time optimizations are measurable from the sidecar
+    # without the profile tool.  Sidecar-only; the timed medians and the
+    # stdout line are untouched (same methodology as every prior round).
+    cold_first_rep: dict[str, float] = {}
     for name in samples:
+        t0 = time.time()
         qs[name](spark, sf_dir).collect()
+        cold_first_rep[name] = round(time.time() - t0, 3)
     # round-robin the repetitions (A B C A B C ...) rather than back-to-back
     # (A A A B B B ...) so cache warmth is comparable across queries
     for _ in range(n_runs):
@@ -229,8 +245,16 @@ def main() -> None:
     leaked = jvm_leaked_count(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line, detail = format_bench_output(
-        timings, sf, n_runs, samples, loaded=loaded, start_1m=start_1m
+        timings,
+        sf,
+        n_runs,
+        samples,
+        loaded=loaded,
+        start_1m=start_1m,
+        master=resolved_master,
+        parallelism=resolved_parallelism,
     )
+    detail["cold_first_rep"] = cold_first_rep
     detail["jvm_leaked_count"] = leaked
     # loadavg is host-wide (this JVM included, ncpus below for context):
     # start >> ncpus or a large end-start delta flags a contended run
@@ -276,6 +300,8 @@ def format_bench_output(
     *,
     loaded: bool = False,
     start_1m: float | None = None,
+    master: str | None = None,
+    parallelism: int | None = None,
 ) -> tuple[str, dict]:
     """Build (stdout_line, detail_sidecar).  The stdout line is medians-only
     with compact separators and is asserted to fit the driver's tail-capture
@@ -296,6 +322,15 @@ def format_bench_output(
     }
     if start_1m is not None:
         payload["load_1m_start"] = round(start_1m, 2)
+    # resolved master + scheduler parallelism (VERDICT r12 item 2): the
+    # proof that $SPARK_GRAFT_CPUS was honored lives IN the artifact —
+    # `local[8]` / parallelism 8 on the driver's low-core run, `local[32]`
+    # on the main run — so the scaling heuristic can never false-positive
+    # on overhead-dominated flat ratios again.  Additions-only.
+    if master is not None:
+        payload["master"] = master
+    if parallelism is not None:
+        payload["parallelism"] = parallelism
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > TAIL_CAPTURE_BUDGET:
         # explicit raise, not `assert`: python -O would strip an assert
