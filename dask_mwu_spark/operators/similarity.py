@@ -737,10 +737,23 @@ def semantic_dup_pairs(
     DuckDB oracle exact.
 
     Scale: assignment is the broadcast cross join from ``ivf_index`` (no
-    vector shuffle); the pair join shuffles once on cent_id.  AQE can
-    split a skewed cluster's SHUFFLE READ, but not the O(n_c²) pair count
-    itself — one mega-cluster (boilerplate-dominated corpora put 30%+ of
-    vectors on one centroid) is a quadratic hot spot (VERDICT r3).
+    vector shuffle); the pair join shuffles once on the salted
+    (cent_id, block) key.  The raw cent_id key caps join parallelism at
+    C tasks AND carries only bytes AQE's byte-based coalescing sees —
+    while the downstream cost is the O(n_c²) PAIR count the byte
+    estimate is blind to (optimization r13, guide §2.5: measured 5x on
+    the bench corpus when the whole 125k-pair scoring landed in one
+    coalesced task).  So one side is salted into
+    ``B = ceil(defaultParallelism / C)`` deterministic vec_id blocks,
+    the other side explodes B ways (the guide's hot-key recipe; every
+    pair still meets exactly once), and both sides are repartitioned
+    EXPLICITLY on the salted key — a user-specified repartition is the
+    join's own exchange (no extra shuffle) and is exempt from AQE
+    coalescing, so pair-scoring parallelism is C x B regardless of how
+    few bytes the index occupies.  AQE can still split a skewed
+    cluster's SHUFFLE READ, but not the O(n_c²) pair count itself — one
+    mega-cluster (boilerplate-dominated corpora put 30%+ of vectors on
+    one centroid) is a quadratic hot spot (VERDICT r3).
     ``max_cluster_size`` bounds it: clusters over the cap are split into
     ``ceil(n_c/cap)`` sub-buckets by a deterministic secondary hash of
     vec_id, and pairs stay within a sub-bucket — pair count per cluster
@@ -769,9 +782,24 @@ def semantic_dup_pairs(
             .drop("_n")
         )
         join_keys = ["cent_id", "_sub"]
+    # salted pair join (see Scale above): y-side block is a deterministic
+    # vec_id hash, x-side replicates over all blocks, so pair (a, b) with
+    # a < b meets exactly once — at (a, block(b)).  B derives from the
+    # session's ACTUAL parallelism (scale-adaptive, not a local constant)
+    # and the explicit repartition pins the exchange against AQE's
+    # byte-based coalescing (the pair count, not the bytes, is the cost).
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n_blocks = max(1, -(-par // max(1, n_centroids)))
+    salted_keys = join_keys + ["_pj"]
+    x = idx.withColumn(
+        "_pj", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
+    ).repartition(par, *salted_keys)
+    y = idx.withColumn(
+        "_pj", F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(n_blocks))
+    ).repartition(par, *salted_keys)
     pairs = (
-        idx.alias("x")
-        .join(idx.alias("y"), on=join_keys)
+        x.alias("x")
+        .join(y.alias("y"), on=salted_keys)
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
