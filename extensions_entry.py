@@ -891,11 +891,36 @@ FROM agg
 def _seed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default IVF seed (full-table vec_id < 16) as an EXPLICIT
     centroid table — the incremental query must pin centroids across
-    build and update (the fixed-centroid contract)."""
+    build and update (the fixed-centroid contract).
+
+    Collected to a 16-row LocalRelation (optimization r13, the
+    kmeans_centroids literal-table pattern; bounded-collect contract):
+    a filter-derived centroid table carries the ``vec_id < 16``
+    constraint, which Catalyst propagates through the probes equi-join
+    into the posting-list branch as ``cent_id < 16`` and pushes INTO
+    ivf_index's 1-row centroid cross — a conditioned BNLJ that
+    re-evaluates the whole assignment fold per row (r12 worked around
+    it with a full index materialization barrier per run).  Constraints
+    survive localCheckpoint, so the barrier must be a literal relation:
+    16 rows, one bounded collect, no constraint, no barrier on the
+    index itself.  float→double is exact, so the plan values are
+    bit-identical to the filter form."""
     from pyspark.sql import functions as F
 
-    return _emb(spark, sf_dir).where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), "embedding"
+    rows = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(r.cent_id, list(r.embedding)) for r in rows],
+        "cent_id: long, embedding: array<double>",
     )
 
 
@@ -1987,51 +2012,62 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so sim_ivf_batch_topk's oracle IS this query's oracle (the
         # cross-engine proof of recompute equality, the
         # text_bm25_incremental precedent)
-        "sim_ivf_incremental_topk": lambda s, d: sim.ivf_batch_topk(
-            _emb(s, d),
-            _emb(s, d)
-            .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            # the maintained index is MATERIALIZED (localCheckpoint) as a
-            # production index artifact would be — also keeps Catalyst's
-            # seed-range constraint (cent_id < 16, propagated from the
-            # probes equi-join) from folding the assignment argmax into
-            # the 1-row centroid cross as a conditioned BNLJ (r12)
-            index=sim.ivf_index_update(
-                sim.ivf_index(
-                    _emb(s, d).where(F.col("vec_id") % 2 == 0),
-                    centroids=_seed_centroids(s, d),
+        # the r12 index-side localCheckpoint existed to stop Catalyst's
+        # seed-range constraint (cent_id < 16 from _seed_centroids'
+        # filter) propagating through the probes equi-join and folding
+        # the assignment argmax into the 1-row centroid cross as a
+        # conditioned BNLJ.  Optimization r13 (VERDICT item 3): the
+        # constraint is erased AT ITS SOURCE — _seed_centroids is now a
+        # collected 16-row LocalRelation (constraints survive
+        # localCheckpoint; a literal relation has none) — so the
+        # maintained index stays lazy through the index= seam (it has
+        # exactly one consumer, the scored join) and the plan gate
+        # shows no conditioned BNLJ and no duplicated fold.  The
+        # centroid table is bound ONCE per build (one bounded collect),
+        # shared by build, update and serve
+        "sim_ivf_incremental_topk": lambda s, d: (
+            lambda cents: sim.ivf_batch_topk(
+                _emb(s, d),
+                _emb(s, d)
+                .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+                .select(F.col("vec_id").alias("query_id"), "embedding"),
+                index=sim.ivf_index_update(
+                    sim.ivf_index(
+                        _emb(s, d).where(F.col("vec_id") % 2 == 0),
+                        centroids=cents,
+                    ),
+                    _emb(s, d).where(F.col("vec_id") % 2 == 1),
+                    centroids=cents,
+                    check_disjoint=False,
                 ),
-                _emb(s, d).where(F.col("vec_id") % 2 == 1),
-                centroids=_seed_centroids(s, d),
-                check_disjoint=False,
-            ).localCheckpoint(),
-            centroids=_seed_centroids(s, d),
-            k=5,
-        ),
+                centroids=cents,
+                k=5,
+            )
+        )(_seed_centroids(s, d)),
         # round 12: index-maintenance DELETE (takedown/GDPR erasure,
         # VERDICT r11 item 1) — every vec_id % 5 == 0 removed from the
         # full index by one broadcast anti-join (no rebuild, no
         # re-assignment), served against the SAME fixed centroids; the
         # oracle IS the rebuild-without-deleted-vectors SQL, so a
         # green row proves delete == rebuild cross-engine
-        "sim_ivf_delete_topk": lambda s, d: sim.ivf_batch_topk(
-            _emb(s, d),
-            _emb(s, d)
-            .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            # materialized like the incremental index above (same
-            # conditioned-BNLJ constraint-propagation fix, r12)
-            index=sim.ivf_index_delete(
-                sim.ivf_index(
-                    _emb(s, d), centroids=_seed_centroids(s, d)
+        "sim_ivf_delete_topk": lambda s, d: (
+            # same collected centroid table as the incremental query
+            # above (r13): the index stays lazy, the constraint dies at
+            # the 16-row LocalRelation
+            lambda cents: sim.ivf_batch_topk(
+                _emb(s, d),
+                _emb(s, d)
+                .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+                .select(F.col("vec_id").alias("query_id"), "embedding"),
+                index=sim.ivf_index_delete(
+                    sim.ivf_index(_emb(s, d), centroids=cents),
+                    _emb(s, d).where(F.col("vec_id") % 5 == 0).select("vec_id"),
+                    check_present=False,
                 ),
-                _emb(s, d).where(F.col("vec_id") % 5 == 0).select("vec_id"),
-                check_present=False,
-            ).localCheckpoint(),
-            centroids=_seed_centroids(s, d),
-            k=5,
-        ),
+                centroids=cents,
+                k=5,
+            )
+        )(_seed_centroids(s, d)),
         # round 11: the brute-force truth baseline for the batch ladder
         "sim_cosine_batch_topk": lambda s, d: sim.cosine_batch_topk(
             _emb(s, d),
