@@ -1071,6 +1071,35 @@ def lm_bigram_score(docs: DataFrame, *, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def _union_scalar_rows(*parts: DataFrame) -> DataFrame:
+    """Combine several 1-row scalar aggregates into ONE 1-row table via
+    union + a single max() re-aggregate, instead of chaining crossJoins
+    (optimization r13, guide §2.4): each crossJoin of 1-row aggregates
+    costs its own BroadcastExchange + BroadcastNestedLoopJoin — with AQE
+    that is one scheduled job per scalar table.  Columns must be
+    disjoint across ``parts``; every value passes through max(x, NULL,
+    ...) = x untouched (no float arithmetic, exact passthrough)."""
+    schema: list[tuple[str, str]] = []
+    for p in parts:
+        for name, dtype in p.dtypes:
+            schema.append((name, dtype))
+    padded = []
+    for p in parts:
+        have = set(p.columns)
+        padded.append(
+            p.select(
+                *[
+                    (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                    for c, t in schema
+                ]
+            )
+        )
+    out = padded[0]
+    for p in padded[1:]:
+        out = out.unionByName(p)
+    return out.agg(*[F.max(c).alias(c) for c, _ in schema])
+
+
 def kneser_ney_score(
     docs: DataFrame,
     *,
@@ -1212,6 +1241,14 @@ def kneser_ney_score(
     cuni = cbi.groupBy("w3").agg(
         F.count(F.lit(1)).alias("cu")  # N1+(·w3)
     )
+    if est:
+        # estimate mode gives cuni a SECOND consumer (coc1's
+        # count-of-count scalars below) — without materialization each
+        # one re-runs the (w3) aggregation over the cbi cache
+        # (optimization r13: text_kn_modified's plan showed the
+        # duplicate exchange; the c3/cbi argument one more level down).
+        # Fixed mode keeps cuni lazy: one consumer, no barrier earned.
+        cuni = cuni.localCheckpoint()
     vocab = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).agg(F.countDistinct("word").alias("v"))
@@ -1283,9 +1320,7 @@ def kneser_ney_score(
             F.col("u1"), F.col("u2"), F.col("u3"), F.col("u4")
         )
         tot = (
-            coc2.crossJoin(coc1)
-            .crossJoin(coc3)
-            .crossJoin(vocab)
+            _union_scalar_rows(coc2, coc1, coc3, vocab)
             .select(
                 "b",
                 "w1p",
@@ -1305,14 +1340,13 @@ def kneser_ney_score(
             )
         )
     else:
-        tot = (
+        tot = _union_scalar_rows(
             cbi.agg(
                 F.count(F.lit(1)).cast("double").alias("b"),
                 F.countDistinct("w3").cast("double").alias("w1p"),
-            )
-            .crossJoin(vocab)
-            .select("b", "w1p", F.col("v").cast("double").alias("v"))
-        )
+            ),
+            vocab,
+        ).select("b", "w1p", F.col("v").cast("double").alias("v"))
 
     target = docs if score_docs is None else score_docs
     sc = adjacent_trigrams(target)
@@ -1321,9 +1355,20 @@ def kneser_ney_score(
     # to the bounded distinct-trigram table first (map-side-combinable)
     # moves every count join onto type-sized tables; the stream then
     # shuffles exactly twice — the distinct and the final model join.
-    types_ = sc.select("w1", "w2", "w3").distinct()
+    # When scoring the TRAINING corpus itself (score_docs=None — all
+    # three registered kn queries), the scored type set IS c3's key set,
+    # so the distinct re-derivation (a full corpus Generate + one
+    # (w1,w2,w3) exchange) and the types_ ⋈ c3 left join are dropped and
+    # the chain starts from the checkpointed c3 directly (optimization
+    # r13, guide §2.4/§6: same rows — every c3 key joins itself — and
+    # c3c's coalesce never fires either way).
+    if score_docs is None:
+        typed = c3
+    else:
+        types_ = sc.select("w1", "w2", "w3").distinct()
+        typed = types_.join(c3, ["w1", "w2", "w3"], "left")
     j = (
-        types_.join(c3, ["w1", "w2", "w3"], "left")
+        typed
         .join(ctx2, ["w1", "w2"], "left")
         .join(cbi, ["w2", "w3"], "left")
         .join(ctx1, ["w2"], "left")
