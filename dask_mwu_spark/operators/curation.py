@@ -980,28 +980,40 @@ def fuzzy_contamination(
     Scale: the eval side is small by definition (benchmarks are
     thousands of docs), so BOTH its band table and its signature table
     broadcast — the training corpus is touched by exactly ONE
-    signature pass (persisted at the branch point: bands and the
-    agreement join both read it), one sub-quadratic (band, band_key)
-    equi-join, and one candidates-bounded signature-agreement join.
-    The corpus never shuffles on shingle or signature position.
-    Signatures per doc depend only on the doc's own text, so computing
-    them per-side is exactly equivalent to the oracle's
-    compute-then-filter — no cross-side coupling.
+    signature pass (persisted at the branch point IN ARRAY FORM: bands
+    and the agreement join both read it), one sub-quadratic
+    (band, band_key) equi-join, and one candidates-bounded
+    signature-agreement join.  The corpus never shuffles on shingle or
+    signature position.  Signatures per doc depend only on the doc's
+    own text, so computing them per-side is exactly equivalent to the
+    oracle's compute-then-filter — no cross-side coupling.
+
+    Array form (optimization r13, VERDICT item 5): the former long-form
+    plan exploded every candidate pair into 16 (train_id, i) rows, ran a
+    16x broadcast position join and re-aggregated by (train_id,
+    eval_id) — a 16x-inflated exchange per candidate.  The signature is
+    a PER-DOC fact, so each side now carries one 16-slot array
+    (groupBy(doc_id) with one conditional min per permutation — one
+    doc-keyed exchange instead of a (doc_id, i)-keyed one 16x taller),
+    band keys are array slices (pure projection, no second aggregation)
+    and the agreement count is a per-row zip_with/filter expression on
+    the candidates — the (train_id, eval_id, i) aggregation exchange is
+    gone.
     """
     from dask_mwu_spark.operators.dedup import (
-        _band_keys_from_sig,
-        minhash_signatures,
+        _band_keys_from_sig_array,
+        minhash_sig_arrays,
     )
 
     n_perm = len(MINHASH_COEFFS)
-    sig_t = minhash_signatures(train, n=n).transform(tracked_persist)
+    sig_t = minhash_sig_arrays(train, n=n).transform(tracked_persist)
     # the eval signature table is tiny, but it feeds TWO broadcast
     # consumers (its band table and the agreement join) — unpersisted,
     # each broadcast job re-runs the eval shingle+minhash dataflow AND
     # re-scans the source (a doc_id predicate prunes no row groups)
-    sig_e = minhash_signatures(eval_docs, n=n).transform(tracked_persist)
-    bands_t = _band_keys_from_sig(sig_t)
-    bands_e = _band_keys_from_sig(sig_e).select(
+    sig_e = minhash_sig_arrays(eval_docs, n=n).transform(tracked_persist)
+    bands_t = _band_keys_from_sig_array(sig_t)
+    bands_e = _band_keys_from_sig_array(sig_e).select(
         F.col("doc_id").alias("eval_id"), "band", "band_key"
     )
     cand = (
@@ -1009,28 +1021,27 @@ def fuzzy_contamination(
         .select(F.col("doc_id").alias("train_id"), "eval_id")
         .distinct()
     )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_t"), F.col("sig_e"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
     est = (
         cand.join(
-            sig_t.select(F.col("doc_id").alias("train_id"), "i", F.col("minh").alias("mt")),
+            sig_t.select(F.col("doc_id").alias("train_id"), F.col("sig").alias("sig_t")),
             "train_id",
         )
         .join(
             F.broadcast(
-                sig_e.select(
-                    F.col("doc_id").alias("eval_id"), "i", F.col("minh").alias("me")
-                )
+                sig_e.select(F.col("doc_id").alias("eval_id"), F.col("sig").alias("sig_e"))
             ),
-            ["eval_id", "i"],
+            "eval_id",
         )
-        .groupBy("train_id", "eval_id")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mt") == F.col("me"), 1).otherwise(0)).cast(
-                    "double"
-                )
-                / n_perm,
-                6,
-            ).alias("est_jaccard")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(agree.cast("double") / n_perm, 6).alias("est_jaccard"),
         )
     )
     return (

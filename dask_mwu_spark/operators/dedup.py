@@ -200,6 +200,54 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minh"))
 
 
+def minhash_sig_arrays(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) — the SAME 16 permutation minima as
+    :func:`minhash_signatures`, carried as one per-doc array.
+
+    Optimization r13 (guide §2.3): the long form explodes every shingle
+    16x through the coefficient cross join and aggregates on (doc_id, i)
+    — a 16x-taller exchange whose rows are then often re-grouped by
+    doc_id anyway.  Here each permutation is one conditional ``min`` in
+    a single doc-keyed aggregate (identical arithmetic on the identical
+    shingle hashes, so sig[i] == minh at i bit-for-bit), the exchange
+    carries one row per (doc, shingle-hash) input with 16-slot partial
+    state, and per-doc consumers (band slicing, signature agreement)
+    become pure row expressions."""
+    sh = shingles(docs, n=n)
+    h = sh.select(
+        "doc_id", (md5_long(F.col("shingle")) % PRIME_P).alias("hm")
+    )
+    mins = [
+        F.min((F.col("hm") * F.lit(a) + F.lit(b)) % PRIME_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return h.groupBy("doc_id").agg(*mins).select(
+        "doc_id",
+        F.array(
+            *[F.col(f"_m{i}") for i in range(len(MINHASH_COEFFS))]
+        ).alias("sig"),
+    )
+
+
+def _band_keys_from_sig_array(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from the array signature — the
+    :func:`_band_keys_from_sig` combine (sum of minh * 31^(i mod 4),
+    exact in BIGINT) as a pure projection: no second aggregation."""
+    keys = F.array(
+        *[
+            sum(
+                (
+                    F.element_at(F.col("sig"), band * BAND_SIZE + j + 1)
+                    * F.lit(31 ** j)
+                )
+                for j in range(BAND_SIZE)
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+
+
 def minhash_band_keys(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """(doc_id, band, band_key): LSH banding of the signature — band_key is
     an order-independent integer combine of the band's 4 minhash values
