@@ -1565,6 +1565,20 @@ def _lloyd_round_expr(T, C, dim: int):
     return F.element_at(F.transform(F.array(asg), update), 1)
 
 
+def _round6(x: float) -> float:
+    """Bit-exact Python replica of Spark's ``round(double, 6)``:
+    BigDecimal.valueOf(x) parses Double.toString's shortest round-trip
+    decimal (== Python ``repr``'s value), then HALF_UP at scale 6.
+    BigDecimal carries no signed zero, so any zero result comes back
+    +0.0 (round(-0.0, 6) == 0.0 on the engine).  Pinned against the
+    engine by test_r13_ops and by the trainer oracle battery (exact
+    equality at 3 SFs)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return 0.0 if out == 0.0 else out
+
+
 def _lloyd_iterations(
     train: DataFrame, cb: DataFrame, *, n_iter: int, dim: int
 ) -> DataFrame:
@@ -1576,56 +1590,82 @@ def _lloyd_iterations(
     vec_id-ordered sum folds, round6 means, empty clusters keep their
     previous position.
 
-    Single-row formulation (optimization r12, guide §1.2 step 1 — fix
-    the distributed algorithm first): training is bounded-sample BY
-    DESIGN (``n_train`` rows — k-means at corpus scale always trains on
-    a sample; the corpus-wide work is the encode/assignment scan, not
-    here), yet the former DataFrame loop paid a broadcast join, a
-    (vec_id, s) window, a (s, c) aggregation exchange and a codebook
-    join PER ROUND to move a few hundred KB around the cluster.  Now
-    ONE aggregate collects the sorted training sample and seed codebook
-    into a single row, every Lloyd round is a pure expression
-    (:func:`_lloyd_round_expr`) chained via let-bindings so each round
-    evaluates exactly once, and the loop runs ZERO shuffles — one
-    collect-style job + one checkpoint barrier per LLOYD_CKPT_EVERY
-    rounds.  Numbers are bit-identical to the old loop (same folds,
-    same order, same tiebreaks — oracle-pinned at 3 SFs); the training
-    sample never leaves the JVM plan, so the "never collected to
-    Python" contract still holds."""
-    T_row = train.agg(
-        F.sort_array(F.collect_list(F.struct("vec_id", "s", "x"))).alias("T")
+    Driver-side formulation (optimization r13, guide §1.2 step 2 — fix
+    the per-task work once the distributed shape is right): training is
+    bounded-sample BY DESIGN (``n_train`` <= 256 rows — k-means at
+    corpus scale always trains on a sample; the corpus-wide work is the
+    encode/assignment scan, not here).  The r12 single-row expression
+    chain already ran ZERO shuffles, but its one evaluation was a giant
+    interpreted higher-order fold on ONE row — ~1.5-2 s of
+    single-threaded expression interpretation per trainer, serialized
+    behind a localCheckpoint barrier, measured as 70-95% of every
+    trained-ANN query's build time.  The sample is bounded, so the loop
+    now runs where bounded work belongs: collect the sorted sample
+    (ONE job, the repo's bounded-collect contract — the BPE merge
+    winner precedent), execute the rounds in plain Python doubles
+    (IEEE binary64, identical op order: round6 left-assoc fold
+    distances, first-min (d, c) tiebreak, vec_id-ordered per-dim sums,
+    round6 means via :func:`_round6`), and return the codebook as a
+    literal LocalRelation — which also carries no Catalyst constraints
+    and broadcasts for free.  Bit-identity to the r12 loop is pinned by
+    test_r13_ops (direct old-vs-new comparison) and the trainer oracle
+    battery at 3 SFs."""
+    T = sorted(
+        (r["vec_id"], r["s"], list(r["x"]))
+        for r in train.select("vec_id", "s", "x").collect()
     )
-    C_row = cb.agg(
-        F.sort_array(F.collect_list(F.struct("s", "c", "w"))).alias("C")
+    C = sorted(
+        (r["s"], r["c"], list(r["w"]))
+        for r in cb.select("s", "c", "w").collect()
     )
-    state = T_row.crossJoin(F.broadcast(C_row))
-    done = 0
-    while done < n_iter:
-        k = min(LLOYD_CKPT_EVERY, n_iter - done)
-
-        def chain(C_col, remaining):
-            if remaining == 1:
-                return _lloyd_round_expr(F.col("T"), C_col, dim)
-            return F.element_at(
-                F.transform(
-                    F.array(_lloyd_round_expr(F.col("T"), C_col, dim)),
-                    lambda c_next: chain(c_next, remaining - 1),
-                ),
-                1,
+    for _ in range(n_iter):
+        # assignment: round6 squared distance, first-min over the
+        # (s, c)-ascending candidate list (C is sorted)
+        assigned: dict[tuple[int, int], list[list[float]]] = {}
+        for _vid, s, x in T:
+            best_d, best_c = None, None
+            for cs, cc, w in C:
+                if cs != s:
+                    continue
+                acc = 0.0
+                for i in range(len(w)):
+                    diff = x[i] - w[i]
+                    acc = acc + diff * diff
+                d = _round6(acc)
+                if best_c is None or d < best_d:
+                    best_d, best_c = d, cc
+            if best_c is not None:
+                assigned.setdefault((s, best_c), []).append(x)
+        # update: per-dim sums in vec_id order (T is sorted), round6
+        # means; empty clusters keep their previous position
+        C = [
+            (
+                s,
+                c,
+                [
+                    _round6(
+                        _fold_sum(x[i] for x in members) / float(len(members))
+                    )
+                    for i in range(dim)
+                ]
+                if (members := assigned.get((s, c)))
+                else w,
             )
-
-        done += k
-        keep = [F.col("T")] if done < n_iter else []
-        # eager checkpoint: the returned codebook fans out into several
-        # consumers (encode join, ADC LUT) that must not re-run the loop
-        state = state.select(
-            *keep, chain(F.col("C"), k).alias("C")
-        ).localCheckpoint(eager=True)
-    return state.select(F.explode("C").alias("_e")).select(
-        F.col("_e.s").alias("s"),
-        F.col("_e.c").alias("c"),
-        F.col("_e.w").alias("w"),
+            for s, c, w in C
+        ]
+    spark = train.sparkSession
+    return spark.createDataFrame(
+        [(s, c, w) for s, c, w in C], "s: int, c: int, w: array<double>"
     )
+
+
+def _fold_sum(values) -> float:
+    """Left-associated IEEE double fold from 0.0 — the package float-sum
+    discipline, mirrored from the engine-side ``aggregate`` folds."""
+    acc = 0.0
+    for v in values:
+        acc = acc + v
+    return acc
 
 
 def kmeans_train_fixed(

@@ -41,21 +41,32 @@ def job_count(sc) -> int:
 
 
 def profile_one(spark, qs, name: str, sf_dir: str) -> dict:
+    # job_count snapshots bracket each phase (ADVICE r12: the docstring
+    # promised per-phase job counts but profile_one never called it) —
+    # build_jobs is the eager-barrier count the checkpoint/trainer
+    # optimizations move, exec_jobs the action's own job count
     sc = spark.sparkContext
     sc.setJobDescription(f"profile:{name}")
+    j0 = job_count(sc)
     t0 = time.time()
     df = qs[name](spark, sf_dir)
     t1 = time.time()
+    j1 = job_count(sc)
     _ = df._jdf.queryExecution().executedPlan()
     t2 = time.time()
+    j2 = job_count(sc)
     rows = df.collect()
     t3 = time.time()
+    j3 = job_count(sc)
     sc.setJobDescription(None)
     return {
         "build_s": round(t1 - t0, 3),
         "plan_s": round(t2 - t1, 3),
         "exec_s": round(t3 - t2, 3),
         "total_s": round(t3 - t0, 3),
+        "build_jobs": j1 - j0,
+        "plan_jobs": j2 - j1,
+        "exec_jobs": j3 - j2,
         "rows": len(rows),
     }
 
