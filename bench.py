@@ -152,6 +152,18 @@ BENCH_QUERIES = [
 # in BASELINE.md prose).  Gate: wait briefly for the box to go quiet,
 # then stamp `loaded` into the TOP-LEVEL json so a contended artifact
 # is machine-readable as such.
+# measured methodology splits (noop sink vs collect, guide §1.4), kept in
+# the sidecar so exec-heavy entries stop surfacing as operator-optimization
+# targets: the delta is the bench's own .collect() of a large result set,
+# which the driver's methodology shares (r13, VERDICT item 7)
+COLLECT_DOMINATED_NOTES = {
+    "dedup_simhash_pairs": (
+        "noop-sink A/B (r13, quiet): 1.74s noop vs 2.70s collect median — "
+        "~35% of the bench number is the 336k-row driver collect, not "
+        "operator cost"
+    ),
+}
+
 LOAD_QUIET_1M = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.5"))
 LOAD_QUIET_WAIT_S = float(
     os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "180")
@@ -255,6 +267,7 @@ def main() -> None:
         parallelism=resolved_parallelism,
     )
     detail["cold_first_rep"] = cold_first_rep
+    detail["collect_dominated_notes"] = COLLECT_DOMINATED_NOTES
     detail["jvm_leaked_count"] = leaked
     # loadavg is host-wide (this JVM included, ncpus below for context):
     # start >> ncpus or a large end-start delta flags a contended run
