@@ -325,6 +325,17 @@ def ivf_index(
     cent_id.  Deterministic: cosine rounded to 6 + cent_id tiebreak
     (first-max over cent_id-ascending candidates == the old
     (c_cos desc, cent_id asc) row_number).
+
+    Degenerate inputs (ADVICE r12, documented contract): an EMPTY
+    centroid table assigns every vector the ``cent_id = -1`` sentinel
+    (the coalesce fallback) — downstream equi-joins on cent_id then
+    match nothing, so queries return empty like the old inner-join form,
+    while the assignment column stays non-nullable.  A zero-norm
+    centroid raises DIVIDE_BY_ZERO under ANSI mode (Spark 4's default
+    and this package's tested configuration); the argmax fold's
+    behavior on NULL cosines is NOT defined with ANSI disabled —
+    callers turning ANSI off must pre-filter zero-norm centroids.
+    ``_encode_codes`` documents the same sentinel for codebooks.
     """
     vecs = _with_vec(emb)
     cents = _centroid_table(emb, n_centroids, centroids)

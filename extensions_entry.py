@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_mwu_spark.functions.hashing import PRIME_P, MINHASH_COEFFS
+from dask_mwu_spark.cache import tracked_persist as _tracked_persist
 from dask_mwu_spark.sources.loaders import load_table
 from dask_mwu_spark.operators import affinity as af
 from dask_mwu_spark.operators import audit as au
@@ -2031,6 +2032,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _emb(s, d)
                 .where(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
                 .select(F.col("vec_id").alias("query_id"), "embedding"),
+                # session-persisted like ivf_batch_topk's own built
+                # index (the caller owns injected-index persistence):
+                # lazy, so no build barrier, and the serve join reads
+                # the cached posting lists (r13)
                 index=sim.ivf_index_update(
                     sim.ivf_index(
                         _emb(s, d).where(F.col("vec_id") % 2 == 0),
@@ -2039,7 +2044,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     _emb(s, d).where(F.col("vec_id") % 2 == 1),
                     centroids=cents,
                     check_disjoint=False,
-                ),
+                ).transform(_tracked_persist),
                 centroids=cents,
                 k=5,
             )
@@ -2063,7 +2068,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     sim.ivf_index(_emb(s, d), centroids=cents),
                     _emb(s, d).where(F.col("vec_id") % 5 == 0).select("vec_id"),
                     check_present=False,
-                ),
+                ).transform(_tracked_persist),
                 centroids=cents,
                 k=5,
             )
