@@ -178,26 +178,19 @@ N_BANDS = N_HASHES // BAND_SIZE  # 4
 
 def minhash_signatures(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """(doc_id, i, minh): 16-permutation MinHash signature over word
-    3-gram shingles.  The coefficient table is a 16-row broadcast cross
-    join — each shingle row expands to 16 hash rows, then min-aggregates
-    by (doc, i): one uniform shuffle."""
-    sh = shingles(docs, n=n)
-    spark = docs.sparkSession
-    coeffs = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_COEFFS)], "i INT, a LONG, b LONG"
+    3-gram shingles.
+
+    Long-form VIEW of :func:`minhash_sig_arrays` (optimization r13): the
+    former build cross-joined every shingle against the 16-row
+    coefficient table and min-aggregated on (doc_id, i) — a 16x-taller
+    exchange than the array build's single doc-keyed aggregate with 16
+    conditional mins.  The values are pinned identical position for
+    position (test_r13_ops), so this is now a posexplode of the array
+    form; callers that only need per-doc facts should use the array form
+    directly."""
+    return minhash_sig_arrays(docs, n=n).select(
+        "doc_id", F.posexplode("sig").alias("i", "minh")
     )
-    hashed = (
-        sh.withColumn("sh_h", md5_long(F.col("shingle")))
-        .crossJoin(F.broadcast(coeffs))
-        .select(
-            "doc_id",
-            "i",
-            (((F.col("sh_h") % PRIME_P) * F.col("a") + F.col("b")) % PRIME_P).alias(
-                "h"
-            ),
-        )
-    )
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minh"))
 
 
 def minhash_sig_arrays(docs: DataFrame, *, n: int = 3) -> DataFrame:
@@ -252,8 +245,10 @@ def minhash_band_keys(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """(doc_id, band, band_key): LSH banding of the signature — band_key is
     an order-independent integer combine of the band's 4 minhash values
     (sum of minh * 31^(i mod 4), exact in BIGINT), so the aggregation needs
-    no ordered collect."""
-    return _band_keys_from_sig(minhash_signatures(docs, n=n))
+    no ordered collect.  Built from the array signature (optimization
+    r13): banding becomes an array-slice projection instead of a second
+    aggregation over the 16x long form."""
+    return _band_keys_from_sig_array(minhash_sig_arrays(docs, n=n))
 
 
 def _band_keys_from_sig(sig: DataFrame) -> DataFrame:
@@ -279,15 +274,24 @@ def minhash_lsh_pairs(
     (band, band_key), sub-quadratic at scale, and AQE's skew handling splits
     any hot bucket.
 
-    The signature table (n_docs x 16 rows — tiny next to the shingle
-    explode) is persisted: it feeds FOUR plan branches (banding + both
-    sides of the estimate join via the candidate pairs), and without the
-    persist Catalyst re-runs the whole shingle+minhash dataflow per branch
-    (measured ~2x end-to-end on the bench corpus). This is the same
+    The signature table (one 16-slot array per doc — tiny next to the
+    shingle explode) is persisted: it feeds FOUR plan branches (banding +
+    both sides of the estimate join via the candidate pairs), and without
+    the persist Catalyst re-runs the whole shingle+minhash dataflow per
+    branch (measured ~2x end-to-end on the bench corpus). This is the same
     "materialize the expensive intermediate" discipline the reference
-    applies to its rank tensor (rank_data.py:221-223)."""
-    sig = minhash_signatures(docs, n=n).transform(tracked_persist)
-    bands = _band_keys_from_sig(sig)
+    applies to its rank tensor (rank_data.py:221-223).
+
+    Array form (optimization r13, the fuzzy_contamination restructure
+    applied to the LSH trunk shared by the dedup AND graph families):
+    the former estimate stage exploded every candidate pair into 16
+    (doc, i) rows, joined positionally and re-aggregated by (doc_a,
+    doc_b); signatures are per-doc facts, so the agreement count is now
+    a per-row zip_with/filter expression on the candidate pairs and the
+    (doc_a, doc_b, i) aggregation exchange is gone.  Values pinned
+    identical by test_r13_ops + the oracle battery."""
+    sig = minhash_sig_arrays(docs, n=n).transform(tracked_persist)
+    bands = _band_keys_from_sig_array(sig)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "band_key"])
@@ -297,18 +301,21 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("minh").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("minh").alias("hb"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("hb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("ha"), F.col("hb"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
     est = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum((F.col("ha") == F.col("hb")).cast("int")).cast("double")
-                / N_HASHES,
-                6,
-            ).alias("est_jaccard")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / N_HASHES, 6).alias("est_jaccard"),
         )
     )
     return est.where(F.col("est_jaccard") >= est_threshold)
